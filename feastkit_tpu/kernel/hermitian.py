@@ -1,0 +1,188 @@
+"""Functional FEAST subspace-iteration core for symmetric/Hermitian problems.
+
+TPU-native re-design of the reference's RCI state machine ``feast_srci!`` /
+``feast_hrci!`` (src/kernel/feast_kernel.jl:7-293, :397-644) and of the
+self-contained Hermitian loop drivers (_feast_dense_complex_hermitian,
+src/dense/feast_dense.jl:78-351):
+
+* The Fortran "reverse communication" inversion-of-control exists because
+  Fortran cannot take closures. Here the core is a pure function
+  parameterized by ``apply_A``, ``apply_B`` and ``filter_apply`` callables,
+  driven by ``lax.while_loop`` (refinement) over batched solves (the whole
+  contour at once — the ne quadrature nodes are a leading array axis, not a
+  loop).
+* Dynamic quantities of the reference (found count M, shrinking active_dim)
+  become static M0-sized buffers + masks.
+* One body iteration == one FEAST refinement loop: filtered subspace,
+  SVD orthonormalization (replaces pivoted-QR compression), Rayleigh-Ritz
+  reduced pencil, robust reduced eigh, inside-interval masking, relative
+  residuals, convergence on max inside residual (fpm[6]=1) or trace
+  stagnation (fpm[6]=0).
+
+Correctness note vs the reference: the reference accumulates the *complex*
+half-contour sum Q_proj = sum_e 2 W_e X_e and uses it directly
+(feast_kernel.jl:143, feast_dense.jl:231). For a real eigenvalue lam the
+effective scalar filter of that sum is g(lam) = sum_e 2 W_e/(z_e - lam),
+whose imaginary part does NOT decay outside the interval (|g| ~ 0.2-0.6),
+so subspace iteration contracts slowly (~0.5/loop) when eigenvalues crowd
+the interval edges. Only Re(g) is the true rational filter. This framework
+therefore mirrors the original Fortran FEAST instead: the real-symmetric
+driver keeps a REAL basis and takes Re(sum 2 W_e X_e) (dfeast_srci's real
+``work`` array), and the Hermitian driver adds the conjugate-node solves
+(z_e^* B - A)^{-1} = ((z_e B - A)^{-1})^H obtained from the SAME factorization
+(zfeast_hrci's ijob=20/21 adjoint solves) — restoring the fast filter at
+equal factorization cost.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.tools import (inside_first_order, orthonormalize,
+                          reduced_hermitian_gevp, residuals)
+
+__all__ = ["HermitianState", "feast_hermitian_core"]
+
+
+class HermitianState(NamedTuple):
+    """Carried through the refinement while_loop (all arrays static-shape)."""
+
+    loop: jax.Array          # i32: refinement loops completed
+    Q: jax.Array             # (N, M0) current subspace (real or complex)
+    lam: jax.Array           # (M0,) Ritz values (real), inside-first order
+    res: jax.Array           # (M0,) relative residuals
+    inside: jax.Array        # (M0,) bool validity mask
+    epsout: jax.Array        # max residual over inside eigenpairs
+    trace: jax.Array         # sum of inside Ritz values (trace criterion)
+    converged: jax.Array     # bool
+
+
+def feast_hermitian_core(
+    apply_A: Callable,
+    apply_B: Callable,
+    filter_apply: Callable,
+    Q0,
+    Emin,
+    Emax,
+    *,
+    tol: float,
+    max_loops: int,
+    convergence_criterion: int = 1,
+    subspace_only: bool = False,
+    rank_cut: float | None = None,
+) -> HermitianState:
+    """Run the FEAST refinement iteration; fully jittable.
+
+    Args:
+      apply_A / apply_B: (N, M0) -> (N, M0) operator applications, same dtype
+        as Q0 (real for the real-symmetric path, complex for Hermitian).
+      filter_apply: Q (N, M0) -> Q_proj (N, M0): the full spectral-projector
+        quadrature sum_e 2 Re[W_e (z_e B - A)^{-1} B] Q in whichever form the
+        driver realizes it (real part of the batched solves for real
+        symmetric; solve + adjoint-solve pairs for Hermitian). Factorization
+        caching across refinement loops (fpm[10], factor_cache of
+        feast_dense.jl:147-213) is the driver's choice: bake factors into
+        this closure (cached) or refactor inside it (uncached).
+      Q0: (N, M0) initial subspace.
+      Emin/Emax: search interval (traced scalars are fine).
+      tol: convergence tolerance (10^-fpm[3], dtype-floored).
+      max_loops: fpm[4]; the body runs at most max_loops+1 times, matching
+        the reference's ``for loop in 0:fpm[4]`` (feast_dense.jl:161).
+      convergence_criterion: fpm[6] — 1 residual (default), 0 trace.
+      subspace_only: fpm[14]=1 — return after the first filtered subspace.
+    """
+    N, M0 = Q0.shape
+    rdtype = jnp.real(jnp.zeros((), Q0.dtype)).dtype
+    if rank_cut is None:
+        # Rank-deflation threshold on the singular spectrum of the filtered
+        # subspace. Counterpart of _feast_qr_compress!'s rank tolerance
+        # (feast_aux.jl:101-131), but more aggressive (eps^(1/4) vs sqrt(eps)):
+        # once the extra M0-M columns converge onto duplicates of inside
+        # eigenvectors, their orthogonal complement is numerical noise stuck
+        # around eps^(1/2..2/3) that produces spurious in-interval Ritz pairs
+        # with O(1) residuals; eps^(1/4) cuts cleanly above that floor while
+        # staying far below genuine directions (s >~ |filter| ~ 1e-2).
+        rank_cut = float(jnp.finfo(rdtype).eps) ** 0.25
+    # Deflated directions get Ritz value BIG, guaranteed outside the interval.
+    BIG = 1e3 * (1.0 + jnp.abs(Emin) + jnp.abs(Emax)).astype(rdtype)
+
+    def rayleigh_ritz(Qproj):
+        U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        m = (s >= rank_cut * s[0]).astype(rdtype)
+        Um = U * m[None, :]
+        # Deflation: masked directions are exactly decoupled with eigenpair
+        # (BIG, e_i) and zero Ritz vector -> excluded by the inside mask.
+        S = Um.conj().T @ apply_A(Um) + BIG * jnp.diag(1.0 - m).astype(U.dtype)
+        G = Um.conj().T @ apply_B(Um) + jnp.diag(1.0 - m).astype(U.dtype)
+        lam, V = reduced_hermitian_gevp(S, G)
+        q = Um @ V
+        nrm = jnp.linalg.norm(q, axis=0)
+        q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+        return lam.astype(rdtype), q
+
+    # In-loop plausibility cut: Ritz pairs with O(1) residual are never
+    # counted toward convergence (they are noise-space pairs that happen to
+    # land inside the interval; genuine pairs all sink below this quickly).
+    # Counterpart of fpm[38] spurious detection.
+    SPURIOUS_RES = 0.1
+
+    def body(state: HermitianState) -> HermitianState:
+        Qproj = filter_apply(state.Q)
+        lam, q = rayleigh_ritz(Qproj)
+        res = residuals(apply_A, apply_B, lam, q)
+        inside = (lam >= Emin) & (lam <= Emax)
+        order = inside_first_order(lam, inside)
+        lam, q, res, inside = lam[order], q[:, order], res[order], inside[order]
+        plausible = inside & (res < SPURIOUS_RES)
+        M = jnp.sum(plausible)
+        epsout = jnp.max(jnp.where(plausible, res, 0.0))
+        trace = jnp.sum(jnp.where(plausible, lam, 0.0))
+        if convergence_criterion == 1:
+            conv = (epsout <= tol) & (M > 0)
+        else:
+            scale = jnp.maximum(jnp.abs(state.trace), 1.0)
+            conv = (jnp.abs(trace - state.trace) <= tol * scale) & (M > 0)
+        return HermitianState(
+            loop=state.loop + 1, Q=q, lam=lam, res=res, inside=inside,
+            epsout=epsout.astype(rdtype), trace=trace.astype(rdtype),
+            converged=conv,
+        )
+
+    init = HermitianState(
+        loop=jnp.int32(0),
+        Q=Q0,
+        lam=jnp.zeros((M0,), rdtype),
+        res=jnp.full((M0,), jnp.inf, rdtype),
+        inside=jnp.zeros((M0,), bool),
+        epsout=jnp.asarray(jnp.inf, rdtype),
+        trace=jnp.asarray(jnp.nan, rdtype),   # NaN: first trace check never
+        converged=jnp.asarray(False),         # passes (inf<=inf would)
+    )
+
+    if subspace_only:
+        Qproj = filter_apply(init.Q)
+        U, _, _ = orthonormalize(Qproj)
+        return init._replace(Q=U, loop=jnp.int32(1))
+
+    def cond(state: HermitianState):
+        return (~state.converged) & (state.loop < max_loops + 1)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Final spurious verification (one extra contour application): the
+    # spectral-projector norm rho_j = ||P q_j|| of a genuine inside eigenpair
+    # is ~|f(lam_j)| >= ~0.5, while noise/duplicate pairs carry mostly
+    # outside-spectrum mass (rho <= filter's outside level). This is the
+    # filter-value test FEAST's stochastic estimator is built on, applied as
+    # an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
+    # equioscillating outside response never decays with distance.
+    rho = jnp.linalg.norm(filter_apply(final.Q), axis=0)
+    genuine = final.inside & (rho > 0.25) & (final.res < SPURIOUS_RES)
+    order = inside_first_order(final.lam, genuine)
+    final = final._replace(
+        lam=final.lam[order], Q=final.Q[:, order], res=final.res[order],
+        inside=genuine[order],
+        epsout=jnp.max(jnp.where(genuine, final.res, 0.0)).astype(rdtype))
+    return final

@@ -1,0 +1,173 @@
+"""Contour-sharded FEAST over a device mesh: the PFEAST replacement.
+
+Counterpart of the reference's three parallel backends (src/parallel/
+feast_parallel.jl threads, Distributed; feast_mpi.jl MPI) behind one
+mechanism — SURVEY.md section 5: "mesh axis `contour` over ICI, shard_map-ed
+per-node solves, jax.lax.psum for moments (replaces MPI.Allreduce), reduced
+eigensolve replicated on every device (replaces every-rank-solves-redundantly,
+which is already the reference's consistency trick, feast_mpi.jl:121-139)".
+
+Design:
+* The quadrature nodes are block-partitioned across the mesh axis — the
+  analog of MPIFeastState's contour slices (feast_mpi.jl:32-53). ne is padded
+  to a multiple of the axis size with zero-weight nodes (a zero weight
+  contributes nothing to the moment sum, so padding is exact).
+* Every device runs the full refinement while_loop on the replicated
+  subspace; the only communication is one psum of the (N, M0) filtered
+  subspace per refinement loop — communication volume identical to the
+  reference's Allreduce of Q_proj (SURVEY.md section 5).
+* The initial subspace is seeded from the same PRNGKey everywhere, so the
+  reference's MPI.Bcast! of the seed subspace (feast_mpi.jl:100) is free.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.contour import feast_contour
+from ..core.parameters import FeastConfig, _ensure_fpm
+from ..core.tools import seeded_subspace
+from ..core.types import FeastError, FeastResult, _trim
+from ..kernel.hermitian import feast_hermitian_core
+from ..solvers.dense import _dtypes_of, _shifted_pencils
+
+__all__ = ["contour_mesh", "pad_contour", "pfeast_dense"]
+
+AXIS = "contour"
+
+
+def contour_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the contour axis (the reference's L2 communicator,
+    fpm[9])."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def pad_contour(Zne, Wne, n_shards: int):
+    """Pad node/weight arrays to a multiple of the mesh axis size.
+
+    Zero-weight padding is exact (the padded solves are computed and
+    discarded by the weighted sum). Padded nodes reuse the first node so the
+    padded pencil stays factorizable. This replaces the reference's
+    block+remainder partition (distribute_contour_points,
+    feast_parallel.jl:433-447) with an even-shard constraint.
+    """
+    ne = len(Zne)
+    pad = (-ne) % n_shards
+    if pad:
+        Zne = np.concatenate([np.asarray(Zne), np.repeat(np.asarray(Zne[:1]), pad)])
+        Wne = np.concatenate([np.asarray(Wne), np.zeros(pad, np.asarray(Wne).dtype)])
+    return Zne, Wne
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "standard", "hermitian", "mesh"))
+def _pfeast_dense_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
+                      config: FeastConfig, standard: bool, hermitian: bool,
+                      mesh: Mesh):
+    """Sharded dense FEAST: contour nodes sharded over the mesh axis, the
+    refinement loop replicated, one psum of the filtered subspace per loop."""
+
+    def device_program(A, B, Zl, Wl, Q0, Emin, Emax):
+        # Local factor cache over this device's contour slice.
+        shifted = _shifted_pencils(A, B, Zl, standard)
+        if config.store_factorization:
+            lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+            solve = lambda rhs: jax.vmap(
+                lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+            solve_adj = lambda rhs: jax.vmap(
+                lambda l, p: jsl.lu_solve((l, p), rhs, trans=2))(lu, piv)
+        else:
+            solve = lambda rhs: jax.lax.map(
+                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+            solve_adj = lambda rhs: jax.lax.map(
+                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs, trans=2), shifted)
+
+        apply_A = lambda X: A @ X
+        apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+        cdtype = Zl.dtype
+
+        if hermitian:
+            W = Wl.astype(cdtype)
+
+            def filter_apply(Q):
+                rhs = apply_B(Q)
+                local = (jnp.einsum("e,enm->nm", W, solve(rhs))
+                         + jnp.einsum("e,enm->nm", jnp.conj(W), solve_adj(rhs)))
+                return jax.lax.psum(local, AXIS)
+        else:
+            W2 = (2.0 * Wl).astype(cdtype)
+
+            def filter_apply(Q):
+                rhs = apply_B(Q).astype(cdtype)
+                local = jnp.real(
+                    jnp.einsum("e,enm->nm", W2, solve(rhs))).astype(Q.dtype)
+                return jax.lax.psum(local, AXIS)
+
+        return feast_hermitian_core(
+            apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+            tol=config.tol, max_loops=config.max_loops,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1),
+        )
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=P(),          # state identical on every device
+        check_vma=False,
+    )
+    return sharded(A, B, Zne, Wne, Q0, Emin, Emax)
+
+
+def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
+                 contour=None, Q0=None, mesh=None, n_devices=None) -> FeastResult:
+    """Dense symmetric/Hermitian FEAST with contour-point parallelism over a
+    device mesh (parity surface: pfeast_sygv!/pfeast_scsrgv!/mpi_feast)."""
+    fpm = _ensure_fpm(fpm)
+    if mesh is None:
+        mesh = contour_mesh(n_devices)
+    n_shards = mesh.devices.size
+
+    A = jnp.asarray(A)
+    standard = B is None
+    if not standard:
+        B = jnp.asarray(B)
+    N = A.shape[0]
+    rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
+    if hermitian is None:
+        hermitian = jnp.issubdtype(A.dtype, jnp.complexfloating) or (
+            not standard and jnp.issubdtype(B.dtype, jnp.complexfloating))
+    work_dtype = cdtype if hermitian else rdtype
+    A = A.astype(work_dtype)
+    if not standard:
+        B = B.astype(work_dtype)
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    if contour is None:
+        contour = feast_contour(Emin, Emax, fpm)
+    Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_shards)
+    Zne = jnp.asarray(Zp, dtype=cdtype)
+    Wne = jnp.asarray(Wp, dtype=cdtype)
+    Q0 = (seeded_subspace(N, M0, work_dtype) if Q0 is None
+          else jnp.asarray(Q0, dtype=work_dtype))
+
+    with mesh:
+        state = _pfeast_dense_jit(
+            A, B if not standard else A, Zne, Wne, Q0,
+            jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
+            config=config, standard=standard, hermitian=bool(hermitian),
+            mesh=mesh)
+
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)

@@ -1,0 +1,210 @@
+"""Dense FEAST drivers: symmetric / Hermitian, standard and generalized.
+
+Counterpart of the reference's ``src/dense/feast_dense.jl`` Hermitian core
+(_feast_dense_complex_hermitian :78-351) and its real wrappers
+(feast_syev!/sygv! :356-400).
+
+TPU design: the ne shifted matrices (z_e B - A) are factored as ONE batched
+(ne, N, N) LU via vmap(lu_factor) — computed once outside the refinement
+while_loop, which is exactly the reference's ``factor_cache`` reuse semantics
+(feast_dense.jl:147-148,190-213). Per refinement loop the hot path is a
+batched multi-RHS triangular solve (ne, N, M0) + one einsum for the moment
+accumulation — both MXU-friendly.
+
+Filter realization (see kernel/hermitian.py docstring):
+* real symmetric: REAL basis, Q_proj = Re(sum_e 2 W_e X_e) — the mirrored
+  half-contour collapses to a real-part extraction because the basis is real
+  (Fortran dfeast_srci's real ``work`` array);
+* complex Hermitian: Q_proj = sum_e (W_e X_e + conj(W_e) X'_e) where
+  X'_e = (conj(z_e) B - A)^{-1} rhs = adjoint-solve on the SAME LU factors
+  (Fortran zfeast_hrci ijob=20/21).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..core.contour import feast_contour
+from ..core.parameters import FeastConfig, _ensure_fpm
+from ..core.tools import seeded_subspace
+from ..core.types import FeastError, FeastResult, _trim
+from ..kernel.hermitian import feast_hermitian_core
+
+__all__ = ["feast_sygv", "feast_syev", "feast_hegv", "feast_heev",
+           "dense_hermitian_feast"]
+
+
+def _dtypes_of(*arrays):
+    """(real_dtype, complex_dtype) for the solve, from input dtypes."""
+    dt = jnp.result_type(*[a.dtype for a in arrays])
+    if dt in (jnp.float32, jnp.complex64):
+        return jnp.float32, jnp.complex64
+    return jnp.float64, jnp.complex128
+
+
+def _shifted_pencils(A, B, Zne, standard: bool):
+    """(ne, N, N) stack of z_e B - A in the complex dtype of Zne."""
+    N = A.shape[0]
+    cdtype = Zne.dtype
+    Ac = A.astype(cdtype)
+    if standard:
+        eye = jnp.eye(N, dtype=cdtype)
+        return Zne[:, None, None] * eye[None] - Ac[None]
+    return Zne[:, None, None] * B.astype(cdtype)[None] - Ac[None]
+
+
+def _make_solve_all(A, B, Zne, standard, store_factorization):
+    """rhs (N, M0) complex -> X (ne, N, M0) complex, and the adjoint variant.
+
+    Returns (solve_all, solve_all_adjoint). Both reuse a single batched LU
+    when store_factorization (fpm[10]=1); otherwise factors are recomputed
+    per call inside a lax.map (fpm[10]=0, low-memory mode: ne * N^2 extra
+    memory is never materialized)."""
+    shifted = _shifted_pencils(A, B, Zne, standard)
+    if store_factorization:
+        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+
+        def solve_all(rhs):
+            return jax.vmap(lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+
+        def solve_all_adjoint(rhs):
+            # trans=2: solves (z_e B - A)^H X = rhs = (conj(z_e) B - A) X
+            # for Hermitian A, B — no second factorization needed.
+            return jax.vmap(
+                lambda l, p: jsl.lu_solve((l, p), rhs, trans=2))(lu, piv)
+    else:
+        def solve_all(rhs):
+            return jax.lax.map(
+                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+
+        def solve_all_adjoint(rhs):
+            return jax.lax.map(
+                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs, trans=2), shifted)
+    return solve_all, solve_all_adjoint
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "standard", "hermitian"))
+def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
+                         config: FeastConfig, standard: bool, hermitian: bool):
+    """Jitted dense symmetric/Hermitian FEAST.
+
+    A, B: (N, N) real (symmetric path) or complex (Hermitian path);
+    Q0 matches; Zne/Wne: (ne,) complex.
+    """
+    cdtype = Zne.dtype
+    solve_all, solve_all_adj = _make_solve_all(
+        A, B, Zne, standard, config.store_factorization)
+
+    apply_A = lambda X: A @ X
+    apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+
+    if hermitian:
+        W = Wne.astype(cdtype)
+        Wc = jnp.conj(W)
+
+        def filter_apply(Q):
+            rhs = apply_B(Q)
+            X = solve_all(rhs)
+            Xa = solve_all_adj(rhs)
+            return (jnp.einsum("e,enm->nm", W, X)
+                    + jnp.einsum("e,enm->nm", Wc, Xa))
+    else:
+        W2 = (2.0 * Wne).astype(cdtype)
+
+        def filter_apply(Q):
+            rhs = apply_B(Q).astype(cdtype)
+            X = solve_all(rhs)
+            return jnp.real(jnp.einsum("e,enm->nm", W2, X)).astype(Q.dtype)
+
+    return feast_hermitian_core(
+        apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+        tol=config.tol, max_loops=config.max_loops,
+        convergence_criterion=config.convergence_criterion,
+        subspace_only=(config.mode == 1),
+    )
+
+
+def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
+                          Q0=None, hermitian=None) -> FeastResult:
+    """Shared dense symmetric/Hermitian driver (host wrapper around the jit).
+
+    ``hermitian=False`` runs the all-real iteration (feast_sygv!'s
+    promote/strip round trip, feast_dense.jl:356-400, without the pointless
+    promotion: only the shifted solves are complex)."""
+    fpm = _ensure_fpm(fpm)
+    A = jnp.asarray(A)
+    standard = B is None
+    if not standard:
+        B = jnp.asarray(B)
+    N = A.shape[0]
+    if A.ndim != 2 or A.shape[1] != N:
+        raise ValueError(f"A must be square, got {A.shape}")
+    if not standard and B.shape != A.shape:
+        raise ValueError(f"B must match A: {A.shape} vs {B.shape}")
+    if N <= 0:
+        return FeastResult(np.zeros(0), np.zeros((0, 0)), 0, np.zeros(0),
+                           FeastError.ERROR_N, 0.0, 0)
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+
+    rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
+    if hermitian is None:
+        hermitian = jnp.issubdtype(A.dtype, jnp.complexfloating) or (
+            not standard and jnp.issubdtype(B.dtype, jnp.complexfloating))
+    work_dtype = cdtype if hermitian else rdtype
+    A = A.astype(work_dtype)
+    if not standard:
+        B = B.astype(work_dtype)
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    if contour is None:
+        contour = feast_contour(Emin, Emax, fpm)
+    Zne = jnp.asarray(contour.Zne, dtype=cdtype)
+    Wne = jnp.asarray(contour.Wne, dtype=cdtype)
+    if Q0 is None:
+        Q0 = seeded_subspace(N, M0, work_dtype)
+    else:
+        Q0 = jnp.asarray(Q0, dtype=work_dtype)
+
+    state = _dense_hermitian_jit(
+        A, B if not standard else A,  # dummy arg keeps jit signature fixed
+        Zne, Wne, Q0, jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
+        config=config, standard=standard, hermitian=bool(hermitian))
+
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)
+
+
+def feast_sygv(A, B, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
+    """Dense real-symmetric generalized A x = lam B x on [Emin, Emax]
+    (parity: feast_sygv!, feast_dense.jl:356-375)."""
+    return dense_hermitian_feast(A, B, Emin, Emax, M0, fpm,
+                                 hermitian=False, **kw)
+
+
+def feast_syev(A, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
+    """Dense real-symmetric standard problem (feast_syev!)."""
+    return dense_hermitian_feast(A, None, Emin, Emax, M0, fpm,
+                                 hermitian=False, **kw)
+
+
+def feast_hegv(A, B, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
+    """Dense complex-Hermitian generalized problem (feast_hegv!/hbgv pattern);
+    eigenvectors stay complex (feast_kernel.jl:543-547)."""
+    return dense_hermitian_feast(A, B, Emin, Emax, M0, fpm,
+                                 hermitian=True, **kw)
+
+
+def feast_heev(A, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
+    """Dense complex-Hermitian standard problem (feast_heev!)."""
+    return dense_hermitian_feast(A, None, Emin, Emax, M0, fpm,
+                                 hermitian=True, **kw)

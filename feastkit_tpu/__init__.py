@@ -30,7 +30,11 @@ from .core.contour import (feast_contour, feast_contour_custom_weights,
                            zolotarev_quadrature)
 from .core.tools import feast_name, seeded_subspace
 from .solvers.dense import feast_heev, feast_hegv, feast_syev, feast_sygv
+from .solvers.dense_general import (feast_geev, feast_geev_complex_sym,
+                                    feast_gegv, feast_gegv_complex_sym,
+                                    feast_pep)
 from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
+                               feast_general, feast_polynomial,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 

@@ -17,8 +17,9 @@ from ..core.types import FeastResult, FeastGeneralResult
 from ..solvers import dense as _dense
 
 __all__ = [
-    "feast", "eigvals_feast", "eigen_feast", "feast_summary",
-    "feast_validate_interval", "feast_set_defaults",
+    "feast", "feast_general", "feast_polynomial", "eigvals_feast",
+    "eigen_feast", "feast_summary", "feast_validate_interval",
+    "feast_set_defaults",
 ]
 
 _VALID_BACKENDS = ("auto", "serial", "sharded", "threads", "distributed", "mpi")
@@ -117,6 +118,42 @@ def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
     return _dense.dense_hermitian_feast(
         A, B, Emin, Emax, M0, fpm, hermitian=hermitian,
         contour=contour, Q0=Q0, **kw)
+
+
+def feast_general(A, B=None, Emid=0.0, r=1.0, M0=None, fpm=None, *,
+                  backend=None, parallel=None, complex_symmetric=None,
+                  **kw) -> FeastGeneralResult:
+    """Find all eigenpairs of general A x = lam B x inside the rotated
+    ellipse (Emid, r, fpm[18], fpm[19]).
+
+    Parity with the 4 ``feast_general`` methods (feast_interfaces.jl:274-379):
+    complex-type promotion, complex-symmetric routing, serial execution
+    (the reference too only supports serial/MPI here,
+    feast_interfaces.jl:95-127).
+    """
+    from ..solvers import dense_general as _dg
+    A_np = np.asarray(A)
+    N = A_np.shape[0]
+    if M0 is None:
+        M0 = min(N, max(8, N // 10))
+    M0 = min(int(M0), N)
+    _normalize_backend(backend, parallel)   # validate; sharded TBD for general
+    if complex_symmetric is None:
+        complex_symmetric = (np.iscomplexobj(A_np)
+                             and np.allclose(A_np, A_np.T)
+                             and not np.allclose(A_np, A_np.conj().T))
+    fpm = _ensure_fpm(fpm)
+    if complex_symmetric:
+        return _dg.dense_general_feast(A, B, Emid, r, M0, fpm,
+                                       bilinear=True, **kw)
+    return _dg.dense_general_feast(A, B, Emid, r, M0, fpm, **kw)
+
+
+def feast_polynomial(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Polynomial eigenproblem sum_k lam^k A_k x = 0 inside ellipse (Emid, r)
+    (feast_interfaces.jl:441-471 -> feast_pep!)."""
+    from ..solvers import dense_general as _dg
+    return _dg.feast_pep(coeffs, Emid, r, M0, fpm, **kw)
 
 
 def eigvals_feast(A, interval, *, B=None, M0=None, **kw):

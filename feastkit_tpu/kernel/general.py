@@ -1,0 +1,149 @@
+"""Functional FEAST core for general (non-Hermitian) and complex-symmetric
+problems: full elliptical contour, complex Ritz values.
+
+TPU-native re-design of ``feast_grci!`` (src/kernel/feast_kernel.jl:646-962)
+and the complex-symmetric loop drivers (_feast_dense_complex_symmetric,
+feast_dense.jl:1018-1285):
+
+* full-contour quadrature, subspace-only accumulation q += W_e X_e
+  (feast_kernel.jl:760-768) — no conjugate doubling;
+* Rayleigh-Ritz on the SVD-orthonormalized filtered basis with either the
+  adjoint pairing S = U^H A U (general, feast_kernel.jl:787-812) or the
+  transpose-bilinear pairing S = U^T A U (complex-symmetric,
+  feast_dense.jl:1183-1186);
+* reduced general pencil solved by ops.eig.generalized_eig (host zgeev
+  callback or native on-device shifted-QR Schur);
+* rotated-ellipse membership (feast_inside_gcontour, feast_tools.jl:623-650)
+  with the same deflation/spurious machinery as the Hermitian core.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.tools import inside_first_order
+from ..ops.eig import generalized_eig
+
+__all__ = ["GeneralState", "feast_general_core"]
+
+
+class GeneralState(NamedTuple):
+    loop: jax.Array
+    Q: jax.Array             # (N, M0) complex subspace
+    lam: jax.Array           # (M0,) complex Ritz values
+    res: jax.Array           # (M0,) real residuals
+    inside: jax.Array        # (M0,) bool
+    epsout: jax.Array
+    trace: jax.Array         # complex
+    converged: jax.Array
+
+
+def feast_general_core(
+    apply_A: Callable,
+    apply_B: Callable,
+    filter_apply: Callable,
+    Q0,
+    Emid,
+    r,
+    *,
+    tol: float,
+    max_loops: int,
+    aspect_ratio: float = 1.0,
+    rotation_deg: float = 0.0,
+    convergence_criterion: int = 1,
+    subspace_only: bool = False,
+    bilinear: bool = False,
+    eig_method: str = "callback",
+    rank_cut: float | None = None,
+) -> GeneralState:
+    """Run the general FEAST refinement iteration; fully jittable.
+
+    Args mirror :func:`feast_hermitian_core`, except the search region is the
+    rotated ellipse (Emid, r, aspect_ratio, rotation_deg) and ``bilinear``
+    selects the complex-symmetric transpose pairing.
+    """
+    N, M0 = Q0.shape
+    cdtype = Q0.dtype
+    rdtype = jnp.finfo(cdtype).dtype
+    if rank_cut is None:
+        rank_cut = float(jnp.finfo(rdtype).eps) ** 0.25
+    pair = (lambda U: U.T) if bilinear else (lambda U: U.conj().T)
+    # Deflated directions' Ritz marker: far outside any ellipse of radius r.
+    marker = Emid + (1e4 * r) * (1.0 + 0.0j)
+    rot = np.exp(-1j * (rotation_deg / 180.0) * np.pi)
+
+    def inside_region(lam):
+        w = (lam - Emid) * rot
+        x = w.real / r
+        y = w.imag / (r * aspect_ratio)
+        return x * x + y * y <= 1.0
+
+    SPURIOUS_RES = 0.1
+
+    def rayleigh_ritz(Qproj):
+        U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        m = (s >= rank_cut * s[0]).astype(rdtype)
+        Um = U * m[None, :]
+        dead = jnp.diag(1.0 - m).astype(cdtype)
+        S = pair(Um) @ apply_A(Um) + marker * dead
+        G = pair(Um) @ apply_B(Um) + dead
+        lam, V = generalized_eig(S, G, method=eig_method)
+        q = Um @ V
+        nrm = jnp.linalg.norm(q, axis=0)
+        q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+        return lam, q
+
+    def compute_res(lam, q):
+        Rm = apply_A(q) - lam[None, :] * apply_B(q)
+        return jnp.linalg.norm(Rm, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
+
+    def body(state: GeneralState) -> GeneralState:
+        Qproj = filter_apply(state.Q)
+        lam, q = rayleigh_ritz(Qproj)
+        res = compute_res(lam, q)
+        inside = inside_region(lam)
+        order = inside_first_order(lam, inside, general=True)
+        lam, q, res, inside = lam[order], q[:, order], res[order], inside[order]
+        plausible = inside & (res < SPURIOUS_RES)
+        M = jnp.sum(plausible)
+        epsout = jnp.max(jnp.where(plausible, res, 0.0))
+        trace = jnp.sum(jnp.where(plausible, lam, 0.0))
+        if convergence_criterion == 1:
+            conv = (epsout <= tol) & (M > 0)
+        else:
+            scale = jnp.maximum(jnp.abs(state.trace), 1.0)
+            conv = (jnp.abs(trace - state.trace) <= tol * scale) & (M > 0)
+        return GeneralState(state.loop + 1, q, lam, res, inside,
+                            epsout.astype(rdtype), trace.astype(cdtype), conv)
+
+    init = GeneralState(
+        loop=jnp.int32(0),
+        Q=Q0,
+        lam=jnp.zeros((M0,), cdtype),
+        res=jnp.full((M0,), jnp.inf, rdtype),
+        inside=jnp.zeros((M0,), bool),
+        epsout=jnp.asarray(jnp.inf, rdtype),
+        trace=jnp.asarray(jnp.nan, cdtype),
+        converged=jnp.asarray(False),
+    )
+
+    if subspace_only:
+        Qproj = filter_apply(init.Q)
+        U, _, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        return init._replace(Q=U, loop=jnp.int32(1))
+
+    final = jax.lax.while_loop(
+        lambda s: (~s.converged) & (s.loop < max_loops + 1), body, init)
+
+    # Final spurious verification via spectral-projector norm (see
+    # kernel/hermitian.py): genuine inside pairs have ||P q|| ~ |f(lam)| ~ 1.
+    rho = jnp.linalg.norm(filter_apply(final.Q), axis=0)
+    genuine = final.inside & (rho > 0.25) & (final.res < SPURIOUS_RES)
+    order = inside_first_order(final.lam, genuine, general=True)
+    return final._replace(
+        lam=final.lam[order], Q=final.Q[:, order], res=final.res[order],
+        inside=genuine[order],
+        epsout=jnp.max(jnp.where(genuine, final.res, 0.0)).astype(rdtype))

@@ -1,0 +1,183 @@
+"""Dense general (non-Hermitian), complex-symmetric, and polynomial drivers.
+
+Counterparts of the reference's feast_gegv!/geev! RCI-loop drivers
+(feast_dense.jl:402-593), the complex-symmetric core (:1018-1285), and
+feast_pep! companion linearization (:714-772).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..core.contour import feast_gcontour
+from ..core.parameters import FeastConfig, _ensure_fpm
+from ..core.tools import seeded_subspace
+from ..core.types import FeastError, FeastGeneralResult, _trim
+from ..kernel.general import feast_general_core
+
+__all__ = ["feast_gegv", "feast_geev", "feast_gegv_complex_sym",
+           "feast_geev_complex_sym", "feast_pep", "dense_general_feast"]
+
+
+def _cdtype_of(*arrays):
+    dt = jnp.result_type(*[a.dtype for a in arrays])
+    return jnp.complex64 if dt in (jnp.float32, jnp.complex64) else jnp.complex128
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "standard", "bilinear", "eig_method"))
+def _dense_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
+                       standard: bool, bilinear: bool, eig_method: str):
+    N = A.shape[0]
+    cdtype = A.dtype
+
+    if standard:
+        shifted = Zne[:, None, None] * jnp.eye(N, dtype=cdtype)[None] - A[None]
+        apply_B = lambda X: X
+    else:
+        shifted = Zne[:, None, None] * B[None] - A[None]
+        apply_B = lambda X: B @ X
+    apply_A = lambda X: A @ X
+
+    if config.store_factorization:
+        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+        solve_all = lambda rhs: jax.vmap(
+            lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+    else:
+        solve_all = lambda rhs: jax.lax.map(
+            lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+
+    def filter_apply(Q):
+        rhs = apply_B(Q)
+        X = solve_all(rhs)
+        return jnp.einsum("e,enm->nm", Wne, X)
+
+    return feast_general_core(
+        apply_A, apply_B, filter_apply, Q0, Emid, r,
+        tol=config.tol, max_loops=config.max_loops,
+        aspect_ratio=config.aspect_ratio, rotation_deg=config.rotation_deg,
+        convergence_criterion=config.convergence_criterion,
+        subspace_only=(config.mode == 1), bilinear=bilinear,
+        eig_method=eig_method)
+
+
+def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
+                        bilinear=False, eig_method="callback"
+                        ) -> FeastGeneralResult:
+    """Shared dense general/complex-symmetric driver."""
+    fpm = _ensure_fpm(fpm)
+    A = jnp.asarray(A)
+    standard = B is None
+    if not standard:
+        B = jnp.asarray(B)
+        if B.shape != A.shape:
+            raise ValueError(f"B must match A: {A.shape} vs {B.shape}")
+    N = A.shape[0]
+    if A.ndim != 2 or A.shape[1] != N:
+        raise ValueError(f"A must be square, got {A.shape}")
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not r > 0:
+        raise ValueError(f"Contour radius must be positive, got {r}")
+
+    cdtype = _cdtype_of(A) if standard else _cdtype_of(A, B)
+    A = A.astype(cdtype)
+    if not standard:
+        B = B.astype(cdtype)
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    if contour is None:
+        contour = feast_gcontour(complex(Emid), float(r), fpm)
+    Zne = jnp.asarray(contour.Zne, cdtype)
+    Wne = jnp.asarray(contour.Wne, cdtype)
+    if Q0 is None:
+        # General problems seed with a fully complex subspace (the reference
+        # uses complex randn for grci, feast_kernel.jl:719).
+        key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
+        k1, k2 = jax.random.split(key)
+        rdt = jnp.finfo(cdtype).dtype
+        Q0 = (jax.random.normal(k1, (N, M0), rdt)
+              + 1j * jax.random.normal(k2, (N, M0), rdt)).astype(cdtype)
+        Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+    else:
+        Q0 = jnp.asarray(Q0, cdtype)
+
+    rdtype = jnp.finfo(cdtype).dtype
+    state = _dense_general_jit(
+        A, B if not standard else A, Zne, Wne, Q0,
+        jnp.asarray(complex(Emid), cdtype), jnp.asarray(float(r), rdtype),
+        config=config, standard=standard, bilinear=bilinear,
+        eig_method=eig_method)
+
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)
+
+
+def feast_gegv(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Dense general generalized A x = lam B x inside the ellipse (Emid, r)
+    (parity: feast_gegv!, feast_dense.jl:402-593)."""
+    return dense_general_feast(A, B, Emid, r, M0, fpm, **kw)
+
+
+def feast_geev(A, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Dense general standard problem (feast_geev!)."""
+    return dense_general_feast(A, None, Emid, r, M0, fpm, **kw)
+
+
+def feast_gegv_complex_sym(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Dense complex-symmetric generalized problem: transpose-bilinear
+    Rayleigh-Ritz Q^T A Q (parity: feast_gegv_complex_sym!,
+    feast_dense.jl:1026-1285, esp. :1183-1186)."""
+    return dense_general_feast(A, B, Emid, r, M0, fpm, bilinear=True, **kw)
+
+
+def feast_geev_complex_sym(A, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Dense complex-symmetric standard problem (feast_geev_complex_sym!)."""
+    return dense_general_feast(A, None, Emid, r, M0, fpm, bilinear=True, **kw)
+
+
+def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Polynomial eigenproblem P(lam) x = (sum_k lam^k A_k) x = 0 via
+    first-companion linearization to a (d*N)-dim generalized pencil
+    (parity: feast_pep!, feast_dense.jl:714-772).
+
+    coeffs: [A_0, A_1, ..., A_d] (degree d). Linearization:
+      Ac = [[0, I, 0...], [0, 0, I, ...], [-A0, -A1, ..., -A_{d-1}]],
+      Bc = diag(I, ..., I, A_d);  eigenvector x = first N rows.
+    """
+    coeffs = [jnp.asarray(c) for c in coeffs]
+    d = len(coeffs) - 1
+    if d < 1:
+        raise ValueError("Polynomial eigenproblem needs degree >= 1")
+    N = coeffs[0].shape[0]
+    for c in coeffs:
+        if c.shape != (N, N):
+            raise ValueError("All coefficient matrices must be square and equal size")
+    cdtype = _cdtype_of(*coeffs)
+    coeffs = [c.astype(cdtype) for c in coeffs]
+    if d == 1:
+        # linear pencil: A0 + lam A1 -> A x = lam B x with A=-A0, B=A1
+        res = dense_general_feast(-coeffs[0], coeffs[1], Emid, r, M0, fpm, **kw)
+        return res
+    eye = jnp.eye(N, dtype=cdtype)
+    zero = jnp.zeros((N, N), cdtype)
+    rows = []
+    for i in range(d - 1):
+        rows.append(jnp.concatenate(
+            [zero] * (i + 1) + [eye] + [zero] * (d - i - 2), axis=1))
+    rows.append(jnp.concatenate([-c for c in coeffs[:d]], axis=1))
+    Ac = jnp.concatenate(rows, axis=0)
+    Bc = jsl.block_diag(*([eye] * (d - 1) + [coeffs[d]]))
+    res = dense_general_feast(Ac, Bc, Emid, r, M0, fpm, **kw)
+    # Project eigenvectors back to the first N rows, renormalized.
+    if res.M:
+        q = res.q[:N, :]
+        nrm = np.linalg.norm(q, axis=0)
+        res.q = q / np.where(nrm > 0, nrm, 1.0)[None, :]
+    res.q_full = res.q_full[:N, :]
+    return res

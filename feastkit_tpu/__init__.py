@@ -30,11 +30,15 @@ from .core.contour import (feast_contour, feast_contour_custom_weights,
                            zolotarev_quadrature)
 from .core.tools import feast_name, seeded_subspace
 from .solvers.dense import feast_heev, feast_hegv, feast_syev, feast_sygv
+from .solvers.banded import (feast_gbev, feast_gbgv, feast_hbev,
+                             feast_hbgv, feast_sbev, feast_sbev_complex,
+                             feast_sbgv, feast_sbgv_complex)
+from .ops.banded import banded_to_full, full_to_banded
 from .solvers.dense_general import (feast_geev, feast_geev_complex_sym,
                                     feast_gegv, feast_gegv_complex_sym,
                                     feast_pep)
 from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
-                               feast_general, feast_polynomial,
+                               feast_banded, feast_general, feast_polynomial,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 

@@ -17,7 +17,7 @@ from ..core.types import FeastResult, FeastGeneralResult
 from ..solvers import dense as _dense
 
 __all__ = [
-    "feast", "feast_general", "feast_polynomial", "eigvals_feast",
+    "feast", "feast_general", "feast_banded", "feast_polynomial", "eigvals_feast",
     "eigen_feast", "feast_summary", "feast_validate_interval",
     "feast_set_defaults",
 ]
@@ -147,6 +147,26 @@ def feast_general(A, B=None, Emid=0.0, r=1.0, M0=None, fpm=None, *,
         return _dg.dense_general_feast(A, B, Emid, r, M0, fpm,
                                        bilinear=True, **kw)
     return _dg.dense_general_feast(A, B, Emid, r, M0, fpm, **kw)
+
+
+def feast_banded(A_bands, kl, ku, interval, M0, fpm=None, *, B_bands=None,
+                 klb=0, kub=0, **kw) -> FeastResult:
+    """Banded symmetric/Hermitian FEAST on [Emin, Emax]
+    (feast_interfaces.jl:381-417 -> feast_sb*/hb* drivers)."""
+    from ..solvers import banded as _b
+    Emin, Emax = float(interval[0]), float(interval[1])
+    A_np = np.asarray(A_bands)
+    hermitian = np.iscomplexobj(A_np) or (
+        B_bands is not None and np.iscomplexobj(np.asarray(B_bands)))
+    if B_bands is None:
+        if hermitian:
+            return _b.feast_hbev(A_bands, kl, ku, Emin, Emax, M0, fpm, **kw)
+        return _b.feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm, **kw)
+    if hermitian:
+        return _b.feast_hbgv(A_bands, kl, ku, B_bands, klb, kub,
+                             Emin, Emax, M0, fpm, **kw)
+    return _b.feast_sbgv(A_bands, kl, ku, B_bands, klb, kub,
+                         Emin, Emax, M0, fpm, **kw)
 
 
 def feast_polynomial(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:

@@ -1,0 +1,285 @@
+"""Banded FEAST drivers (LAPACK band storage, BCR shifted solves).
+
+Counterpart of the reference's ``src/banded/feast_banded.jl``: RCI-loop
+symmetric driver (feast_sbgv!/sbev! :9-201), Hermitian / complex-symmetric /
+general loop cores (:561-1284), band fill helpers (:216-296, :511-559) and
+converters (:423-483, :1286-1330). The LAPACK ``gbtrf!/gbtrs!`` factor cache
+becomes a vmapped block-cyclic-reduction hierarchy per contour node
+(ops/banded.py), and the band matvecs become diagonal-shifted multiplies.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.contour import feast_contour, feast_gcontour
+from ..core.parameters import FeastConfig, _ensure_fpm
+from ..core.tools import seeded_subspace
+from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
+from ..kernel.general import feast_general_core
+from ..kernel.hermitian import feast_hermitian_core
+from ..ops.banded import (banded_matvec, banded_to_blocktridiag, bcr_factor,
+                          bcr_solve)
+
+__all__ = ["feast_sbev", "feast_sbgv", "feast_hbev", "feast_hbgv",
+           "feast_gbev", "feast_gbgv", "feast_sbev_complex",
+           "feast_sbgv_complex", "identity_bands"]
+
+
+def identity_bands(N, kl, ku, dtype):
+    """Band storage of the identity in a (kl+ku+1, N) layout."""
+    bands = np.zeros((kl + ku + 1, N), dtype)
+    bands[ku, :] = 1.0
+    return jnp.asarray(bands)
+
+
+def _common_layout(bands, kl, ku, KL, KU, N, dtype):
+    """Re-pad a band array into the common (KL+KU+1, N) layout."""
+    out = jnp.zeros((KL + KU + 1, N), dtype)
+    return out.at[KU - ku:KU - ku + kl + ku + 1, :].set(
+        jnp.asarray(bands, dtype))
+
+
+def _banded_machinery(A_bands, kl, ku, B_bands, klb, kub, Zne, cdtype,
+                      work_dtype):
+    """Build (apply_A, apply_B, solve_all) over band storage.
+
+    solve_all: rhs (N, M0) work_dtype -> (ne, N, M0) cdtype, via a cached
+    vmapped BCR hierarchy of the shifted pencils z_e B - A.
+    """
+    A_bands = jnp.asarray(A_bands)
+    N = A_bands.shape[1]
+    standard = B_bands is None
+    KL = max(kl, 0 if standard else klb)
+    KU = max(ku, 0 if standard else kub)
+    Ac = _common_layout(A_bands, kl, ku, KL, KU, N, cdtype)
+    if standard:
+        Bc = identity_bands(N, KL, KU, cdtype)
+    else:
+        Bc = _common_layout(B_bands, klb, kub, KL, KU, N, cdtype)
+    shifted = Zne[:, None, None] * Bc[None] - Ac[None]    # (ne, KL+KU+1, N)
+
+    def factor_one(bands_e):
+        D, L, U, b, _ = banded_to_blocktridiag(bands_e, KL, KU)
+        return bcr_factor(D, L, U)
+
+    hier = jax.vmap(factor_one)(shifted)
+    # padded length from the block-tridiag of one node:
+    D0, _, _, b, _ = banded_to_blocktridiag(shifted[0], KL, KU)
+    Npad = D0.shape[0] * b
+
+    def solve_all(rhs):
+        M = rhs.shape[1]
+        rhs_p = jnp.zeros((Npad, M), cdtype).at[:N].set(rhs.astype(cdtype))
+        blocks = rhs_p.reshape(Npad // b, b, M)
+
+        def one(levels_root):
+            levels, rlu, rpiv = levels_root
+            x = bcr_solve(levels, rlu, rpiv, blocks)
+            return x.reshape(Npad, M)[:N]
+
+        return jax.vmap(one)(hier)
+
+    A_work = _common_layout(A_bands, kl, ku, KL, KU, N, work_dtype)
+    B_work = (None if standard
+              else _common_layout(B_bands, klb, kub, KL, KU, N, work_dtype))
+    apply_A = lambda X: banded_matvec(A_work, X, KL, KU)
+    if standard:
+        apply_B = lambda X: X
+    else:
+        apply_B = lambda X: banded_matvec(B_work, X, KL, KU)
+    return apply_A, apply_B, solve_all, N
+
+
+@functools.partial(jax.jit, static_argnames=("kl", "ku", "klb", "kub",
+                                              "config", "hermitian"))
+def _banded_hermitian_jit(A_bands, B_bands, Zne, Wne, Q0, Emin, Emax, *,
+                          kl, ku, klb, kub, config: FeastConfig,
+                          hermitian: bool):
+    cdtype = Zne.dtype
+    work_dtype = Q0.dtype
+    A_bands = jnp.asarray(A_bands)
+    Bb = None if B_bands is None else jnp.asarray(B_bands)
+
+    if hermitian:
+        # Conjugate-node doubling: the Hermitian filter needs solves at both
+        # z_e and conj(z_e) (see kernel/hermitian.py). BCR has no cheap
+        # adjoint solve, so factor the mirrored nodes too.
+        Zfull = jnp.concatenate([Zne, jnp.conj(Zne)])
+        Wfull = jnp.concatenate([Wne, jnp.conj(Wne)])
+    else:
+        Zfull, Wfull = Zne, (2.0 * Wne)
+
+    apply_A, apply_B, solve_all, N = _banded_machinery(
+        A_bands, kl, ku, Bb, klb, kub, Zfull, cdtype, work_dtype)
+
+    if hermitian:
+        def filter_apply(Q):
+            X = solve_all(apply_B(Q))
+            return jnp.einsum("e,enm->nm", Wfull.astype(cdtype), X)
+    else:
+        def filter_apply(Q):
+            X = solve_all(apply_B(Q).astype(cdtype))
+            return jnp.real(
+                jnp.einsum("e,enm->nm", Wfull.astype(cdtype), X)).astype(Q.dtype)
+
+    return feast_hermitian_core(
+        apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+        tol=config.tol, max_loops=config.max_loops,
+        convergence_criterion=config.convergence_criterion,
+        subspace_only=(config.mode == 1))
+
+
+@functools.partial(jax.jit, static_argnames=("kl", "ku", "klb", "kub",
+                                              "config", "bilinear",
+                                              "eig_method"))
+def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
+                        kl, ku, klb, kub, config: FeastConfig,
+                        bilinear: bool, eig_method: str):
+    cdtype = Zne.dtype
+    apply_A, apply_B, solve_all, N = _banded_machinery(
+        jnp.asarray(A_bands), kl, ku,
+        None if B_bands is None else jnp.asarray(B_bands), klb, kub,
+        Zne, cdtype, cdtype)
+
+    def filter_apply(Q):
+        X = solve_all(apply_B(Q))
+        return jnp.einsum("e,enm->nm", Wne, X)
+
+    return feast_general_core(
+        apply_A, apply_B, filter_apply, Q0, Emid, r,
+        tol=config.tol, max_loops=config.max_loops,
+        aspect_ratio=config.aspect_ratio, rotation_deg=config.rotation_deg,
+        convergence_criterion=config.convergence_criterion,
+        subspace_only=(config.mode == 1), bilinear=bilinear,
+        eig_method=eig_method)
+
+
+def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
+                            M0, fpm, hermitian) -> FeastResult:
+    fpm = _ensure_fpm(fpm)
+    A_bands = jnp.asarray(A_bands)
+    N = A_bands.shape[1]
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+    if A_bands.shape[0] != kl + ku + 1:
+        raise ValueError(
+            f"A band array must have kl+ku+1={kl+ku+1} rows, got {A_bands.shape[0]}")
+    is_c = jnp.issubdtype(A_bands.dtype, jnp.complexfloating) or (
+        B_bands is not None
+        and jnp.issubdtype(jnp.asarray(B_bands).dtype, jnp.complexfloating))
+    hermitian = is_c if hermitian is None else hermitian
+    f64 = A_bands.dtype in (jnp.float64, jnp.complex128)
+    rdtype = jnp.float64 if f64 else jnp.float32
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    work_dtype = cdtype if hermitian else rdtype
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    contour = feast_contour(Emin, Emax, fpm)
+    Q0 = seeded_subspace(N, M0, work_dtype)
+    state = _banded_hermitian_jit(
+        A_bands.astype(work_dtype),
+        None if B_bands is None else jnp.asarray(B_bands, work_dtype),
+        jnp.asarray(contour.Zne, cdtype), jnp.asarray(contour.Wne, cdtype),
+        Q0, jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
+        kl=kl, ku=ku, klb=klb, kub=kub, config=config,
+        hermitian=bool(hermitian))
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)
+
+
+def feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None) -> FeastResult:
+    """Banded real-symmetric standard problem (parity: feast_sbev!,
+    feast_banded.jl:1410-1447). A_bands: full (kl+ku+1, N) band storage."""
+    return _banded_interval_driver(A_bands, kl, ku, None, 0, 0,
+                                   Emin, Emax, M0, fpm, hermitian=False)
+
+
+def feast_sbgv(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax, M0,
+               fpm=None) -> FeastResult:
+    """Banded real-symmetric generalized problem (feast_sbgv!,
+    feast_banded.jl:9-201)."""
+    return _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub,
+                                   Emin, Emax, M0, fpm, hermitian=False)
+
+
+def feast_hbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None) -> FeastResult:
+    """Banded complex-Hermitian standard problem (feast_hbev!,
+    feast_banded.jl:326-418)."""
+    return _banded_interval_driver(A_bands, kl, ku, None, 0, 0,
+                                   Emin, Emax, M0, fpm, hermitian=True)
+
+
+def feast_hbgv(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax, M0,
+               fpm=None) -> FeastResult:
+    """Banded complex-Hermitian generalized problem (feast_hbgv!)."""
+    return _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub,
+                                   Emin, Emax, M0, fpm, hermitian=True)
+
+
+def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
+                           fpm, bilinear, eig_method="callback"
+                           ) -> FeastGeneralResult:
+    fpm = _ensure_fpm(fpm)
+    A_bands = jnp.asarray(A_bands)
+    N = A_bands.shape[1]
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not r > 0:
+        raise ValueError(f"Contour radius must be positive, got {r}")
+    f64 = A_bands.dtype in (jnp.float64, jnp.complex128)
+    rdtype = jnp.float64 if f64 else jnp.float32
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    contour = feast_gcontour(complex(Emid), float(r), fpm)
+    key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
+    k1, k2 = jax.random.split(key)
+    Q0 = (jax.random.normal(k1, (N, M0), rdtype)
+          + 1j * jax.random.normal(k2, (N, M0), rdtype)).astype(cdtype)
+    Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+    state = _banded_general_jit(
+        A_bands.astype(cdtype),
+        None if B_bands is None else jnp.asarray(B_bands, cdtype),
+        jnp.asarray(contour.Zne, cdtype), jnp.asarray(contour.Wne, cdtype),
+        Q0, jnp.asarray(complex(Emid), cdtype), jnp.asarray(float(r), rdtype),
+        kl=kl, ku=ku, klb=klb, kub=kub, config=config, bilinear=bilinear,
+        eig_method=eig_method)
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)
+
+
+def feast_gbev(A_bands, kl, ku, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+    """Banded general standard problem (feast_gbev!, feast_banded.jl:1548-1622)."""
+    return _banded_general_driver(A_bands, kl, ku, None, 0, 0, Emid, r, M0,
+                                  fpm, bilinear=False, **kw)
+
+
+def feast_gbgv(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0, fpm=None,
+               **kw) -> FeastGeneralResult:
+    """Banded general generalized problem (feast_gbgv!)."""
+    return _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid,
+                                  r, M0, fpm, bilinear=False, **kw)
+
+
+def feast_sbev_complex(A_bands, kl, ku, Emid, r, M0, fpm=None, **kw
+                       ) -> FeastGeneralResult:
+    """Banded complex-symmetric standard problem (feast_sbev_complex!,
+    feast_banded.jl:1469-1545): transpose-bilinear pairing."""
+    return _banded_general_driver(A_bands, kl, ku, None, 0, 0, Emid, r, M0,
+                                  fpm, bilinear=True, **kw)
+
+
+def feast_sbgv_complex(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
+                       fpm=None, **kw) -> FeastGeneralResult:
+    """Banded complex-symmetric generalized problem (feast_sbgv_complex!)."""
+    return _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid,
+                                  r, M0, fpm, bilinear=True, **kw)

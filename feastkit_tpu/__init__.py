@@ -34,6 +34,12 @@ from .solvers.banded import (feast_gbev, feast_gbgv, feast_hbev,
                              feast_hbgv, feast_sbev, feast_sbev_complex,
                              feast_sbgv, feast_sbgv_complex)
 from .ops.banded import banded_to_full, full_to_banded
+from .solvers.sparse import (feast_gcsrev, feast_gcsrgv, feast_hcsrev,
+                             feast_hcsrgv, feast_scsrev, feast_scsrev_complex,
+                             feast_scsrgv, feast_scsrgv_complex)
+from .solvers.matfree import (LinearOperator, MatrixVecFunction,
+                              create_iterative_solver, feast_matvec,
+                              feast_matvec_general)
 from .solvers.dense_general import (feast_geev, feast_geev_complex_sym,
                                     feast_gegv, feast_gegv_complex_sym,
                                     feast_pep)

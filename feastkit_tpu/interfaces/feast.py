@@ -63,6 +63,17 @@ def feast_validate_interval(A, Emin, Emax, *, warn=True):
     return lo, hi
 
 
+def _is_sparse(A):
+    from jax.experimental import sparse as jsparse
+    if isinstance(A, jsparse.BCOO):
+        return True
+    try:
+        import scipy.sparse as sp
+        return sp.issparse(A)
+    except ImportError:
+        return False
+
+
 def _is_hermitian(A, tol=0.0):
     A = np.asarray(A)
     return np.allclose(A, A.conj().T, atol=tol, rtol=10 * tol if tol else 1e-12)
@@ -91,6 +102,21 @@ def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
     Emin, Emax = float(interval[0]), float(interval[1])
     if not Emax > Emin:
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+
+    # Route by storage type (the feast_serial dispatch,
+    # feast_backend_utils.jl:166-198): matrix-free operators and sparse
+    # matrices go to their engines; dense arrays continue below.
+    from ..solvers.matfree import LinearOperator, feast_matvec
+    if isinstance(A, LinearOperator):
+        N = A.shape[0]
+        return feast_matvec(A, B, (Emin, Emax),
+                            min(int(M0 or max(8, N // 10)), N), fpm, **kw)
+    if _is_sparse(A):
+        from ..solvers.sparse import sparse_feast_interval
+        N = A.shape[0]
+        return sparse_feast_interval(
+            A, B, Emin, Emax, min(int(M0 or max(8, N // 10)), N), fpm, **kw)
+
     A_np = np.asarray(A)
     N = A_np.shape[0]
     if M0 is None:

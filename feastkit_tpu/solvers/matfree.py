@@ -1,0 +1,265 @@
+"""Matrix-free FEAST: operator protocol + interval/general drivers.
+
+Counterpart of the reference's ``src/interfaces/feast_matfree.jl``: the
+``MatrixFreeOperator``/``MatrixVecFunction``/``LinearOperator`` protocol
+(:13-134), the matrix-free RCI drivers (feast_matfree_srci!/grci!,
+:157-380), the high-level matfree ``feast``/``feast_general`` (:442-509),
+and the iterative-solver factory semantics (create_iterative_solver
+:668-739, including the explicit :cg rejection).
+
+Operators here are jax-traceable callables on (N, K) blocks — the TPU-native
+analog of mul! callbacks. Users may instead supply their own shifted solver
+``solve_shifted(z, RHS) -> X`` (the RCI linear_solver(Y, z, X) contract,
+feast_matfree.jl:157-263).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.contour import feast_contour, feast_gcontour
+from ..core.parameters import FeastConfig, _ensure_fpm
+from ..core.tools import seeded_subspace
+from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
+from ..kernel.general import feast_general_core
+from ..kernel.hermitian import feast_hermitian_core
+from ..ops.gmres import bicgstab_block, gmres_block
+
+__all__ = ["LinearOperator", "MatrixVecFunction", "feast_matvec",
+           "feast_matvec_general", "create_iterative_solver"]
+
+
+class LinearOperator:
+    """Matrix-free operator over (N, K) blocks.
+
+    Parity with the reference protocol (feast_matfree.jl:13-134): a matvec,
+    a shape, a dtype, and structure flags. ``matvec`` must be jax-traceable
+    and accept a 2-D block (columns = vectors). ``rmatvec`` (adjoint) is
+    optional; for symmetric/hermitian operators it defaults to matvec.
+    """
+
+    def __init__(self, matvec: Callable, shape, dtype, *, rmatvec=None,
+                 symmetric: bool = False, hermitian: bool = False,
+                 posdef: bool = False):
+        self._matvec = matvec
+        self.shape = tuple(shape)
+        self.dtype = jnp.dtype(dtype)
+        self.symmetric = bool(symmetric)
+        self.hermitian = bool(hermitian)
+        self.posdef = bool(posdef)
+        if rmatvec is None and (symmetric or hermitian):
+            rmatvec = matvec
+        self._rmatvec = rmatvec
+
+    def __call__(self, X):
+        squeeze = X.ndim == 1
+        Y = self._matvec(X[:, None] if squeeze else X)
+        return Y[:, 0] if squeeze else Y
+
+    __matmul__ = __call__
+
+    def adjoint(self, X):
+        if self._rmatvec is None:
+            raise ValueError("This LinearOperator has no adjoint (rmatvec)")
+        squeeze = X.ndim == 1
+        Y = self._rmatvec(X[:, None] if squeeze else X)
+        return Y[:, 0] if squeeze else Y
+
+    @staticmethod
+    def from_matrix(A, **flags):
+        A = jnp.asarray(A)
+        return LinearOperator(lambda X: A @ X, A.shape, A.dtype,
+                              rmatvec=lambda X: A.conj().T @ X, **flags)
+
+
+def MatrixVecFunction(matvec, shape, dtype=jnp.float64, *, issymmetric=False,
+                      ishermitian=False, isposdef=False) -> LinearOperator:
+    """Constructor-name parity with MatrixVecFunction{T,F}
+    (feast_matfree.jl:24-56)."""
+    return LinearOperator(matvec, shape, dtype, symmetric=issymmetric,
+                          hermitian=ishermitian, posdef=isposdef)
+
+
+def create_iterative_solver(A_op, B_op=None, method="gmres", *, tol=1e-12,
+                            restart=30, maxiter=500):
+    """Factory: ``solve_shifted(z, RHS) -> X`` solving (z B - A) X = RHS.
+
+    Parity with create_iterative_solver (feast_matfree.jl:668-739),
+    including the :cg rejection (shifted systems are not HPD for complex z).
+    """
+    if str(method).lstrip(":") == "cg":
+        raise ValueError(
+            "CG is not valid for FEAST shifted systems (z B - A is never "
+            "Hermitian positive definite for complex z); use gmres/bicgstab")
+    method = str(method).lstrip(":")
+    if method not in ("gmres", "bicgstab"):
+        raise ValueError(f"Unknown iterative solver {method!r}")
+
+    def solve_shifted(z, RHS):
+        def op(X):
+            BX = X if B_op is None else B_op(X)
+            return z * BX - A_op(X)
+        if method == "gmres":
+            X, _ = gmres_block(op, RHS, tol=tol, restart=restart,
+                               maxiter=maxiter)
+        else:
+            X, _ = bicgstab_block(op, RHS, tol=tol, maxiter=maxiter)
+        return X
+
+    return solve_shifted
+
+
+def _as_op(A, dtype=None):
+    if isinstance(A, LinearOperator):
+        return A
+    if callable(A):
+        raise ValueError(
+            "Wrap bare callables in LinearOperator(matvec, shape, dtype)")
+    return LinearOperator.from_matrix(A if dtype is None
+                                      else jnp.asarray(A, dtype))
+
+
+def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
+                 solver_tol=None, solver_maxiter=500, solver_restart=30,
+                 solve_shifted=None, hermitian=None, Q0=None) -> FeastResult:
+    """Matrix-free symmetric/Hermitian FEAST on [Emin, Emax].
+
+    Parity surface: feast_sparse_matvec!/feast(A_op, B_op, interval)
+    (feast_sparse.jl:1276-1496, feast_matfree.jl:442-481). The reference's
+    MatrixFreeShiftedOperator real-callback-over-complex splitting
+    (feast_sparse.jl:36-91) is unnecessary here: real-valued jax callables
+    trace fine with complex inputs via linearity of the promoted ops, and we
+    promote the basis explicitly instead.
+    """
+    fpm = _ensure_fpm(fpm)
+    A_op = _as_op(A_op)
+    standard = B_op is None
+    if not standard:
+        B_op = _as_op(B_op)
+    N = A_op.shape[0]
+    Emin, Emax = float(interval[0]), float(interval[1])
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+    M0 = int(M0)
+
+    is_complex = jnp.issubdtype(A_op.dtype, jnp.complexfloating)
+    if hermitian is None:
+        hermitian = A_op.hermitian or is_complex
+    f64 = jnp.dtype(A_op.dtype).itemsize >= 8 and jax.config.jax_enable_x64
+    rdtype = jnp.float64 if f64 else jnp.float32
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    work_dtype = cdtype if hermitian else rdtype
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    if solver_tol is None:
+        solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
+    contour = feast_contour(Emin, Emax, fpm)
+    Zne = jnp.asarray(contour.Zne, cdtype)
+    Wne = jnp.asarray(contour.Wne, cdtype)
+    if hermitian:
+        Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
+        Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
+    else:
+        Zall, Wall = Zne, 2.0 * Wne
+
+    if solve_shifted is None:
+        solve_shifted = create_iterative_solver(
+            A_op, None if standard else B_op, solver, tol=solver_tol,
+            restart=solver_restart, maxiter=solver_maxiter)
+
+    apply_A = lambda X: A_op(X)
+    apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
+
+    def solve_nodes(rhs):
+        return jax.lax.map(lambda z: solve_shifted(z, rhs), Zall)
+
+    if hermitian:
+        def filter_apply(Q):
+            X = solve_nodes(apply_B(Q))
+            return jnp.einsum("e,enm->nm", Wall, X)
+    else:
+        def filter_apply(Q):
+            X = solve_nodes(apply_B(Q).astype(cdtype))
+            return jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
+
+    if Q0 is None:
+        Q0 = seeded_subspace(N, M0, work_dtype)
+
+    @jax.jit
+    def run(Q0, Emin, Emax):
+        return feast_hermitian_core(
+            apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+            tol=config.tol, max_loops=config.max_loops,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1))
+
+    state = run(jnp.asarray(Q0, work_dtype), jnp.asarray(Emin, rdtype),
+                jnp.asarray(Emax, rdtype))
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)
+
+
+def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
+                         solver="gmres", solver_tol=None, solver_maxiter=500,
+                         solver_restart=30, solve_shifted=None,
+                         bilinear=False, eig_method="callback"
+                         ) -> FeastGeneralResult:
+    """Matrix-free general FEAST inside the ellipse (Emid, r)
+    (parity: feast_matfree_grci! + feast_general(A_op, ...),
+    feast_matfree.jl:275-380, :488-509)."""
+    fpm = _ensure_fpm(fpm)
+    A_op = _as_op(A_op)
+    standard = B_op is None
+    if not standard:
+        B_op = _as_op(B_op)
+    N = A_op.shape[0]
+    f64 = jnp.dtype(A_op.dtype).itemsize >= 8 and jax.config.jax_enable_x64
+    rdtype = jnp.float64 if f64 else jnp.float32
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    if solver_tol is None:
+        solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
+    contour = feast_gcontour(complex(Emid), float(r), fpm)
+    Zne = jnp.asarray(contour.Zne, cdtype)
+    Wne = jnp.asarray(contour.Wne, cdtype)
+    if solve_shifted is None:
+        solve_shifted = create_iterative_solver(
+            A_op, None if standard else B_op, solver, tol=solver_tol,
+            restart=solver_restart, maxiter=solver_maxiter)
+
+    apply_A = lambda X: A_op(X)
+    apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
+
+    def filter_apply(Q):
+        X = jax.lax.map(lambda z: solve_shifted(z, apply_B(Q)), Zne)
+        return jnp.einsum("e,enm->nm", Wne, X)
+
+    key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
+    k1, k2 = jax.random.split(key)
+    Q0 = (jax.random.normal(k1, (N, M0), rdtype)
+          + 1j * jax.random.normal(k2, (N, M0), rdtype)).astype(cdtype)
+    Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+
+    @jax.jit
+    def run(Q0, Emid, r):
+        return feast_general_core(
+            apply_A, apply_B, filter_apply, Q0, Emid, r,
+            tol=config.tol, max_loops=config.max_loops,
+            aspect_ratio=config.aspect_ratio,
+            rotation_deg=config.rotation_deg,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1), bilinear=bilinear,
+            eig_method=eig_method)
+
+    state = run(Q0, jnp.asarray(complex(Emid), cdtype),
+                jnp.asarray(float(r), rdtype))
+    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
+                 np.asarray(state.res), np.asarray(state.inside),
+                 int(info), float(state.epsout), int(state.loop) - 1)

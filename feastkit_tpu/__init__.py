@@ -48,4 +48,9 @@ from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 
+from .interfaces import aliases as _aliases
+from .interfaces.aliases import *  # noqa: F401,F403 - s/d/c/z-prefixed FEAST names
+from .kernel.rci import FeastGRCI, FeastHRCI, FeastSRCI
+
 __version__ = "0.1.0"
+

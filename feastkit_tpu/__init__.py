@@ -43,8 +43,19 @@ from .solvers.matfree import (LinearOperator, MatrixVecFunction,
 from .solvers.dense_general import (feast_geev, feast_geev_complex_sym,
                                     feast_gegv, feast_gegv_complex_sym,
                                     feast_pep)
+from .core.aux import (check_complex_symmetric, feast_cauchy_weights,
+                       feast_clear_all_contours, feast_clear_custom_contour,
+                       feast_estimate_count, feast_get_custom_contour,
+                       feast_info, feast_inside_contourx,
+                       feast_memory_estimate, feast_set_custom_contour,
+                       feast_trace_eigenvalues, validate_contour,
+                       with_custom_contour)
+from .core.backend import (determine_parallel_backend,
+                           feast_parallel_capabilities, feast_parallel_info,
+                           select_parallel_backend)
 from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
-                               feast_banded, feast_general, feast_polynomial,
+                               feast_banded, feast_custom_contour,
+                               feast_general, feast_polynomial,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 

@@ -17,7 +17,8 @@ from ..core.types import FeastResult, FeastGeneralResult
 from ..solvers import dense as _dense
 
 __all__ = [
-    "feast", "feast_general", "feast_banded", "feast_polynomial", "eigvals_feast",
+    "feast", "feast_general", "feast_banded", "feast_polynomial",
+    "feast_custom_contour", "eigvals_feast",
     "eigen_feast", "feast_summary", "feast_validate_interval",
     "feast_set_defaults",
 ]
@@ -193,6 +194,29 @@ def feast_banded(A_bands, kl, ku, interval, M0, fpm=None, *, B_bands=None,
                              Emin, Emax, M0, fpm, **kw)
     return _b.feast_sbgv(A_bands, kl, ku, B_bands, klb, kub,
                          Emin, Emax, M0, fpm, **kw)
+
+
+def feast_custom_contour(A, B, Zne, Wne, M0, fpm=None, *, general=None,
+                         Emid=None, r=None, interval=None, **kw):
+    """Solve with an explicit user contour (feast_custom_contour,
+    feast_interfaces.jl:419-439): registers (Zne, Wne) in the fpm[29]
+    registry and routes to feast / feast_general. For interval problems pass
+    interval=(Emin, Emax); for general problems pass Emid/r (used only for
+    the inside test - the quadrature is the user contour)."""
+    from ..core.aux import with_custom_contour
+    from ..core.types import Contour
+    contour = Contour(np.asarray(Zne, complex), np.asarray(Wne, complex))
+    fpm = _ensure_fpm(fpm)
+    if general is None:
+        general = interval is None
+    with with_custom_contour(fpm, contour):
+        if general:
+            if Emid is None or r is None:
+                # derive an enclosing region from the contour nodes
+                Emid = complex(contour.Zne.mean())
+                r = float(np.abs(contour.Zne - Emid).max())
+            return feast_general(A, B, Emid, r, M0, fpm, **kw)
+        return feast(A, B, interval, M0, fpm, **kw)
 
 
 def feast_polynomial(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:

@@ -105,7 +105,8 @@ class FeastSRCI(_RCIBase):
     def __init__(self, N, M0, Emin, Emax, fpm=None, *, Q0=None,
                  standard_B=False):
         fpm = _ensure_fpm(fpm)
-        contour = feast_contour(Emin, Emax, fpm)
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
         super().__init__(N, M0, fpm, contour, False, np.float64)
         self.Emin, self.Emax = float(Emin), float(Emax)
         self.standard_B = standard_B
@@ -376,7 +377,8 @@ class FeastGRCI(_RCIBase):
     def __init__(self, N, M0, Emid, r, fpm=None, *, Q0=None,
                  standard_B=False, bilinear=False):
         fpm = _ensure_fpm(fpm)
-        contour = feast_gcontour(complex(Emid), float(r), fpm)
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
         super().__init__(N, M0, fpm, contour, False, np.float64)
         self.Emid, self.r = complex(Emid), float(r)
         self.aspect = fpm[18] / 100.0

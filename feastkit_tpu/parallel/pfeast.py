@@ -153,6 +153,9 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)
+    if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_shards)
     Zne = jnp.asarray(Zp, dtype=cdtype)

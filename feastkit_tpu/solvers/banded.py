@@ -180,7 +180,8 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     work_dtype = cdtype if hermitian else rdtype
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
-    contour = feast_contour(Emin, Emax, fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
     Q0 = seeded_subspace(N, M0, work_dtype)
     state = _banded_hermitian_jit(
         A_bands.astype(work_dtype),
@@ -238,7 +239,8 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
-    contour = feast_gcontour(complex(Emid), float(r), fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
     key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
     k1, k2 = jax.random.split(key)
     Q0 = (jax.random.normal(k1, (N, M0), rdtype)

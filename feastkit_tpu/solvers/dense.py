@@ -165,6 +165,9 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)  # fpm[29] registry
+    if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
     Zne = jnp.asarray(contour.Zne, dtype=cdtype)
     Wne = jnp.asarray(contour.Wne, dtype=cdtype)

@@ -90,6 +90,9 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
         B = B.astype(cdtype)
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)  # fpm[29] registry
+    if contour is None:
         contour = feast_gcontour(complex(Emid), float(r), fpm)
     Zne = jnp.asarray(contour.Zne, cdtype)
     Wne = jnp.asarray(contour.Wne, cdtype)

@@ -157,7 +157,8 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
-    contour = feast_contour(Emin, Emax, fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
     Zne = jnp.asarray(contour.Zne, cdtype)
     Wne = jnp.asarray(contour.Wne, cdtype)
     if hermitian:
@@ -225,7 +226,8 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
-    contour = feast_gcontour(complex(Emid), float(r), fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
     Zne = jnp.asarray(contour.Zne, cdtype)
     Wne = jnp.asarray(contour.Wne, cdtype)
     if solve_shifted is None:

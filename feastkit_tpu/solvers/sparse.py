@@ -165,7 +165,8 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1,
                          10 * float(jnp.finfo(rdtype).eps))
-    contour = feast_contour(Emin, Emax, fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
     if Q0 is None:
         Q0 = seeded_subspace(N, M0, work_dtype)
     state = _sparse_hermitian_jit(
@@ -242,7 +243,8 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
-    contour = feast_gcontour(complex(Emid), float(r), fpm)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
     key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
     k1, k2 = jax.random.split(key)
     Q0 = (jax.random.normal(k1, (N, M0), rdtype)

@@ -37,6 +37,12 @@ from .ops.banded import banded_to_full, full_to_banded
 from .solvers.sparse import (feast_gcsrev, feast_gcsrgv, feast_hcsrev,
                              feast_hcsrgv, feast_scsrev, feast_scsrev_complex,
                              feast_scsrgv, feast_scsrgv_complex)
+from .solvers.sparse import feast_gcsrpev, feast_hcsrpev, feast_scsrpev
+from .utils.checkpoint import (FeastCheckpoint, load_checkpoint,
+                               resume_kwargs, save_checkpoint)
+from .utils.profiling import (FeastTimer, feast_benchmark,
+                              feast_parallel_comparison, phase_timer,
+                              trace_to)
 from .solvers.matfree import (LinearOperator, MatrixVecFunction,
                               create_iterative_solver, feast_matvec,
                               feast_matvec_general)

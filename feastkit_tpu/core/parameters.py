@@ -300,6 +300,20 @@ def feast_tolerance(fpm: FeastParameters, dtype=None) -> float:
     return tol
 
 
+def ifeast_solver_options(fpm: FeastParameters) -> dict | None:
+    """IFEAST inner-solver knobs -> driver kwargs (fpm[43]=1 switches to
+    IFEAST interfaces; fpm[44] solver type 0=BiCGstab, fpm[45] inner accuracy
+    10^-fpm[45], fpm[46] max inner iterations; feast_parameters.jl:321-339).
+    Returns None when fpm[43]=0 (direct-FEAST semantics)."""
+    if fpm[43] != 1:
+        return None
+    return {
+        "solver": "bicgstab" if fpm[44] == 0 else "gmres",
+        "solver_tol": 10.0 ** (-max(fpm[45], 0)),
+        "solver_maxiter": max(fpm[46], 1),
+    }
+
+
 def feast_use_custom_contour(fpm: FeastParameters) -> bool:
     """fpm[29] > 0 means a registered custom contour is active
     (feast_parameters.jl:422-424)."""

@@ -30,7 +30,8 @@ from ..ops.gmres import bicgstab_block, gmres_block
 
 __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
            "feast_gcsrev", "feast_gcsrgv", "feast_scsrev_complex",
-           "feast_scsrgv_complex", "as_bcoo", "sparse_feast_interval",
+           "feast_scsrgv_complex", "feast_scsrpev", "feast_hcsrpev",
+           "feast_gcsrpev", "as_bcoo", "sparse_feast_interval",
            "sparse_feast_general"]
 
 
@@ -135,11 +136,19 @@ def _sparse_hermitian_jit(A, B, A_work, B_work, Zne, Wne, Q0, Emin, Emax, *,
 
 
 def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
-                          solver="gmres", solver_tol=None, solver_maxiter=500,
+                          solver=None, solver_tol=None, solver_maxiter=None,
                           solver_restart=30, Q0=None) -> FeastResult:
     """Shared sparse symmetric/Hermitian interval driver
-    (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871)."""
+    (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871).
+
+    Inner-solver defaults honor the IFEAST knobs when fpm[43]=1
+    (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
     fpm = _ensure_fpm(fpm)
+    from ..core.parameters import ifeast_solver_options
+    iopts = ifeast_solver_options(fpm) or {}
+    solver = solver or iopts.get("solver", "gmres")
+    solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
+    solver_maxiter = solver_maxiter if solver_maxiter is not None else iopts.get("solver_maxiter", 500)
     _solver_fn(solver)
     is_complex = np.iscomplexobj(_peek_dtype(A)) or (
         B is not None and np.iscomplexobj(_peek_dtype(B)))
@@ -222,13 +231,18 @@ def _sparse_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
 
 
 def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
-                         eig_method="callback", solver="gmres",
-                         solver_tol=None, solver_maxiter=500,
+                         eig_method="callback", solver=None,
+                         solver_tol=None, solver_maxiter=None,
                          solver_restart=30) -> FeastGeneralResult:
     """Shared sparse general/complex-symmetric driver
     (parity: feast_gcsrgv!/gcsrev! RCI-loop drivers, feast_sparse.jl:873-1006,
     complex-symmetric :509-711)."""
     fpm = _ensure_fpm(fpm)
+    from ..core.parameters import ifeast_solver_options
+    iopts = ifeast_solver_options(fpm) or {}
+    solver = solver or iopts.get("solver", "gmres")
+    solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
+    solver_maxiter = solver_maxiter if solver_maxiter is not None else iopts.get("solver_maxiter", 500)
     f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
@@ -310,3 +324,28 @@ def feast_scsrev_complex(A, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
 def feast_scsrgv_complex(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
     """Sparse complex-symmetric generalized problem (feast_scsrgv_complex!)."""
     return sparse_feast_general(A, B, Emid, r, M0, fpm, bilinear=True, **kw)
+
+
+def feast_scsrpev(coeffs, Emid, r, M0, fpm=None, **kw):
+    """Sparse polynomial EVP: densify coefficients and linearize
+    (parity: feast_scsrpev!/hcsrpev!/gcsrpev! densify-and-forward,
+    feast_sparse.jl:1228-1274)."""
+    import numpy as _np
+    from .dense_general import feast_pep
+
+    def _densify(c):
+        try:
+            import scipy.sparse as _sps
+            if _sps.issparse(c):
+                return c.toarray()
+        except ImportError:
+            pass
+        if isinstance(c, jsparse.BCOO):
+            return _np.asarray(c.todense())
+        return _np.asarray(c)
+
+    return feast_pep([_densify(c) for c in coeffs], Emid, r, M0, fpm, **kw)
+
+
+feast_hcsrpev = feast_scsrpev
+feast_gcsrpev = feast_scsrpev

@@ -28,25 +28,29 @@ __all__ = [
 ]
 
 
-def seeded_subspace(N: int, M0: int, dtype, *, complex_valued: bool = None) -> jax.Array:
-    """Deterministic (N, M0) initial subspace with unit columns.
+def seeded_subspace(N: int, M0: int, dtype, *, general: bool = False) -> np.ndarray:
+    """Deterministic (N, M0) initial subspace with unit columns (HOST array).
 
     Determinism contract of the reference (_feast_seeded_subspace!,
     feast_tools.jl:6-43): the subspace depends only on (N, M0) — identical
-    results regardless of global RNG state. Complex variants use REAL random
-    entries (zero imaginary part) for better overlap with Hermitian
-    eigenvectors (feast_tools.jl:22-26).
+    results regardless of global RNG state. Complex Hermitian variants use
+    REAL random entries (zero imaginary part) for better overlap with
+    Hermitian eigenvectors (feast_tools.jl:22-26); general variants
+    (``general=True``) use fully complex entries (feast_kernel.jl:719).
+
+    Host numpy on purpose: some runtimes cannot transfer complex arrays
+    (see utils/cio.py) — the jit boundary handles the device placement.
     """
-    dtype = jnp.dtype(dtype)
-    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
-    tag = 1 if is_complex else 0
-    # PRNGKey seeded from (N, M0, complex-tag): the JAX analog of
-    # MersenneTwister(hash((N, M0[, :complex]))).
-    seed = (N * 1000003 + M0 * 101 + tag) % (2 ** 31 - 1)
-    key = jax.random.PRNGKey(seed)
-    real_dtype = jnp.float32 if dtype in (jnp.complex64, jnp.float32) else jnp.float64
-    w = jax.random.normal(key, (N, M0), dtype=real_dtype)
-    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    dtype = np.dtype(dtype)
+    is_complex = np.issubdtype(dtype, np.complexfloating)
+    tag = 7 if general else (1 if is_complex else 0)
+    rng = np.random.default_rng((N * 1000003 + M0 * 101 + tag) % (2 ** 31 - 1))
+    real_dtype = np.float32 if dtype in (np.dtype(np.complex64),
+                                         np.dtype(np.float32)) else np.float64
+    w = rng.standard_normal((N, M0)).astype(real_dtype)
+    if general and is_complex:
+        w = w + 1j * rng.standard_normal((N, M0)).astype(real_dtype)
+    w = w / np.linalg.norm(w, axis=0, keepdims=True)
     return w.astype(dtype)
 
 

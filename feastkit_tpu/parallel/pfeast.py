@@ -35,6 +35,7 @@ from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastResult, _trim
 from ..kernel.hermitian import feast_hermitian_core
 from ..solvers.dense import _dtypes_of, _shifted_pencils
+from ..utils.cio import cjit, fetch
 
 __all__ = ["contour_mesh", "pad_contour", "pfeast_dense"]
 
@@ -68,8 +69,7 @@ def pad_contour(Zne, Wne, n_shards: int):
     return Zne, Wne
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "standard", "hermitian", "mesh"))
+@cjit(static_argnames=("config", "standard", "hermitian", "mesh"))
 def _pfeast_dense_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
                       config: FeastConfig, standard: bool, hermitian: bool,
                       mesh: Mesh):
@@ -137,15 +137,16 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         mesh = contour_mesh(n_devices)
     n_shards = mesh.devices.size
 
-    A = jnp.asarray(A)
+    A = np.asarray(A)
     standard = B is None
     if not standard:
-        B = jnp.asarray(B)
+        B = np.asarray(B)
     N = A.shape[0]
     rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
+    rdtype, cdtype = np.dtype(str(jnp.dtype(rdtype))), np.dtype(str(jnp.dtype(cdtype)))
     if hermitian is None:
-        hermitian = jnp.issubdtype(A.dtype, jnp.complexfloating) or (
-            not standard and jnp.issubdtype(B.dtype, jnp.complexfloating))
+        hermitian = np.iscomplexobj(A) or (
+            not standard and np.iscomplexobj(B))
     work_dtype = cdtype if hermitian else rdtype
     A = A.astype(work_dtype)
     if not standard:
@@ -158,19 +159,19 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_shards)
-    Zne = jnp.asarray(Zp, dtype=cdtype)
-    Wne = jnp.asarray(Wp, dtype=cdtype)
+    Zne = np.asarray(Zp, dtype=cdtype)
+    Wne = np.asarray(Wp, dtype=cdtype)
     Q0 = (seeded_subspace(N, M0, work_dtype) if Q0 is None
-          else jnp.asarray(Q0, dtype=work_dtype))
+          else np.asarray(Q0, dtype=work_dtype))
 
     with mesh:
         state = _pfeast_dense_jit(
             A, B if not standard else A, Zne, Wne, Q0,
-            jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
+            rdtype.type(Emin), rdtype.type(Emax),
             config=config, standard=standard, hermitian=bool(hermitian),
             mesh=mesh)
 
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)

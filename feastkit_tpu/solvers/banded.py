@@ -23,6 +23,7 @@ from ..kernel.general import feast_general_core
 from ..kernel.hermitian import feast_hermitian_core
 from ..ops.banded import (banded_matvec, banded_to_blocktridiag, bcr_factor,
                           bcr_solve)
+from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_sbev", "feast_sbgv", "feast_hbev", "feast_hbgv",
            "feast_gbev", "feast_gbgv", "feast_sbev_complex",
@@ -94,8 +95,7 @@ def _banded_machinery(A_bands, kl, ku, B_bands, klb, kub, Zne, cdtype,
     return apply_A, apply_B, solve_all, N
 
 
-@functools.partial(jax.jit, static_argnames=("kl", "ku", "klb", "kub",
-                                              "config", "hermitian"))
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "hermitian"))
 def _banded_hermitian_jit(A_bands, B_bands, Zne, Wne, Q0, Emin, Emax, *,
                           kl, ku, klb, kub, config: FeastConfig,
                           hermitian: bool):
@@ -133,9 +133,8 @@ def _banded_hermitian_jit(A_bands, B_bands, Zne, Wne, Q0, Emin, Emax, *,
         subspace_only=(config.mode == 1))
 
 
-@functools.partial(jax.jit, static_argnames=("kl", "ku", "klb", "kub",
-                                              "config", "bilinear",
-                                              "eig_method"))
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "bilinear",
+      "eig_method"))
 def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
                         kl, ku, klb, kub, config: FeastConfig,
                         bilinear: bool, eig_method: str):
@@ -161,7 +160,7 @@ def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
 def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                             M0, fpm, hermitian) -> FeastResult:
     fpm = _ensure_fpm(fpm)
-    A_bands = jnp.asarray(A_bands)
+    A_bands = np.asarray(A_bands)
     N = A_bands.shape[1]
     if not 0 < M0 <= N:
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
@@ -170,13 +169,12 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     if A_bands.shape[0] != kl + ku + 1:
         raise ValueError(
             f"A band array must have kl+ku+1={kl+ku+1} rows, got {A_bands.shape[0]}")
-    is_c = jnp.issubdtype(A_bands.dtype, jnp.complexfloating) or (
-        B_bands is not None
-        and jnp.issubdtype(jnp.asarray(B_bands).dtype, jnp.complexfloating))
+    is_c = np.iscomplexobj(A_bands) or (
+        B_bands is not None and np.iscomplexobj(np.asarray(B_bands)))
     hermitian = is_c if hermitian is None else hermitian
-    f64 = A_bands.dtype in (jnp.float64, jnp.complex128)
-    rdtype = jnp.float64 if f64 else jnp.float32
-    cdtype = jnp.complex128 if f64 else jnp.complex64
+    f64 = A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
@@ -185,15 +183,15 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     Q0 = seeded_subspace(N, M0, work_dtype)
     state = _banded_hermitian_jit(
         A_bands.astype(work_dtype),
-        None if B_bands is None else jnp.asarray(B_bands, work_dtype),
-        jnp.asarray(contour.Zne, cdtype), jnp.asarray(contour.Wne, cdtype),
-        Q0, jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
+        None if B_bands is None else np.asarray(B_bands, work_dtype),
+        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
+        Q0, rdtype(Emin), rdtype(Emax),
         kl=kl, ku=ku, klb=klb, kub=kub, config=config,
         hermitian=bool(hermitian))
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
 
 
 def feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None) -> FeastResult:
@@ -229,34 +227,30 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
                            fpm, bilinear, eig_method="callback"
                            ) -> FeastGeneralResult:
     fpm = _ensure_fpm(fpm)
-    A_bands = jnp.asarray(A_bands)
+    A_bands = np.asarray(A_bands)
     N = A_bands.shape[1]
     if not 0 < M0 <= N:
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
-    f64 = A_bands.dtype in (jnp.float64, jnp.complex128)
-    rdtype = jnp.float64 if f64 else jnp.float32
-    cdtype = jnp.complex128 if f64 else jnp.complex64
+    f64 = A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
-    key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
-    k1, k2 = jax.random.split(key)
-    Q0 = (jax.random.normal(k1, (N, M0), rdtype)
-          + 1j * jax.random.normal(k2, (N, M0), rdtype)).astype(cdtype)
-    Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+    Q0 = seeded_subspace(N, M0, cdtype, general=True)
     state = _banded_general_jit(
         A_bands.astype(cdtype),
-        None if B_bands is None else jnp.asarray(B_bands, cdtype),
-        jnp.asarray(contour.Zne, cdtype), jnp.asarray(contour.Wne, cdtype),
-        Q0, jnp.asarray(complex(Emid), cdtype), jnp.asarray(float(r), rdtype),
+        None if B_bands is None else np.asarray(B_bands, cdtype),
+        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
+        Q0, np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
         kl=kl, ku=ku, klb=klb, kub=kub, config=config, bilinear=bilinear,
         eig_method=eig_method)
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
 
 
 def feast_gbev(A_bands, kl, ku, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:

@@ -33,6 +33,7 @@ from ..core.parameters import FeastConfig, _ensure_fpm
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastResult, _trim
 from ..kernel.hermitian import feast_hermitian_core
+from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_sygv", "feast_syev", "feast_hegv", "feast_heev",
            "dense_hermitian_feast"]
@@ -137,10 +138,10 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     promote/strip round trip, feast_dense.jl:356-400, without the pointless
     promotion: only the shifted solves are complex)."""
     fpm = _ensure_fpm(fpm)
-    A = jnp.asarray(A)
-    standard = B is None
+    A = np.asarray(A)              # host arrays: the cjit boundary handles
+    standard = B is None           # device placement (complex-I/O safety)
     if not standard:
-        B = jnp.asarray(B)
+        B = np.asarray(B)
     N = A.shape[0]
     if A.ndim != 2 or A.shape[1] != N:
         raise ValueError(f"A must be square, got {A.shape}")
@@ -156,9 +157,8 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
 
     rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
     if hermitian is None:
-        hermitian = jnp.issubdtype(A.dtype, jnp.complexfloating) or (
-            not standard and jnp.issubdtype(B.dtype, jnp.complexfloating))
-    work_dtype = cdtype if hermitian else rdtype
+        hermitian = np.iscomplexobj(A) or (not standard and np.iscomplexobj(B))
+    work_dtype = np.dtype(cdtype) if hermitian else np.dtype(rdtype)
     A = A.astype(work_dtype)
     if not standard:
         B = B.astype(work_dtype)

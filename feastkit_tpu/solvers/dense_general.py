@@ -18,6 +18,7 @@ from ..core.parameters import FeastConfig, _ensure_fpm
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, _trim
 from ..kernel.general import feast_general_core
+from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_gegv", "feast_geev", "feast_gegv_complex_sym",
            "feast_geev_complex_sym", "feast_pep", "dense_general_feast"]
@@ -28,8 +29,7 @@ def _cdtype_of(*arrays):
     return jnp.complex64 if dt in (jnp.float32, jnp.complex64) else jnp.complex128
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "config", "standard", "bilinear", "eig_method"))
+@cjit(static_argnames=("config", "standard", "bilinear", "eig_method"))
 def _dense_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
                        standard: bool, bilinear: bool, eig_method: str):
     N = A.shape[0]
@@ -70,10 +70,10 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
                         ) -> FeastGeneralResult:
     """Shared dense general/complex-symmetric driver."""
     fpm = _ensure_fpm(fpm)
-    A = jnp.asarray(A)
+    A = np.asarray(A)
     standard = B is None
     if not standard:
-        B = jnp.asarray(B)
+        B = np.asarray(B)
         if B.shape != A.shape:
             raise ValueError(f"B must match A: {A.shape} vs {B.shape}")
     N = A.shape[0]
@@ -84,7 +84,7 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
 
-    cdtype = _cdtype_of(A) if standard else _cdtype_of(A, B)
+    cdtype = np.dtype(str(jnp.dtype(_cdtype_of(A) if standard else _cdtype_of(A, B))))
     A = A.astype(cdtype)
     if not standard:
         B = B.astype(cdtype)
@@ -94,31 +94,26 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
         contour = feast_get_custom_contour(fpm)  # fpm[29] registry
     if contour is None:
         contour = feast_gcontour(complex(Emid), float(r), fpm)
-    Zne = jnp.asarray(contour.Zne, cdtype)
-    Wne = jnp.asarray(contour.Wne, cdtype)
+    Zne = np.asarray(contour.Zne, cdtype)
+    Wne = np.asarray(contour.Wne, cdtype)
     if Q0 is None:
         # General problems seed with a fully complex subspace (the reference
         # uses complex randn for grci, feast_kernel.jl:719).
-        key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
-        k1, k2 = jax.random.split(key)
-        rdt = jnp.finfo(cdtype).dtype
-        Q0 = (jax.random.normal(k1, (N, M0), rdt)
-              + 1j * jax.random.normal(k2, (N, M0), rdt)).astype(cdtype)
-        Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+        Q0 = seeded_subspace(N, M0, cdtype, general=True)
     else:
-        Q0 = jnp.asarray(Q0, cdtype)
+        Q0 = np.asarray(Q0, cdtype)
 
-    rdtype = jnp.finfo(cdtype).dtype
+    rdtype = np.float32 if cdtype == np.complex64 else np.float64
     state = _dense_general_jit(
         A, B if not standard else A, Zne, Wne, Q0,
-        jnp.asarray(complex(Emid), cdtype), jnp.asarray(float(r), rdtype),
+        np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
         config=config, standard=standard, bilinear=bilinear,
         eig_method=eig_method)
 
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
 
 
 def feast_gegv(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
@@ -153,7 +148,7 @@ def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
       Ac = [[0, I, 0...], [0, 0, I, ...], [-A0, -A1, ..., -A_{d-1}]],
       Bc = diag(I, ..., I, A_d);  eigenvector x = first N rows.
     """
-    coeffs = [jnp.asarray(c) for c in coeffs]
+    coeffs = [np.asarray(c) for c in coeffs]
     d = len(coeffs) - 1
     if d < 1:
         raise ValueError("Polynomial eigenproblem needs degree >= 1")
@@ -161,21 +156,22 @@ def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
     for c in coeffs:
         if c.shape != (N, N):
             raise ValueError("All coefficient matrices must be square and equal size")
-    cdtype = _cdtype_of(*coeffs)
+    cdtype = np.dtype(str(jnp.dtype(_cdtype_of(*coeffs))))
     coeffs = [c.astype(cdtype) for c in coeffs]
     if d == 1:
         # linear pencil: A0 + lam A1 -> A x = lam B x with A=-A0, B=A1
         res = dense_general_feast(-coeffs[0], coeffs[1], Emid, r, M0, fpm, **kw)
         return res
-    eye = jnp.eye(N, dtype=cdtype)
-    zero = jnp.zeros((N, N), cdtype)
+    import scipy.linalg as _sla
+    eye = np.eye(N, dtype=cdtype)
+    zero = np.zeros((N, N), cdtype)
     rows = []
     for i in range(d - 1):
-        rows.append(jnp.concatenate(
+        rows.append(np.concatenate(
             [zero] * (i + 1) + [eye] + [zero] * (d - i - 2), axis=1))
-    rows.append(jnp.concatenate([-c for c in coeffs[:d]], axis=1))
-    Ac = jnp.concatenate(rows, axis=0)
-    Bc = jsl.block_diag(*([eye] * (d - 1) + [coeffs[d]]))
+    rows.append(np.concatenate([-c for c in coeffs[:d]], axis=1))
+    Ac = np.concatenate(rows, axis=0)
+    Bc = _sla.block_diag(*([eye] * (d - 1) + [coeffs[d]]))
     res = dense_general_feast(Ac, Bc, Emid, r, M0, fpm, **kw)
     # Project eigenvectors back to the first N rows, renormalized.
     if res.M:

@@ -28,6 +28,7 @@ from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
 from ..kernel.hermitian import feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
+from ..utils.cio import cjit, fetch
 
 __all__ = ["LinearOperator", "MatrixVecFunction", "feast_matvec",
            "feast_matvec_general", "create_iterative_solver"]
@@ -159,11 +160,13 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
         solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
-    Zne = jnp.asarray(contour.Zne, cdtype)
-    Wne = jnp.asarray(contour.Wne, cdtype)
+    rdtype_np = np.float32 if np.dtype(str(jnp.dtype(cdtype))) == np.complex64 else np.float64
+    cdtype_np = np.complex64 if rdtype_np == np.float32 else np.complex128
+    Zne = np.asarray(contour.Zne, cdtype_np)
+    Wne = np.asarray(contour.Wne, cdtype_np)
     if hermitian:
-        Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
-        Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
+        Zall = np.concatenate([Zne, np.conj(Zne)])
+        Wall = np.concatenate([Wne, np.conj(Wne)])
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
@@ -175,35 +178,35 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     apply_A = lambda X: A_op(X)
     apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
 
-    def solve_nodes(rhs):
-        return jax.lax.map(lambda z: solve_shifted(z, rhs), Zall)
-
-    if hermitian:
-        def filter_apply(Q):
-            X = solve_nodes(apply_B(Q))
-            return jnp.einsum("e,enm->nm", Wall, X)
-    else:
-        def filter_apply(Q):
-            X = solve_nodes(apply_B(Q).astype(cdtype))
-            return jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
-
     if Q0 is None:
         Q0 = seeded_subspace(N, M0, work_dtype)
 
-    @jax.jit
-    def run(Q0, Emin, Emax):
+    @cjit
+    def run(Q0, Emin, Emax, Zall, Wall):
+        def solve_nodes(rhs):
+            return jax.lax.map(lambda z: solve_shifted(z, rhs), Zall)
+
+        if hermitian:
+            def filter_apply(Q):
+                X = solve_nodes(apply_B(Q))
+                return jnp.einsum("e,enm->nm", Wall, X)
+        else:
+            def filter_apply(Q):
+                X = solve_nodes(apply_B(Q).astype(Zall.dtype))
+                return jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
+
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
             tol=config.tol, max_loops=config.max_loops,
             convergence_criterion=config.convergence_criterion,
             subspace_only=(config.mode == 1))
 
-    state = run(jnp.asarray(Q0, work_dtype), jnp.asarray(Emin, rdtype),
-                jnp.asarray(Emax, rdtype))
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    state = run(np.asarray(Q0, np.dtype(str(jnp.dtype(work_dtype)))),
+                rdtype_np(Emin), rdtype_np(Emax), Zall, Wall)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
 
 
 def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
@@ -228,8 +231,10 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
         solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
-    Zne = jnp.asarray(contour.Zne, cdtype)
-    Wne = jnp.asarray(contour.Wne, cdtype)
+    rdtype_np = np.float32 if str(jnp.dtype(rdtype)) == 'float32' else np.float64
+    cdtype_np = np.complex64 if rdtype_np == np.float32 else np.complex128
+    Zne = np.asarray(contour.Zne, cdtype_np)
+    Wne = np.asarray(contour.Wne, cdtype_np)
     if solve_shifted is None:
         solve_shifted = create_iterative_solver(
             A_op, None if standard else B_op, solver, tol=solver_tol,
@@ -238,18 +243,14 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     apply_A = lambda X: A_op(X)
     apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
 
-    def filter_apply(Q):
-        X = jax.lax.map(lambda z: solve_shifted(z, apply_B(Q)), Zne)
-        return jnp.einsum("e,enm->nm", Wne, X)
+    Q0 = seeded_subspace(N, M0, cdtype_np, general=True)
 
-    key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
-    k1, k2 = jax.random.split(key)
-    Q0 = (jax.random.normal(k1, (N, M0), rdtype)
-          + 1j * jax.random.normal(k2, (N, M0), rdtype)).astype(cdtype)
-    Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+    @cjit
+    def run(Q0, Emid, r, Zne, Wne):
+        def filter_apply(Q):
+            X = jax.lax.map(lambda z: solve_shifted(z, apply_B(Q)), Zne)
+            return jnp.einsum("e,enm->nm", Wne, X)
 
-    @jax.jit
-    def run(Q0, Emid, r):
         return feast_general_core(
             apply_A, apply_B, filter_apply, Q0, Emid, r,
             tol=config.tol, max_loops=config.max_loops,
@@ -259,9 +260,9 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
             subspace_only=(config.mode == 1), bilinear=bilinear,
             eig_method=eig_method)
 
-    state = run(Q0, jnp.asarray(complex(Emid), cdtype),
-                jnp.asarray(float(r), rdtype))
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    state = run(Q0, np.asarray(complex(Emid), cdtype_np)[()],
+                rdtype_np(float(r)), Zne, Wne)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)

@@ -9,7 +9,9 @@ BiCGStab (ops/gmres.py) on the shift operator z B - A applied matrix-free
 through BCOO matvecs (the shifted matrix is never materialized), sequential
 over contour nodes (lax.scan) to bound memory, batched over all M0 RHS.
 
-Supports scipy.sparse inputs (converted once to BCOO) and jax BCOO directly.
+Supports scipy.sparse inputs and jax BCOO. Sparse operands cross the jit
+boundary as raw (data, indices) arrays — complex-I/O safe (utils/cio.py) and
+rebuilt as BCOO inside the program.
 """
 from __future__ import annotations
 
@@ -21,18 +23,20 @@ import jax.numpy as jnp
 from jax.experimental import sparse as jsparse
 
 from ..core.contour import feast_contour, feast_gcontour
-from ..core.parameters import FeastConfig, _ensure_fpm, feast_tolerance
+from ..core.parameters import (FeastConfig, _ensure_fpm,
+                               ifeast_solver_options)
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
 from ..kernel.hermitian import feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
+from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
            "feast_gcsrev", "feast_gcsrgv", "feast_scsrev_complex",
            "feast_scsrgv_complex", "feast_scsrpev", "feast_hcsrpev",
-           "feast_gcsrpev", "as_bcoo", "sparse_feast_interval",
-           "sparse_feast_general"]
+           "feast_gcsrpev", "as_bcoo", "sparse_coo_arrays",
+           "sparse_feast_interval", "sparse_feast_general"]
 
 
 def as_bcoo(A, dtype=None):
@@ -40,19 +44,30 @@ def as_bcoo(A, dtype=None):
     if isinstance(A, jsparse.BCOO):
         return A if dtype is None else jsparse.BCOO(
             (A.data.astype(dtype), A.indices), shape=A.shape)
+    data, idx, shape = sparse_coo_arrays(A, dtype)
+    return jsparse.BCOO((jnp.asarray(data), jnp.asarray(idx)), shape=shape)
+
+
+def sparse_coo_arrays(A, dtype=None):
+    """Any sparse/dense input -> host (data, indices(nnz,2), shape)."""
+    if isinstance(A, jsparse.BCOO):
+        data = np.asarray(A.data) if dtype is None \
+            else np.asarray(A.data).astype(dtype)
+        return data, np.asarray(A.indices), tuple(A.shape)
     try:
         import scipy.sparse as sp
         if sp.issparse(A):
             coo = A.tocoo()
-            data = jnp.asarray(coo.data if dtype is None
-                               else coo.data.astype(dtype))
-            idx = jnp.stack([jnp.asarray(coo.row, jnp.int32),
-                             jnp.asarray(coo.col, jnp.int32)], axis=1)
-            return jsparse.BCOO((data, idx), shape=coo.shape)
+            data = coo.data if dtype is None else coo.data.astype(dtype)
+            idx = np.stack([coo.row.astype(np.int32),
+                            coo.col.astype(np.int32)], axis=1)
+            return np.ascontiguousarray(data), idx, tuple(coo.shape)
     except ImportError:
         pass
-    return jsparse.BCOO.fromdense(jnp.asarray(A) if dtype is None
-                                  else jnp.asarray(A, dtype))
+    A = np.asarray(A) if dtype is None else np.asarray(A, dtype)
+    r, c = np.nonzero(np.ones(A.shape, bool))
+    idx = np.stack([r.astype(np.int32), c.astype(np.int32)], axis=1)
+    return A.ravel(), idx, tuple(A.shape)
 
 
 def _solver_fn(name):
@@ -68,10 +83,9 @@ def _solver_fn(name):
 
 
 def _make_sparse_solve_all(A, B, standard, *, solver, solver_tol,
-                           solver_maxiter, solver_restart, cdtype):
+                           solver_maxiter, solver_restart):
     """solve_all(Zall, rhs): sequential scan over contour nodes, batched
     block-iterative solve per node. A, B are BCOO (complex)."""
-    method = _solver_fn(solver)
 
     def apply_shift(z, X):
         if standard:
@@ -81,7 +95,7 @@ def _make_sparse_solve_all(A, B, standard, *, solver, solver_tol,
     def solve_all(Zall, rhs):
         def one(carry, z):
             op = lambda X: apply_shift(z, X)
-            if method == "gmres":
+            if solver == "gmres":
                 X, info = gmres_block(op, rhs, tol=solver_tol,
                                       restart=solver_restart,
                                       maxiter=solver_maxiter)
@@ -96,15 +110,22 @@ def _make_sparse_solve_all(A, B, standard, *, solver, solver_tol,
     return solve_all
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "config", "standard", "hermitian", "solver", "solver_tol",
-    "solver_maxiter", "solver_restart"))
-def _sparse_hermitian_jit(A, B, A_work, B_work, Zne, Wne, Q0, Emin, Emax, *,
-                          config, standard, hermitian, solver, solver_tol,
-                          solver_maxiter, solver_restart):
-    """A, B: BCOO in the complex dtype (shifted solves); A_work, B_work:
-    BCOO in the iteration dtype (real for the symmetric path)."""
+@cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
+                       "solver_tol", "solver_maxiter", "solver_restart"))
+def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
+                          Emin, Emax, *, shape, config, standard, hermitian,
+                          solver, solver_tol, solver_maxiter, solver_restart):
+    """Sparse operands arrive as raw (data, indices); BCOO is rebuilt here.
+    A_data keeps its natural dtype (real for the symmetric path)."""
     cdtype = Zne.dtype
+    A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
+    A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
+    if standard:
+        B_w = B_c = None
+    else:
+        B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
+        B_c = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
+
     if hermitian:
         Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
         Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
@@ -112,12 +133,11 @@ def _sparse_hermitian_jit(A, B, A_work, B_work, Zne, Wne, Q0, Emin, Emax, *,
         Zall, Wall = Zne, 2.0 * Wne
 
     solve_all = _make_sparse_solve_all(
-        A, B, standard, solver=solver, solver_tol=solver_tol,
-        solver_maxiter=solver_maxiter, solver_restart=solver_restart,
-        cdtype=cdtype)
+        A_c, B_c, standard, solver=solver, solver_tol=solver_tol,
+        solver_maxiter=solver_maxiter, solver_restart=solver_restart)
 
-    apply_A = lambda X: A_work @ X
-    apply_B = (lambda X: X) if standard else (lambda X: B_work @ X)
+    apply_A = lambda X: A_w @ X
+    apply_B = (lambda X: X) if standard else (lambda X: B_w @ X)
 
     if hermitian:
         def filter_apply(Q):
@@ -135,62 +155,6 @@ def _sparse_hermitian_jit(A, B, A_work, B_work, Zne, Wne, Q0, Emin, Emax, *,
         subspace_only=(config.mode == 1))
 
 
-def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
-                          solver=None, solver_tol=None, solver_maxiter=None,
-                          solver_restart=30, Q0=None) -> FeastResult:
-    """Shared sparse symmetric/Hermitian interval driver
-    (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871).
-
-    Inner-solver defaults honor the IFEAST knobs when fpm[43]=1
-    (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
-    fpm = _ensure_fpm(fpm)
-    from ..core.parameters import ifeast_solver_options
-    iopts = ifeast_solver_options(fpm) or {}
-    solver = solver or iopts.get("solver", "gmres")
-    solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
-    solver_maxiter = solver_maxiter if solver_maxiter is not None else iopts.get("solver_maxiter", 500)
-    _solver_fn(solver)
-    is_complex = np.iscomplexobj(_peek_dtype(A)) or (
-        B is not None and np.iscomplexobj(_peek_dtype(B)))
-    if hermitian is None:
-        hermitian = is_complex
-    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
-    rdtype = jnp.float64 if f64 else jnp.float32
-    cdtype = jnp.complex128 if f64 else jnp.complex64
-    work_dtype = cdtype if hermitian else rdtype
-
-    Ab = as_bcoo(A, cdtype)
-    Aw = as_bcoo(A, work_dtype)
-    N = Ab.shape[0]
-    standard = B is None
-    Bb = Ab if standard else as_bcoo(B, cdtype)
-    Bw = Aw if standard else as_bcoo(B, work_dtype)
-    if not 0 < M0 <= N:
-        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
-    if not Emax > Emin:
-        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
-
-    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
-    if solver_tol is None:
-        solver_tol = max(config.tol * 0.1,
-                         10 * float(jnp.finfo(rdtype).eps))
-    from ..core.aux import feast_get_custom_contour
-    contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
-    if Q0 is None:
-        Q0 = seeded_subspace(N, M0, work_dtype)
-    state = _sparse_hermitian_jit(
-        Ab, Bb, Aw, Bw, jnp.asarray(contour.Zne, cdtype),
-        jnp.asarray(contour.Wne, cdtype), jnp.asarray(Q0, work_dtype),
-        jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
-        config=config, standard=standard, hermitian=bool(hermitian),
-        solver=_solver_fn(solver), solver_tol=float(solver_tol),
-        solver_maxiter=int(solver_maxiter), solver_restart=int(solver_restart))
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
-
-
 def _peek_dtype(A):
     if isinstance(A, jsparse.BCOO):
         return np.zeros((), A.data.dtype)
@@ -203,19 +167,80 @@ def _peek_dtype(A):
     return np.zeros((), np.asarray(A).dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "config", "standard", "bilinear", "eig_method", "solver", "solver_tol",
-    "solver_maxiter", "solver_restart"))
-def _sparse_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
-                        bilinear, eig_method, solver, solver_tol,
-                        solver_maxiter, solver_restart):
+def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
+                          solver=None, solver_tol=None, solver_maxiter=None,
+                          solver_restart=30, Q0=None) -> FeastResult:
+    """Shared sparse symmetric/Hermitian interval driver
+    (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871).
+
+    Inner-solver defaults honor the IFEAST knobs when fpm[43]=1
+    (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
+    fpm = _ensure_fpm(fpm)
+    iopts = ifeast_solver_options(fpm) or {}
+    solver = _solver_fn(solver or iopts.get("solver", "gmres"))
+    solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
+    solver_maxiter = (solver_maxiter if solver_maxiter is not None
+                      else iopts.get("solver_maxiter", 500))
+
+    is_complex = np.iscomplexobj(_peek_dtype(A)) or (
+        B is not None and np.iscomplexobj(_peek_dtype(B)))
+    if hermitian is None:
+        hermitian = is_complex
+    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
+    work_dtype = cdtype if hermitian else rdtype
+
+    A_data, A_idx, shape = sparse_coo_arrays(A, work_dtype)
+    N = shape[0]
+    standard = B is None
+    if standard:
+        B_data, B_idx = A_data, A_idx     # dummies (static 'standard' gates)
+    else:
+        B_data, B_idx, _ = sparse_coo_arrays(B, work_dtype)
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    if solver_tol is None:
+        solver_tol = max(config.tol * 0.1,
+                         10 * float(np.finfo(rdtype).eps))
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
+    if Q0 is None:
+        Q0 = seeded_subspace(N, M0, work_dtype)
+    state = _sparse_hermitian_jit(
+        A_data, A_idx, B_data, B_idx,
+        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
+        np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+        shape=tuple(shape), config=config, standard=standard,
+        hermitian=bool(hermitian), solver=solver,
+        solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
+        solver_restart=int(solver_restart))
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1)
+
+
+@cjit(static_argnames=("shape", "config", "standard", "bilinear",
+                       "eig_method", "solver", "solver_tol", "solver_maxiter",
+                       "solver_restart"))
+def _sparse_general_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emid, r,
+                        *, shape, config, standard, bilinear, eig_method,
+                        solver, solver_tol, solver_maxiter, solver_restart):
     cdtype = Zne.dtype
+    A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
+    B_c = None if standard else jsparse.BCOO(
+        (B_data.astype(cdtype), B_idx), shape=shape)
     solve_all = _make_sparse_solve_all(
-        A, B, standard, solver=solver, solver_tol=solver_tol,
-        solver_maxiter=solver_maxiter, solver_restart=solver_restart,
-        cdtype=cdtype)
-    apply_A = lambda X: A @ X
-    apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+        A_c, B_c, standard, solver=solver, solver_tol=solver_tol,
+        solver_maxiter=solver_maxiter, solver_restart=solver_restart)
+    apply_A = lambda X: A_c @ X
+    apply_B = (lambda X: X) if standard else (lambda X: B_c @ X)
 
     def filter_apply(Q):
         X, _ = solve_all(Zne, apply_B(Q))
@@ -238,44 +263,46 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     (parity: feast_gcsrgv!/gcsrev! RCI-loop drivers, feast_sparse.jl:873-1006,
     complex-symmetric :509-711)."""
     fpm = _ensure_fpm(fpm)
-    from ..core.parameters import ifeast_solver_options
     iopts = ifeast_solver_options(fpm) or {}
-    solver = solver or iopts.get("solver", "gmres")
+    solver = _solver_fn(solver or iopts.get("solver", "gmres"))
     solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
-    solver_maxiter = solver_maxiter if solver_maxiter is not None else iopts.get("solver_maxiter", 500)
+    solver_maxiter = (solver_maxiter if solver_maxiter is not None
+                      else iopts.get("solver_maxiter", 500))
+
     f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
-    rdtype = jnp.float64 if f64 else jnp.float32
-    cdtype = jnp.complex128 if f64 else jnp.complex64
-    Ab = as_bcoo(A, cdtype)
-    N = Ab.shape[0]
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
+    A_data, A_idx, shape = sparse_coo_arrays(A, cdtype)
+    N = shape[0]
     standard = B is None
-    Bb = Ab if standard else as_bcoo(B, cdtype)
+    if standard:
+        B_data, B_idx = A_data, A_idx
+    else:
+        B_data, B_idx, _ = sparse_coo_arrays(B, cdtype)
     if not 0 < M0 <= N:
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
-        solver_tol = max(config.tol * 0.1, 10 * float(jnp.finfo(rdtype).eps))
+        solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
     from ..core.aux import feast_get_custom_contour
-    contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
-    key = jax.random.PRNGKey((N * 1000003 + M0 * 101 + 7) % (2**31 - 1))
-    k1, k2 = jax.random.split(key)
-    Q0 = (jax.random.normal(k1, (N, M0), rdtype)
-          + 1j * jax.random.normal(k2, (N, M0), rdtype)).astype(cdtype)
-    Q0 = Q0 / jnp.linalg.norm(Q0, axis=0, keepdims=True)
+    contour = feast_get_custom_contour(fpm) or feast_gcontour(
+        complex(Emid), float(r), fpm)
+    Q0 = seeded_subspace(N, M0, cdtype, general=True)
     state = _sparse_general_jit(
-        Ab, Bb, jnp.asarray(contour.Zne, cdtype),
-        jnp.asarray(contour.Wne, cdtype), Q0,
-        jnp.asarray(complex(Emid), cdtype), jnp.asarray(float(r), rdtype),
-        config=config, standard=standard, bilinear=bilinear,
-        eig_method=eig_method, solver=_solver_fn(solver),
+        A_data, A_idx, B_data, B_idx,
+        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
+        Q0, np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
+        shape=tuple(shape), config=config, standard=standard,
+        bilinear=bilinear, eig_method=eig_method, solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
         solver_restart=int(solver_restart))
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastGeneralResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1)
 
 
 # --- Reference-named wrappers (CSR-family) ---------------------------------
@@ -330,7 +357,6 @@ def feast_scsrpev(coeffs, Emid, r, M0, fpm=None, **kw):
     """Sparse polynomial EVP: densify coefficients and linearize
     (parity: feast_scsrpev!/hcsrpev!/gcsrpev! densify-and-forward,
     feast_sparse.jl:1228-1274)."""
-    import numpy as _np
     from .dense_general import feast_pep
 
     def _densify(c):
@@ -341,8 +367,8 @@ def feast_scsrpev(coeffs, Emid, r, M0, fpm=None, **kw):
         except ImportError:
             pass
         if isinstance(c, jsparse.BCOO):
-            return _np.asarray(c.todense())
-        return _np.asarray(c)
+            return np.asarray(c.todense())
+        return np.asarray(c)
 
     return feast_pep([_densify(c) for c in coeffs], Emid, r, M0, fpm, **kw)
 

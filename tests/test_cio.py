@@ -1,0 +1,82 @@
+"""Complex-I/O-safe jit wrapper tests (utils/cio.py): force the packed path
+on CPU and verify identical results to the plain path."""
+import numpy as np
+import pytest
+
+import feastkit_tpu.utils.cio as cio
+
+from conftest import laplacian_1d, laplacian_eigs
+
+
+@pytest.fixture
+def forced_packed(monkeypatch):
+    original = cio.complex_io_required
+    original.cache_clear()
+    monkeypatch.setattr(cio, "complex_io_required", lambda: True)
+    yield
+    original.cache_clear()
+
+
+def test_cjit_round_trip(forced_packed):
+    import jax.numpy as jnp
+
+    @cio.cjit
+    def f(a, b):
+        return a @ b, jnp.real(a).sum()
+
+    A = np.random.default_rng(0).standard_normal((8, 8)) \
+        + 1j * np.random.default_rng(1).standard_normal((8, 8))
+    B = np.ones((8, 2), np.complex128)
+    out, s = f(A, B)
+    assert isinstance(out, cio.ComplexPair)
+    got = cio.fetch(out)
+    assert np.abs(got - A @ B).max() < 1e-12
+    assert abs(cio.fetch(s) - A.real.sum()) < 1e-12
+
+
+def test_cjit_static_argnames(forced_packed):
+    @cio.cjit(static_argnames=("flag",))
+    def f(x, *, flag):
+        return x * (2.0 if flag else 3.0)
+
+    assert cio.fetch(f(np.array(1.0 + 1j), flag=True)) == 2.0 + 2.0j
+    assert cio.fetch(f(np.array(1.0 + 1j), flag=False)) == 3.0 + 3.0j
+
+
+def test_dense_solver_through_packed_path(forced_packed):
+    """Full dense Hermitian solve with every complex array crossing the jit
+    boundary as real pairs."""
+    from feastkit_tpu.solvers.dense import feast_heev
+    rng = np.random.default_rng(0)
+    n = 40
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    w = np.linalg.eigvalsh(H)
+    Emin, Emax = w[15] - 1e-9, w[25] + 1e-9
+    exp = np.sort(w[(w >= Emin) & (w <= Emax)])
+    r = feast_heev(H, Emin, Emax, 14)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+    assert np.iscomplexobj(r.q)
+
+
+def test_sparse_solver_through_packed_path(forced_packed):
+    import scipy.sparse as sp
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 120
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.8)])
+    r = feast_scsrev(A, 0.5, 0.8, len(exp) + 4)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_general_solver_through_packed_path(forced_packed):
+    from feastkit_tpu.solvers.dense_general import feast_geev
+    lam_true = np.array([0.5 + 0.1j, 0.7 - 0.2j, 3.0 + 1.0j])
+    A = np.diag(lam_true)
+    r = feast_geev(A, 0.6 + 0.0j, 0.4, 3)
+    assert r.M == 2
+    assert np.iscomplexobj(r.lam)

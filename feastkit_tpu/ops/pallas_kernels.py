@@ -1,0 +1,152 @@
+"""Pallas TPU kernels for the FEAST hot paths.
+
+Kernel #1: DIA (diagonal-offset) sparse matvec — the inner operation of
+every banded/stencil shifted solve (GMRES matvecs dominate the sparse path,
+SURVEY.md section 6: "linear solver = 80-95% of total cost"). A BCOO matvec
+lowers to gathers/scatters that the TPU hates; for matrices whose nonzeros
+live on a few diagonals (banded operators, 2D/3D Laplacian stencils — the
+BASELINE.json configs), the matvec is a handful of shifted elementwise
+multiply-adds: pure VPU work with unit-stride vector loads, performed
+blockwise from VMEM.
+
+Storage: ``diags`` is (nd, N) with an explicit static ``offsets`` tuple;
+row k holds diagonal offsets[k] ALIGNED TO ROWS: diags[k, i] = A[i, i +
+offsets[k]] (zero where out of range). Offsets need not be contiguous
+(2-D Laplacian: (-n, -1, 0, 1, n)).
+
+y[i, :] = sum_k diags[k, i] * x[i + offsets[k], :]
+
+Each grid step owns a row block; x stays in HBM and the needed
+(block + 2*halo) slab is DMA'd into VMEM scratch (overlapping halos are not
+expressible with disjoint BlockSpec tiling).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:                                  # pragma: no cover
+    _PALLAS_OK = False
+
+__all__ = ["dia_matvec", "dia_matvec_reference", "bands_to_dia",
+           "bcoo_to_dia"]
+
+
+def bands_to_dia(bands, kl: int, ku: int):
+    """LAPACK-band layout (ops/banded.py) -> row-aligned (diags, offsets).
+
+    bands[k, j] = A[j - (ku-k), j]  ->  diags[k, i] = A[i, i + d], d = ku-k.
+    """
+    bands = np.asarray(bands)
+    nb, N = bands.shape
+    offsets = tuple(ku - k for k in range(nb))
+    diags = np.zeros_like(bands)
+    for k, d in enumerate(offsets):
+        if d >= 0:
+            diags[k, : N - d] = bands[k, d:]
+        else:
+            diags[k, -d:] = bands[k, : N + d]
+    return diags, offsets
+
+
+def bcoo_to_dia(data, indices, N, max_diags: int = 32):
+    """COO arrays -> (diags, offsets) if the matrix lives on few diagonals,
+    else None. Host-side detection for the structured sparse fast path."""
+    data = np.asarray(data)
+    indices = np.asarray(indices)
+    offs = indices[:, 1].astype(np.int64) - indices[:, 0].astype(np.int64)
+    uniq = np.unique(offs)
+    if len(uniq) > max_diags:
+        return None
+    diags = np.zeros((len(uniq), N), data.dtype)
+    pos = np.searchsorted(uniq, offs)
+    # accumulate duplicates (COO may repeat entries)
+    np.add.at(diags, (pos, indices[:, 0]), data)
+    return diags, tuple(int(d) for d in uniq)
+
+
+def dia_matvec_reference(diags, x, offsets):
+    """Pure-XLA shifted-add reference (identical math; CPU path + oracle)."""
+    diags = jnp.asarray(diags)
+    N = diags.shape[1]
+    x2 = x if x.ndim == 2 else x[:, None]
+    y = jnp.zeros((N, x2.shape[1]), jnp.result_type(diags.dtype, x.dtype))
+    for k, d in enumerate(offsets):
+        if d >= 0:
+            seg = diags[k, : N - d, None] * x2[d:] if d > 0 else \
+                diags[k, :, None] * x2
+            y = y.at[: N - d].add(seg) if d > 0 else y + seg
+        else:
+            y = y.at[-d:].add(diags[k, -d:, None] * x2[: N + d])
+    return y if x.ndim == 2 else y[:, 0]
+
+
+def _dia_kernel(diags_ref, x_hbm, y_ref, x_vmem, sem, *, offsets, block, halo):
+    """One grid step = one row block; DMA the halo'd x slab, then unrolled
+    shifted multiply-adds (static offsets -> pure VPU code, no gather)."""
+    i = pl.program_id(0)
+    row0 = i * block                    # offset into the halo-padded x
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(row0, block + 2 * halo), :], x_vmem, sem)
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros_like(y_ref)
+    xs = x_vmem[...]
+    for k, d in enumerate(offsets):
+        coeff = diags_ref[k, :]
+        xslab = jax.lax.dynamic_slice_in_dim(xs, d + halo, block, axis=0)
+        acc = acc + coeff[:, None] * xslab
+    y_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+def dia_matvec(diags, x, offsets, *, block: int = 1024,
+               interpret: bool = False):
+    """DIA matvec as a Pallas TPU kernel; falls back to the XLA reference
+    when Pallas is unavailable."""
+    if not _PALLAS_OK:
+        return dia_matvec_reference(diags, x, offsets)
+    diags = jnp.asarray(diags)
+    nd, N = diags.shape
+    squeeze = x.ndim == 1
+    x2 = x[:, None] if squeeze else x
+    M = x2.shape[1]
+    halo = max((max(abs(d) for d in offsets), 8)) if offsets else 8
+    block = int(min(block, max(64, N)))
+    n_blocks = -(-N // block)
+    N_pad = n_blocks * block
+    out_dtype = jnp.result_type(diags.dtype, x.dtype)
+
+    diags_pad = jnp.zeros((nd, N_pad), out_dtype).at[:, :N].set(
+        diags.astype(out_dtype))
+    top = jnp.zeros((halo, M), out_dtype)
+    bottom = jnp.zeros((N_pad - N + halo, M), out_dtype)
+    x_pad = jnp.concatenate([top, x2.astype(out_dtype), bottom], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_dia_kernel, offsets=offsets, block=block,
+                          halo=halo),
+        out_shape=jax.ShapeDtypeStruct((N_pad, M), out_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((nd, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((block, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block + 2 * halo, M), out_dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(diags_pad, x_pad)
+    out = out[:N]
+    return out[:, 0] if squeeze else out

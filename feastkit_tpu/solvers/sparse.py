@@ -30,6 +30,7 @@ from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
 from ..kernel.hermitian import feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
+from ..ops.pallas_kernels import bcoo_to_dia, dia_matvec, dia_matvec_reference
 from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
@@ -82,26 +83,47 @@ def _solver_fn(name):
     raise ValueError(f"Unknown iterative solver {name!r}")
 
 
-def _make_sparse_solve_all(A, B, standard, *, solver, solver_tol,
-                           solver_maxiter, solver_restart):
+def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
+    """Matvec closure: DIA fast path (unit-stride shifted adds; Pallas on
+    TPU) when the matrix lives on few diagonals, BCOO otherwise."""
+    if offsets is not None:
+        diags = dia if cast is None else dia.astype(cast)
+        if use_pallas:
+            return lambda X: dia_matvec(diags, X, offsets)
+        return lambda X: dia_matvec_reference(diags, X, offsets)
+    A = bcoo_mat if cast is None else jsparse.BCOO(
+        (bcoo_mat.data.astype(cast), bcoo_mat.indices), shape=bcoo_mat.shape)
+    return lambda X: A @ X
+
+
+def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
+                           solver_tol, solver_maxiter, solver_restart,
+                           diagA=None, diagB=None, precond="jacobi"):
     """solve_all(Zall, rhs): sequential scan over contour nodes, batched
-    block-iterative solve per node. A, B are BCOO (complex)."""
+    block-iterative solve per node, optional Jacobi (diagonal)
+    preconditioning of the shifted operator."""
 
     def apply_shift(z, X):
-        if standard:
-            return z * X - A @ X
-        return z * (B @ X) - A @ X
+        BX = X if standard else apply_B_c(X)
+        return z * BX - apply_A_c(X)
 
     def solve_all(Zall, rhs):
         def one(carry, z):
             op = lambda X: apply_shift(z, X)
+            prec = None
+            if precond == "jacobi" and diagA is not None:
+                dshift = z * (1.0 if standard or diagB is None else diagB)                     - diagA if standard else z * diagB - diagA
+                dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
+                prec = lambda X: X / dsafe[:, None]
             if solver == "gmres":
                 X, info = gmres_block(op, rhs, tol=solver_tol,
                                       restart=solver_restart,
-                                      maxiter=solver_maxiter)
+                                      maxiter=solver_maxiter,
+                                      apply_prec=prec)
             else:
                 X, info = bicgstab_block(op, rhs, tol=solver_tol,
-                                         maxiter=solver_maxiter)
+                                         maxiter=solver_maxiter,
+                                         apply_prec=prec)
             return carry, (X, info.converged)
 
         _, (X, conv) = jax.lax.scan(one, 0, Zall)
@@ -111,20 +133,28 @@ def _make_sparse_solve_all(A, B, standard, *, solver, solver_tol,
 
 
 @cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
-                       "solver_tol", "solver_maxiter", "solver_restart"))
-def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
+                       "solver_tol", "solver_maxiter", "solver_restart",
+                       "offsets_A", "offsets_B", "use_pallas", "precond"))
+def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                          diagA, diagB, Zne, Wne, Q0,
                           Emin, Emax, *, shape, config, standard, hermitian,
-                          solver, solver_tol, solver_maxiter, solver_restart):
-    """Sparse operands arrive as raw (data, indices); BCOO is rebuilt here.
-    A_data keeps its natural dtype (real for the symmetric path)."""
+                          solver, solver_tol, solver_maxiter, solver_restart,
+                          offsets_A=None, offsets_B=None, use_pallas=False,
+                          precond="jacobi"):
+    """Sparse operands arrive as raw (data, indices) [+ optional DIA form];
+    BCOO/DIA closures are rebuilt here. A_data keeps its natural dtype (real
+    for the symmetric path)."""
     cdtype = Zne.dtype
     A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
-    A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
+    apply_A = _make_apply(A_w, A_dia, offsets_A, use_pallas)
+    apply_A_c = _make_apply(A_w, A_dia, offsets_A, use_pallas, cast=cdtype)
     if standard:
-        B_w = B_c = None
+        apply_B = lambda X: X
+        apply_B_c = None
     else:
         B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
-        B_c = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
+        apply_B = _make_apply(B_w, B_dia, offsets_B, use_pallas)
+        apply_B_c = _make_apply(B_w, B_dia, offsets_B, use_pallas, cast=cdtype)
 
     if hermitian:
         Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
@@ -133,11 +163,10 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
         Zall, Wall = Zne, 2.0 * Wne
 
     solve_all = _make_sparse_solve_all(
-        A_c, B_c, standard, solver=solver, solver_tol=solver_tol,
-        solver_maxiter=solver_maxiter, solver_restart=solver_restart)
-
-    apply_A = lambda X: A_w @ X
-    apply_B = (lambda X: X) if standard else (lambda X: B_w @ X)
+        apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
+        solver_maxiter=solver_maxiter, solver_restart=solver_restart,
+        diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
+        precond=precond)
 
     if hermitian:
         def filter_apply(Q):
@@ -153,6 +182,46 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
         tol=config.tol, max_loops=config.max_loops,
         convergence_criterion=config.convergence_criterion,
         subspace_only=(config.mode == 1))
+
+
+def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
+    """Detect DIA structure + extract diagonals (Jacobi preconditioner).
+
+    Returns (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas):
+    DIA arrays are (nd, N) host arrays or (0, N) dummies when unstructured.
+    The Pallas kernel runs only on real TPU backends; the XLA shifted-add
+    reference covers CPU."""
+    outA = bcoo_to_dia(A_data, A_idx, N)
+    A_dia, offsets_A = outA if outA else (np.zeros((0, N), dtype), None)
+    if standard:
+        B_dia, offsets_B = np.zeros((0, N), dtype), None
+    else:
+        outB = bcoo_to_dia(B_data, B_idx, N)
+        B_dia, offsets_B = outB if outB else (np.zeros((0, N), dtype), None)
+    maskA = A_idx[:, 0] == A_idx[:, 1]
+    diagA = np.zeros(N, dtype)
+    np.add.at(diagA, A_idx[maskA, 0], A_data[maskA])
+    if standard:
+        diagB = np.ones(N, dtype)
+    else:
+        maskB = B_idx[:, 0] == B_idx[:, 1]
+        diagB = np.zeros(N, dtype)
+        np.add.at(diagB, B_idx[maskB, 0], B_data[maskB])
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    use_pallas = plat in ("tpu",)   # axon: pending kernel validation
+    # Jacobi preconditioning only helps when the pencil is diagonally
+    # dominant; on indefinite spectra it slows GMRES down. Gate on a host
+    # dominance measure of A (the shift z only adds to the diagonal).
+    rowsum = np.zeros(N, np.float64)
+    np.add.at(rowsum, A_idx[:, 0], np.abs(A_data))
+    offdiag = rowsum - np.abs(diagA)
+    dominant = np.mean(np.abs(diagA) >= 0.5 * offdiag) > 0.9
+    precond = "jacobi" if dominant else "none"
+    return (A_dia.astype(dtype), offsets_A, B_dia.astype(dtype), offsets_B,
+            diagA, diagB, use_pallas, precond)
 
 
 def _peek_dtype(A):
@@ -202,6 +271,9 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not Emax > Emin:
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+    (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
+     precond) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
+                                  standard, work_dtype)
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if solver_tol is None:
@@ -212,13 +284,14 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if Q0 is None:
         Q0 = seeded_subspace(N, M0, work_dtype)
     state = _sparse_hermitian_jit(
-        A_data, A_idx, B_data, B_idx,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
         np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
         shape=tuple(shape), config=config, standard=standard,
         hermitian=bool(hermitian), solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
-        solver_restart=int(solver_restart))
+        solver_restart=int(solver_restart), offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
@@ -228,19 +301,29 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 
 @cjit(static_argnames=("shape", "config", "standard", "bilinear",
                        "eig_method", "solver", "solver_tol", "solver_maxiter",
-                       "solver_restart"))
-def _sparse_general_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emid, r,
+                       "solver_restart", "offsets_A", "offsets_B",
+                       "use_pallas", "precond"))
+def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                        diagA, diagB, Zne, Wne, Q0, Emid, r,
                         *, shape, config, standard, bilinear, eig_method,
-                        solver, solver_tol, solver_maxiter, solver_restart):
+                        solver, solver_tol, solver_maxiter, solver_restart,
+                        offsets_A=None, offsets_B=None, use_pallas=False,
+                        precond="jacobi"):
     cdtype = Zne.dtype
-    A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
-    B_c = None if standard else jsparse.BCOO(
-        (B_data.astype(cdtype), B_idx), shape=shape)
+    A_bc = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
+    apply_A = _make_apply(A_bc, A_dia.astype(cdtype), offsets_A, use_pallas)
+    if standard:
+        apply_B = (lambda X: X)
+        apply_B_c = None
+    else:
+        B_bc = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
+        apply_B = _make_apply(B_bc, B_dia.astype(cdtype), offsets_B, use_pallas)
+        apply_B_c = apply_B
     solve_all = _make_sparse_solve_all(
-        A_c, B_c, standard, solver=solver, solver_tol=solver_tol,
-        solver_maxiter=solver_maxiter, solver_restart=solver_restart)
-    apply_A = lambda X: A_c @ X
-    apply_B = (lambda X: X) if standard else (lambda X: B_c @ X)
+        apply_A, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
+        solver_maxiter=solver_maxiter, solver_restart=solver_restart,
+        diagA=diagA.astype(cdtype),
+        diagB=None if standard else diagB.astype(cdtype), precond=precond)
 
     def filter_apply(Q):
         X, _ = solve_all(Zne, apply_B(Q))
@@ -283,6 +366,9 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
+    (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
+     precond) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
+                                  standard, cdtype)
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
@@ -291,13 +377,14 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
         complex(Emid), float(r), fpm)
     Q0 = seeded_subspace(N, M0, cdtype, general=True)
     state = _sparse_general_jit(
-        A_data, A_idx, B_data, B_idx,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
         Q0, np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
         shape=tuple(shape), config=config, standard=standard,
         bilinear=bilinear, eig_method=eig_method, solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
-        solver_restart=int(solver_restart))
+        solver_restart=int(solver_restart), offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),

@@ -7,17 +7,23 @@ src/dense/feast_dense.jl:78-351):
 
 * The Fortran "reverse communication" inversion-of-control exists because
   Fortran cannot take closures. Here the core is a pure function
-  parameterized by ``apply_A``, ``apply_B`` and ``filter_apply`` callables,
-  driven by ``lax.while_loop`` (refinement) over batched solves (the whole
-  contour at once — the ne quadrature nodes are a leading array axis, not a
-  loop).
+  parameterized by ``apply_A``, ``apply_B`` and ``filter_apply`` callables.
 * Dynamic quantities of the reference (found count M, shrinking active_dim)
   become static M0-sized buffers + masks.
 * One body iteration == one FEAST refinement loop: filtered subspace,
-  SVD orthonormalization (replaces pivoted-QR compression), Rayleigh-Ritz
-  reduced pencil, robust reduced eigh, inside-interval masking, relative
-  residuals, convergence on max inside residual (fpm[6]=1) or trace
-  stagnation (fpm[6]=0).
+  SVD orthonormalization with rank deflation (replaces pivoted-QR
+  compression), Rayleigh-Ritz reduced pencil, robust reduced eigh,
+  inside-interval masking, relative residuals, convergence on max inside
+  residual (fpm[6]=1) or trace stagnation (fpm[6]=0).
+
+Two driving modes share the same body:
+  - ``feast_hermitian_core``: fused ``lax.while_loop`` (one compiled
+    program for the whole refinement) — the default;
+  - ``make_hermitian_body`` + ``init_hermitian_state`` +
+    ``verify_spurious``: building blocks for a HOST-driven loop (one jitted
+    body per refinement iteration, convergence checked on the host). Used
+    where enormous single programs are hostile to the compiler (the axon
+    remote-compile path times out on the fused program) and for early exit.
 
 Correctness note vs the reference: the reference accumulates the *complex*
 half-contour sum Q_proj = sum_e 2 W_e X_e and uses it directly
@@ -43,11 +49,17 @@ import jax.numpy as jnp
 from ..core.tools import (inside_first_order, orthonormalize,
                           reduced_hermitian_gevp, residuals)
 
-__all__ = ["HermitianState", "feast_hermitian_core"]
+__all__ = ["HermitianState", "feast_hermitian_core", "make_hermitian_body",
+           "init_hermitian_state", "verify_spurious"]
+
+# In-loop plausibility cut: Ritz pairs with O(1) residual are never counted
+# toward convergence (noise-space pairs that land inside the interval);
+# counterpart of fpm[38] spurious detection.
+SPURIOUS_RES = 0.1
 
 
 class HermitianState(NamedTuple):
-    """Carried through the refinement while_loop (all arrays static-shape)."""
+    """Carried through the refinement loop (all arrays static-shape)."""
 
     loop: jax.Array          # i32: refinement loops completed
     Q: jax.Array             # (N, M0) current subspace (real or complex)
@@ -59,58 +71,47 @@ class HermitianState(NamedTuple):
     converged: jax.Array     # bool
 
 
-def feast_hermitian_core(
-    apply_A: Callable,
-    apply_B: Callable,
-    filter_apply: Callable,
-    Q0,
-    Emin,
-    Emax,
-    *,
-    tol: float,
-    max_loops: int,
-    convergence_criterion: int = 1,
-    subspace_only: bool = False,
-    rank_cut: float | None = None,
-) -> HermitianState:
-    """Run the FEAST refinement iteration; fully jittable.
-
-    Args:
-      apply_A / apply_B: (N, M0) -> (N, M0) operator applications, same dtype
-        as Q0 (real for the real-symmetric path, complex for Hermitian).
-      filter_apply: Q (N, M0) -> Q_proj (N, M0): the full spectral-projector
-        quadrature sum_e 2 Re[W_e (z_e B - A)^{-1} B] Q in whichever form the
-        driver realizes it (real part of the batched solves for real
-        symmetric; solve + adjoint-solve pairs for Hermitian). Factorization
-        caching across refinement loops (fpm[10], factor_cache of
-        feast_dense.jl:147-213) is the driver's choice: bake factors into
-        this closure (cached) or refactor inside it (uncached).
-      Q0: (N, M0) initial subspace.
-      Emin/Emax: search interval (traced scalars are fine).
-      tol: convergence tolerance (10^-fpm[3], dtype-floored).
-      max_loops: fpm[4]; the body runs at most max_loops+1 times, matching
-        the reference's ``for loop in 0:fpm[4]`` (feast_dense.jl:161).
-      convergence_criterion: fpm[6] — 1 residual (default), 0 trace.
-      subspace_only: fpm[14]=1 — return after the first filtered subspace.
-    """
-    N, M0 = Q0.shape
+def init_hermitian_state(Q0) -> HermitianState:
+    M0 = Q0.shape[1]
     rdtype = jnp.real(jnp.zeros((), Q0.dtype)).dtype
-    if rank_cut is None:
-        # Rank-deflation threshold on the singular spectrum of the filtered
-        # subspace. Counterpart of _feast_qr_compress!'s rank tolerance
-        # (feast_aux.jl:101-131), but more aggressive (eps^(1/4) vs sqrt(eps)):
-        # once the extra M0-M columns converge onto duplicates of inside
-        # eigenvectors, their orthogonal complement is numerical noise stuck
-        # around eps^(1/2..2/3) that produces spurious in-interval Ritz pairs
-        # with O(1) residuals; eps^(1/4) cuts cleanly above that floor while
-        # staying far below genuine directions (s >~ |filter| ~ 1e-2).
-        rank_cut = float(jnp.finfo(rdtype).eps) ** 0.25
-    # Deflated directions get Ritz value BIG, guaranteed outside the interval.
-    BIG = 1e3 * (1.0 + jnp.abs(Emin) + jnp.abs(Emax)).astype(rdtype)
+    return HermitianState(
+        loop=jnp.int32(0),
+        Q=Q0,
+        lam=jnp.zeros((M0,), rdtype),
+        res=jnp.full((M0,), jnp.inf, rdtype),
+        inside=jnp.zeros((M0,), bool),
+        epsout=jnp.asarray(jnp.inf, rdtype),
+        trace=jnp.asarray(jnp.nan, rdtype),   # NaN: first trace check never
+        converged=jnp.asarray(False),         # passes (inf<=inf would)
+    )
 
-    def rayleigh_ritz(Qproj):
+
+def make_hermitian_body(apply_A: Callable, apply_B: Callable,
+                        filter_apply: Callable, Emin, Emax, *, tol: float,
+                        convergence_criterion: int = 1,
+                        rank_cut: float | None = None) -> Callable:
+    """One FEAST refinement iteration as a pure state -> state function."""
+
+    def body(state: HermitianState) -> HermitianState:
+        rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
+        cut = rank_cut
+        if cut is None:
+            # Rank-deflation threshold on the singular spectrum of the
+            # filtered subspace. Counterpart of _feast_qr_compress!'s rank
+            # tolerance (feast_aux.jl:101-131), but more aggressive
+            # (eps^(1/4) vs sqrt(eps)): once the extra M0-M columns converge
+            # onto duplicates of inside eigenvectors, their orthogonal
+            # complement is numerical noise stuck around eps^(1/2..2/3) that
+            # produces spurious in-interval Ritz pairs with O(1) residuals;
+            # eps^(1/4) cuts cleanly above that floor while staying far below
+            # genuine directions (s >~ |filter| ~ 1e-2).
+            cut = float(jnp.finfo(rdtype).eps) ** 0.25
+        # Deflated directions get Ritz value BIG, outside the interval.
+        BIG = 1e3 * (1.0 + jnp.abs(Emin) + jnp.abs(Emax)).astype(rdtype)
+
+        Qproj = filter_apply(state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
-        m = (s >= rank_cut * s[0]).astype(rdtype)
+        m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
         # Deflation: masked directions are exactly decoupled with eigenpair
         # (BIG, e_i) and zero Ritz vector -> excluded by the inside mask.
@@ -120,17 +121,8 @@ def feast_hermitian_core(
         q = Um @ V
         nrm = jnp.linalg.norm(q, axis=0)
         q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]
-        return lam.astype(rdtype), q
+        lam = lam.astype(rdtype)
 
-    # In-loop plausibility cut: Ritz pairs with O(1) residual are never
-    # counted toward convergence (they are noise-space pairs that happen to
-    # land inside the interval; genuine pairs all sink below this quickly).
-    # Counterpart of fpm[38] spurious detection.
-    SPURIOUS_RES = 0.1
-
-    def body(state: HermitianState) -> HermitianState:
-        Qproj = filter_apply(state.Q)
-        lam, q = rayleigh_ritz(Qproj)
         res = residuals(apply_A, apply_B, lam, q)
         inside = (lam >= Emin) & (lam <= Emax)
         order = inside_first_order(lam, inside)
@@ -150,39 +142,75 @@ def feast_hermitian_core(
             converged=conv,
         )
 
-    init = HermitianState(
-        loop=jnp.int32(0),
-        Q=Q0,
-        lam=jnp.zeros((M0,), rdtype),
-        res=jnp.full((M0,), jnp.inf, rdtype),
-        inside=jnp.zeros((M0,), bool),
-        epsout=jnp.asarray(jnp.inf, rdtype),
-        trace=jnp.asarray(jnp.nan, rdtype),   # NaN: first trace check never
-        converged=jnp.asarray(False),         # passes (inf<=inf would)
-    )
+    return body
+
+
+def verify_spurious(state: HermitianState, filter_apply: Callable
+                    ) -> HermitianState:
+    """Final spurious verification (one extra contour application): the
+    spectral-projector norm rho_j = ||P q_j|| of a genuine inside eigenpair
+    is ~|f(lam_j)| >= ~0.5, while noise/duplicate pairs carry mostly
+    outside-spectrum mass (rho <= the filter's outside level). This is the
+    filter-value test FEAST's stochastic estimator is built on, applied as
+    an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
+    equioscillating outside response never decays with distance."""
+    rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
+    rho = jnp.linalg.norm(filter_apply(state.Q), axis=0)
+    genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
+    order = inside_first_order(state.lam, genuine)
+    return state._replace(
+        lam=state.lam[order], Q=state.Q[:, order], res=state.res[order],
+        inside=genuine[order],
+        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype))
+
+
+def feast_hermitian_core(
+    apply_A: Callable,
+    apply_B: Callable,
+    filter_apply: Callable,
+    Q0,
+    Emin,
+    Emax,
+    *,
+    tol: float,
+    max_loops: int,
+    convergence_criterion: int = 1,
+    subspace_only: bool = False,
+    rank_cut: float | None = None,
+) -> HermitianState:
+    """Fused-while_loop FEAST refinement; fully jittable.
+
+    Args:
+      apply_A / apply_B: (N, M0) -> (N, M0) operator applications, same dtype
+        as Q0 (real for the real-symmetric path, complex for Hermitian).
+      filter_apply: Q (N, M0) -> Q_proj (N, M0): the full spectral-projector
+        quadrature sum_e 2 Re[W_e (z_e B - A)^{-1} B] Q in whichever form the
+        driver realizes it. Factorization caching across refinement loops
+        (fpm[10], factor_cache of feast_dense.jl:147-213) is the driver's
+        choice: bake factors into this closure (cached) or refactor inside
+        it (uncached).
+      Q0: (N, M0) initial subspace.
+      Emin/Emax: search interval (traced scalars are fine).
+      tol: convergence tolerance (10^-fpm[3], dtype-floored).
+      max_loops: fpm[4]; the body runs at most max_loops+1 times, matching
+        the reference's ``for loop in 0:fpm[4]`` (feast_dense.jl:161).
+      convergence_criterion: fpm[6] — 1 residual (default), 0 trace.
+      subspace_only: fpm[14]=1 — return after the first filtered subspace.
+    """
+    init = init_hermitian_state(Q0)
 
     if subspace_only:
         Qproj = filter_apply(init.Q)
         U, _, _ = orthonormalize(Qproj)
         return init._replace(Q=U, loop=jnp.int32(1))
 
+    body = make_hermitian_body(apply_A, apply_B, filter_apply, Emin, Emax,
+                               tol=tol,
+                               convergence_criterion=convergence_criterion,
+                               rank_cut=rank_cut)
+
     def cond(state: HermitianState):
         return (~state.converged) & (state.loop < max_loops + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-
-    # Final spurious verification (one extra contour application): the
-    # spectral-projector norm rho_j = ||P q_j|| of a genuine inside eigenpair
-    # is ~|f(lam_j)| >= ~0.5, while noise/duplicate pairs carry mostly
-    # outside-spectrum mass (rho <= filter's outside level). This is the
-    # filter-value test FEAST's stochastic estimator is built on, applied as
-    # an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
-    # equioscillating outside response never decays with distance.
-    rho = jnp.linalg.norm(filter_apply(final.Q), axis=0)
-    genuine = final.inside & (rho > 0.25) & (final.res < SPURIOUS_RES)
-    order = inside_first_order(final.lam, genuine)
-    final = final._replace(
-        lam=final.lam[order], Q=final.Q[:, order], res=final.res[order],
-        inside=genuine[order],
-        epsout=jnp.max(jnp.where(genuine, final.res, 0.0)).astype(rdtype))
-    return final
+    return verify_spurious(final, filter_apply)

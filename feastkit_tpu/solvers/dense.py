@@ -5,11 +5,10 @@ Counterpart of the reference's ``src/dense/feast_dense.jl`` Hermitian core
 (feast_syev!/sygv! :356-400).
 
 TPU design: the ne shifted matrices (z_e B - A) are factored as ONE batched
-(ne, N, N) LU via vmap(lu_factor) — computed once outside the refinement
-while_loop, which is exactly the reference's ``factor_cache`` reuse semantics
-(feast_dense.jl:147-148,190-213). Per refinement loop the hot path is a
-batched multi-RHS triangular solve (ne, N, M0) + one einsum for the moment
-accumulation — both MXU-friendly.
+(ne, N, N) LU via vmap(lu_factor) — computed once, which is exactly the
+reference's ``factor_cache`` reuse semantics (feast_dense.jl:147-148,
+190-213). Per refinement loop the hot path is a batched multi-RHS triangular
+solve (ne, N, M0) + one einsum for the moment accumulation — MXU-friendly.
 
 Filter realization (see kernel/hermitian.py docstring):
 * real symmetric: REAL basis, Q_proj = Re(sum_e 2 W_e X_e) — the mirrored
@@ -18,6 +17,11 @@ Filter realization (see kernel/hermitian.py docstring):
 * complex Hermitian: Q_proj = sum_e (W_e X_e + conj(W_e) X'_e) where
   X'_e = (conj(z_e) B - A)^{-1} rhs = adjoint-solve on the SAME LU factors
   (Fortran zfeast_hrci ijob=20/21).
+
+Driving modes: fused lax.while_loop program by default; on the axon tunnel
+(utils/cio.complex_io_required) the refinement loop runs on the HOST with
+three small jitted programs (factor / one-iteration body / spurious verify)
+— the fused program exceeds that service's compile budget.
 """
 from __future__ import annotations
 
@@ -32,7 +36,10 @@ from ..core.contour import feast_contour
 from ..core.parameters import FeastConfig, _ensure_fpm
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastResult, _trim
-from ..kernel.hermitian import feast_hermitian_core
+from ..kernel.hermitian import (HermitianState, feast_hermitian_core,
+                                init_hermitian_state, make_hermitian_body,
+                                verify_spurious)
+from ..utils import cio
 from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_sygv", "feast_syev", "feast_hegv", "feast_heev",
@@ -58,26 +65,29 @@ def _shifted_pencils(A, B, Zne, standard: bool):
     return Zne[:, None, None] * B.astype(cdtype)[None] - Ac[None]
 
 
-def _make_solve_all(A, B, Zne, standard, store_factorization):
-    """rhs (N, M0) complex -> X (ne, N, M0) complex, and the adjoint variant.
-
-    Returns (solve_all, solve_all_adjoint). Both reuse a single batched LU
-    when store_factorization (fpm[10]=1); otherwise factors are recomputed
-    per call inside a lax.map (fpm[10]=0, low-memory mode: ne * N^2 extra
-    memory is never materialized)."""
-    shifted = _shifted_pencils(A, B, Zne, standard)
+def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
+    """rhs (N, M0) complex -> X (ne, N, M0) complex, plus the adjoint
+    variant. Reuses a single batched LU when store_factorization (fpm[10]=1;
+    precomputed factors may be supplied via lu_piv); otherwise factors are
+    recomputed per call inside a lax.map (fpm[10]=0 low-memory mode)."""
     if store_factorization:
-        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+        if lu_piv is None:
+            shifted = _shifted_pencils(A, B, Zne, standard)
+            lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+        else:
+            lu, piv = lu_piv
 
         def solve_all(rhs):
             return jax.vmap(lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
 
         def solve_all_adjoint(rhs):
-            # trans=2: solves (z_e B - A)^H X = rhs = (conj(z_e) B - A) X
-            # for Hermitian A, B — no second factorization needed.
+            # trans=2 solves (z_e B - A)^H X = (conj(z_e) B - A) X for
+            # Hermitian A, B — no second factorization needed.
             return jax.vmap(
                 lambda l, p: jsl.lu_solve((l, p), rhs, trans=2))(lu, piv)
     else:
+        shifted = _shifted_pencils(A, B, Zne, standard)
+
         def solve_all(rhs):
             return jax.lax.map(
                 lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
@@ -88,19 +98,12 @@ def _make_solve_all(A, B, Zne, standard, store_factorization):
     return solve_all, solve_all_adjoint
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "standard", "hermitian"))
-def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
-                         config: FeastConfig, standard: bool, hermitian: bool):
-    """Jitted dense symmetric/Hermitian FEAST.
-
-    A, B: (N, N) real (symmetric path) or complex (Hermitian path);
-    Q0 matches; Zne/Wne: (ne,) complex.
-    """
+def _make_ops(A, B, Zne, Wne, *, standard, hermitian, store_factorization,
+              lu_piv=None):
+    """(apply_A, apply_B, filter_apply) for the given operands."""
     cdtype = Zne.dtype
     solve_all, solve_all_adj = _make_solve_all(
-        A, B, Zne, standard, config.store_factorization)
-
+        A, B, Zne, standard, store_factorization, lu_piv)
     apply_A = lambda X: A @ X
     apply_B = (lambda X: X) if standard else (lambda X: B @ X)
 
@@ -109,7 +112,7 @@ def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
         Wc = jnp.conj(W)
 
         def filter_apply(Q):
-            rhs = apply_B(Q)
+            rhs = apply_B(Q).astype(cdtype)
             X = solve_all(rhs)
             Xa = solve_all_adj(rhs)
             return (jnp.einsum("e,enm->nm", W, X)
@@ -122,17 +125,99 @@ def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
             X = solve_all(rhs)
             return jnp.real(jnp.einsum("e,enm->nm", W2, X)).astype(Q.dtype)
 
+    return apply_A, apply_B, filter_apply
+
+
+# ---------------------------------------------------------------------------
+# Fused path: one program for the whole refinement
+# ---------------------------------------------------------------------------
+
+@cjit(static_argnames=("config", "standard", "hermitian"))
+def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
+                         config: FeastConfig, standard: bool, hermitian: bool):
+    apply_A, apply_B, filter_apply = _make_ops(
+        A, B, Zne, Wne, standard=standard, hermitian=hermitian,
+        store_factorization=config.store_factorization)
     return feast_hermitian_core(
         apply_A, apply_B, filter_apply, Q0, Emin, Emax,
         tol=config.tol, max_loops=config.max_loops,
         convergence_criterion=config.convergence_criterion,
-        subspace_only=(config.mode == 1),
-    )
+        subspace_only=(config.mode == 1))
+
+
+# ---------------------------------------------------------------------------
+# Host-driven path: three small programs (factor / body / verify)
+# ---------------------------------------------------------------------------
+
+@cjit(static_argnames=("standard",))
+def _dense_factor_jit(A, B, Zne, *, standard: bool):
+    shifted = _shifted_pencils(A, B, Zne, standard)
+    return jax.vmap(jsl.lu_factor)(shifted)
+
+
+@cjit(static_argnames=("config", "standard", "hermitian"))
+def _dense_body_jit(A, B, lu, piv, Zne, Wne, state, Emin, Emax, *,
+                    config: FeastConfig, standard: bool, hermitian: bool):
+    apply_A, apply_B, filter_apply = _make_ops(
+        A, B, Zne, Wne, standard=standard, hermitian=hermitian,
+        store_factorization=config.store_factorization,
+        lu_piv=(lu, piv) if config.store_factorization else None)
+    body = make_hermitian_body(
+        apply_A, apply_B, filter_apply, Emin, Emax, tol=config.tol,
+        convergence_criterion=config.convergence_criterion)
+    return body(state)
+
+
+@cjit(static_argnames=("config", "standard", "hermitian", "mode"))
+def _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state, *, config,
+                        standard: bool, hermitian: bool, mode: str = "verify"):
+    apply_A, apply_B, filter_apply = _make_ops(
+        A, B, Zne, Wne, standard=standard, hermitian=hermitian,
+        store_factorization=config.store_factorization,
+        lu_piv=(lu, piv) if config.store_factorization else None)
+    if mode == "subspace":
+        from ..core.tools import orthonormalize
+        U, _, _ = orthonormalize(filter_apply(state.Q))
+        return state._replace(Q=U, loop=jnp.int32(1))
+    return verify_spurious(state, filter_apply)
+
+
+def _host_state(Q0):
+    """Initial HermitianState with host-numpy leaves."""
+    M0 = Q0.shape[1]
+    rdtype = np.float32 if Q0.dtype in (np.dtype(np.float32),
+                                        np.dtype(np.complex64)) else np.float64
+    return HermitianState(
+        loop=np.int32(0), Q=Q0,
+        lam=np.zeros(M0, rdtype), res=np.full(M0, np.inf, rdtype),
+        inside=np.zeros(M0, bool), epsout=rdtype(np.inf),
+        trace=rdtype(np.nan), converged=np.bool_(False))
+
+
+def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
+                   hermitian):
+    if config.store_factorization:
+        lu, piv = _dense_factor_jit(A, B, Zne, standard=standard)
+    else:
+        lu = piv = None
+    state = _host_state(Q0)
+    if config.mode == 1:     # subspace-only
+        return _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+                                   config=config, standard=standard,
+                                   hermitian=hermitian, mode="subspace")
+    for _ in range(config.max_loops + 1):
+        state = _dense_body_jit(A, B, lu, piv, Zne, Wne, state, Emin, Emax,
+                                config=config, standard=standard,
+                                hermitian=hermitian)
+        if bool(fetch(state.converged)):
+            break
+    return _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state, config=config,
+                               standard=standard, hermitian=hermitian)
 
 
 def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
                           Q0=None, hermitian=None) -> FeastResult:
-    """Shared dense symmetric/Hermitian driver (host wrapper around the jit).
+    """Shared dense symmetric/Hermitian driver (host wrapper around the jits).
 
     ``hermitian=False`` runs the all-real iteration (feast_sygv!'s
     promote/strip round trip, feast_dense.jl:356-400, without the pointless
@@ -158,7 +243,7 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
     if hermitian is None:
         hermitian = np.iscomplexobj(A) or (not standard and np.iscomplexobj(B))
-    work_dtype = np.dtype(cdtype) if hermitian else np.dtype(rdtype)
+    work_dtype = np.dtype(str(jnp.dtype(cdtype if hermitian else rdtype)))
     A = A.astype(work_dtype)
     if not standard:
         B = B.astype(work_dtype)
@@ -169,22 +254,32 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         contour = feast_get_custom_contour(fpm)  # fpm[29] registry
     if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
-    Zne = jnp.asarray(contour.Zne, dtype=cdtype)
-    Wne = jnp.asarray(contour.Wne, dtype=cdtype)
+    cdtype_np = np.dtype(str(jnp.dtype(cdtype)))
+    rdtype_np = np.float32 if cdtype_np == np.complex64 else np.float64
+    Zne = np.asarray(contour.Zne, dtype=cdtype_np)
+    Wne = np.asarray(contour.Wne, dtype=cdtype_np)
     if Q0 is None:
         Q0 = seeded_subspace(N, M0, work_dtype)
     else:
-        Q0 = jnp.asarray(Q0, dtype=work_dtype)
+        Q0 = np.asarray(Q0, dtype=work_dtype)
 
-    state = _dense_hermitian_jit(
-        A, B if not standard else A,  # dummy arg keeps jit signature fixed
-        Zne, Wne, Q0, jnp.asarray(Emin, rdtype), jnp.asarray(Emax, rdtype),
-        config=config, standard=standard, hermitian=bool(hermitian))
+    B_arg = B if not standard else A    # dummy keeps jit signature fixed
+    if cio.complex_io_required():
+        state = _run_host_loop(A, B_arg, Zne, Wne, Q0,
+                               rdtype_np(Emin), rdtype_np(Emax),
+                               config=config, standard=standard,
+                               hermitian=bool(hermitian))
+    else:
+        state = _dense_hermitian_jit(A, B_arg, Zne, Wne, Q0,
+                                     rdtype_np(Emin), rdtype_np(Emax),
+                                     config=config, standard=standard,
+                                     hermitian=bool(hermitian))
 
-    info = FeastError.SUCCESS if bool(state.converged) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, np.asarray(state.lam), np.asarray(state.Q),
-                 np.asarray(state.res), np.asarray(state.inside),
-                 int(info), float(state.epsout), int(state.loop) - 1)
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1)
 
 
 def feast_sygv(A, B, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:

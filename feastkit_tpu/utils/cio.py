@@ -35,8 +35,15 @@ def _is_pair(x):
 
 @functools.lru_cache(maxsize=1)
 def complex_io_required() -> bool:
+    """True when running through the axon tunnel (its devices report
+    platform 'tpu', so detect via the jax_platforms config the axon
+    sitecustomize pins, plus the active default backend)."""
     try:
-        return jax.devices()[0].platform == "axon"
+        platforms = (jax.config.jax_platforms or "")
+        if "axon" not in platforms:
+            return False
+        # If the user switched to the CPU backend (tests), transfers are fine.
+        return jax.default_backend() != "cpu"
     except Exception:
         return False
 

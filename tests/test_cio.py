@@ -80,3 +80,31 @@ def test_general_solver_through_packed_path(forced_packed):
     r = feast_geev(A, 0.6 + 0.0j, 0.4, 3)
     assert r.M == 2
     assert np.iscomplexobj(r.lam)
+
+
+def test_dense_host_loop_path(forced_packed):
+    """The axon driving mode: host-driven refinement loop with small jitted
+    factor/body/verify programs, matching the fused-path results."""
+    from feastkit_tpu.solvers.dense import feast_syev
+    import feastkit_tpu.utils.cio as _cio
+    n = 60
+    A = laplacian_1d(n)
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.5)])
+    r = feast_syev(A, 0.5, 1.5, len(exp) + 3)       # host loop (forced)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+
+
+def test_dense_host_loop_hermitian(forced_packed):
+    from feastkit_tpu.solvers.dense import feast_heev
+    rng = np.random.default_rng(1)
+    n = 40
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    w = np.linalg.eigvalsh(H)
+    Emin, Emax = w[15] - 1e-9, w[25] + 1e-9
+    exp = np.sort(w[(w >= Emin) & (w <= Emax)])
+    r = feast_heev(H, Emin, Emax, 14)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9

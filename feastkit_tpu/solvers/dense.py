@@ -65,11 +65,44 @@ def _shifted_pencils(A, B, Zne, standard: bool):
     return Zne[:, None, None] * B.astype(cdtype)[None] - Ac[None]
 
 
+def _refine_iters_for(cdtype) -> int:
+    """LU iterative-refinement sweeps. The TPU expansion of LU/triangular
+    solve carries a ~1e-3 relative backward error in complex64 (bf16-level
+    internal products), far above the f32 residual floor; 1-2 refinement
+    sweeps with HIGHEST-precision residual matmuls restore ~1e-7. LAPACK
+    paths (CPU) don't need it."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    if plat == "cpu":
+        return 0
+    return 2 if jnp.dtype(cdtype) == jnp.complex64 else 1
+
+
 def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
     """rhs (N, M0) complex -> X (ne, N, M0) complex, plus the adjoint
     variant. Reuses a single batched LU when store_factorization (fpm[10]=1;
     precomputed factors may be supplied via lu_piv); otherwise factors are
-    recomputed per call inside a lax.map (fpm[10]=0 low-memory mode)."""
+    recomputed per call inside a lax.map (fpm[10]=0 low-memory mode).
+    Solves are iteratively refined (see _refine_iters_for)."""
+    cdtype = Zne.dtype
+    Ac = A.astype(cdtype)
+    Bc = None if standard else B.astype(cdtype)
+    n_ref = _refine_iters_for(cdtype)
+
+    def apply_shift(z, X, adjoint=False):
+        zz = jnp.conj(z) if adjoint else z
+        BX = X if standard else Bc @ X
+        return zz * BX - Ac @ X
+
+    def refined(solve1, z, rhs, adjoint):
+        X = solve1(rhs)
+        for _ in range(n_ref):
+            R = rhs - apply_shift(z, X, adjoint)
+            X = X + solve1(R)
+        return X
+
     if store_factorization:
         if lu_piv is None:
             shifted = _shifted_pencils(A, B, Zne, standard)
@@ -78,23 +111,32 @@ def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
             lu, piv = lu_piv
 
         def solve_all(rhs):
-            return jax.vmap(lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+            return jax.vmap(lambda l, p, z: refined(
+                lambda r: jsl.lu_solve((l, p), r), z, rhs, False))(lu, piv, Zne)
 
         def solve_all_adjoint(rhs):
             # trans=2 solves (z_e B - A)^H X = (conj(z_e) B - A) X for
             # Hermitian A, B — no second factorization needed.
-            return jax.vmap(
-                lambda l, p: jsl.lu_solve((l, p), rhs, trans=2))(lu, piv)
+            return jax.vmap(lambda l, p, z: refined(
+                lambda r: jsl.lu_solve((l, p), r, trans=2), z, rhs,
+                True))(lu, piv, Zne)
     else:
         shifted = _shifted_pencils(A, B, Zne, standard)
 
         def solve_all(rhs):
-            return jax.lax.map(
-                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+            def one(mz):
+                m, z = mz
+                f = jsl.lu_factor(m)
+                return refined(lambda r: jsl.lu_solve(f, r), z, rhs, False)
+            return jax.lax.map(one, (shifted, Zne))
 
         def solve_all_adjoint(rhs):
-            return jax.lax.map(
-                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs, trans=2), shifted)
+            def one(mz):
+                m, z = mz
+                f = jsl.lu_factor(m)
+                return refined(lambda r: jsl.lu_solve(f, r, trans=2), z, rhs,
+                               True)
+            return jax.lax.map(one, (shifted, Zne))
     return solve_all, solve_all_adjoint
 
 

@@ -101,7 +101,15 @@ def cjit(fun=None, *, static_argnames=()):
     if fun is None:
         return functools.partial(cjit, static_argnames=static_argnames)
 
-    plain = jax.jit(fun, static_argnames=static_argnames)
+    # TPU matmuls default to bfloat16 inputs (fast, ~3 significant digits per
+    # product) — fatal for an eigensolver's residual floor. Pin float32
+    # precision for everything traced through this boundary (no effect on
+    # f64 or on CPU).
+    def fun_hp(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fun(*a, **k)
+
+    plain = jax.jit(fun_hp, static_argnames=static_argnames)
 
     @functools.partial(jax.jit, static_argnames=static_argnames)
     def packed(*args, **kw):
@@ -109,7 +117,7 @@ def cjit(fun=None, *, static_argnames=()):
         kw_dyn = {k: v for k, v in kw.items() if k not in static_argnames}
         kw_static = {k: v for k, v in kw.items() if k in static_argnames}
         kw_dyn = merge_tree(kw_dyn)
-        out = fun(*args, **kw_dyn, **kw_static)
+        out = fun_hp(*args, **kw_dyn, **kw_static)
         return jax.tree_util.tree_map(_split_traced, out)
 
     @functools.wraps(fun)

@@ -71,8 +71,10 @@ def feast_general_core(
     if rank_cut is None:
         rank_cut = float(jnp.finfo(rdtype).eps) ** 0.25
     pair = (lambda U: U.T) if bilinear else (lambda U: U.conj().T)
-    # Deflated directions' Ritz marker: far outside any ellipse of radius r.
-    marker = Emid + (1e4 * r) * (1.0 + 0.0j)
+    # Deflated directions' Ritz marker: outside the ellipse but O(scale) -
+    # a huge marker inflates the reduced pencil's norm and the small-eig
+    # eigenvector error (see kernel/hermitian.py BIG).
+    marker = Emid + (3.0 * r) * (1.0 + 0.0j)
     rot = np.exp(-1j * (rotation_deg / 180.0) * np.pi)
 
     def inside_region(lam):

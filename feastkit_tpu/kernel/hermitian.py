@@ -106,8 +106,11 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
             # eps^(1/4) cuts cleanly above that floor while staying far below
             # genuine directions (s >~ |filter| ~ 1e-2).
             cut = float(jnp.finfo(rdtype).eps) ** 0.25
-        # Deflated directions get Ritz value BIG, outside the interval.
-        BIG = 1e3 * (1.0 + jnp.abs(Emin) + jnp.abs(Emax)).astype(rdtype)
+        # Deflated directions get Ritz value BIG, just outside the interval.
+        # BIG must stay O(spectrum scale): a huge marker inflates ||S|| and
+        # the reduced-eigh eigenvector error (~eps*||S||/gap) wrecks f32
+        # convergence (observed 1e-2 stall on TPU with BIG ~ 1e3).
+        BIG = (Emax + 2.0 * (Emax - Emin)).astype(rdtype)
 
         Qproj = filter_apply(state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)

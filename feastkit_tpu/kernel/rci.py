@@ -190,7 +190,7 @@ class FeastSRCI(_RCIBase):
     def _rr(self, AU, G):
         U = self._U
         m = self._mask
-        BIG = 1e3 * (1 + abs(self.Emin) + abs(self.Emax))
+        BIG = self.Emax + 2.0 * (self.Emax - self.Emin)
         S = U.T @ AU + BIG * np.diag(1 - m)
         G = G + np.diag(1 - m)
         S = (S + S.T) / 2
@@ -329,7 +329,7 @@ class FeastHRCI(FeastSRCI):
         import scipy.linalg as sla
         U = self._U
         m = self._mask
-        BIG = 1e3 * (1 + abs(self.Emin) + abs(self.Emax))
+        BIG = self.Emax + 2.0 * (self.Emax - self.Emin)
         S = U.conj().T @ AU + BIG * np.diag(1 - m)
         G = G + np.diag(1 - m)
         S = (S + S.conj().T) / 2
@@ -464,7 +464,7 @@ class FeastGRCI(_RCIBase):
         import scipy.linalg as sla
         U = self._U
         m = self._mask
-        marker = self.Emid + 1e4 * self.r
+        marker = self.Emid + 3.0 * self.r
         S = self._pair(U) @ AU + marker * np.diag(1 - m)
         G = G + np.diag(1 - m)
         lam, V = sla.eig(S, G)

@@ -53,35 +53,18 @@ def cpu_reference(A, B, Emin, Emax, M0, ne, loops=3):
 
 
 def _device_run(n, M0, ne, A, B, Emin, Emax):
-    """Measure the jitted solve on the current default device. Fetches a
-    result VALUE every run — on the axon backend block_until_ready does not
-    surface execution errors, so timing without a fetch can read 0."""
-    import jax
-    import jax.numpy as jnp
-    from feastkit_tpu.core.contour import feast_contour
-    from feastkit_tpu.core.parameters import FeastConfig
-    from feastkit_tpu.core.tools import seeded_subspace
-    from feastkit_tpu.solvers.dense import _dense_hermitian_jit
+    """Measure the full public solve on the current default device (warm:
+    first call compiles). Every run fetches result values."""
+    from feastkit_tpu.core.parameters import feastinit
+    from feastkit_tpu.solvers.dense import feast_sygv
 
-    c = feast_contour(Emin, Emax, ne=ne, quadrature=0, aspect_ratio=1.0)
-    cdtype = jnp.complex64
-    # Fixed loop count for a deterministic measurement: 3 refinement loops is
-    # the converged-regime cost (factorization + 3x solve/RR).
-    config = FeastConfig(ne=ne, tol=1e-30, max_loops=2)  # exactly 3 body iters
-
-    Aj = jnp.asarray(A)
-    Bj = jnp.asarray(B)
-    Zne = jnp.asarray(c.Zne, cdtype)
-    Wne = jnp.asarray(c.Wne, cdtype)
-    Q0 = seeded_subspace(n, M0, jnp.float32)
-    Emin_j = jnp.float32(Emin)
-    Emax_j = jnp.float32(Emax)
+    fpm = feastinit()
+    fpm[2] = ne
 
     def run():
-        st = _dense_hermitian_jit(Aj, Bj, Zne, Wne, Q0, Emin_j, Emax_j,
-                                  config=config, standard=False,
-                                  hermitian=False)
-        return float(np.asarray(st.epsout))   # value fetch = real execution
+        r = feast_sygv(A, B, Emin, Emax, M0, fpm)
+        assert r.M > 0, "benchmark solve found no eigenpairs"
+        return r
 
     run()                      # compile + warm up (and surface errors)
     times = []
@@ -94,12 +77,18 @@ def _device_run(n, M0, ne, A, B, Emin, Emax):
 
 def main():
     import jax
+    import scipy.linalg as sla
 
     n, M0, ne = 2048, 32, 16
-    Emin, Emax = 0.5, 1.5
     A, B = _problem(n)
+    # interval enclosing 24 eigenvalues of the pencil (ground truth once)
+    w = sla.eigh(A.astype(np.float64), B.astype(np.float64),
+                 eigvals_only=True)
+    k = n // 2
+    Emin = float((w[k - 1] + w[k]) / 2)
+    Emax = float((w[k + 23] + w[k + 24]) / 2)
 
-    metric = "dense_sygv_n2048_ne16_M0_32_3loops"
+    metric = "dense_sygv_n2048_ne16_M0_32"
     try:
         device_time = _device_run(n, M0, ne, A, B, Emin, Emax)
     except Exception:

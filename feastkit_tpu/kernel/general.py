@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..core.tools import inside_first_order
 from ..ops.eig import generalized_eig
 
-__all__ = ["GeneralState", "feast_general_core"]
+__all__ = ["GeneralState", "feast_general_core", "make_general_body",
+           "init_general_state", "verify_spurious_general"]
 
 
 class GeneralState(NamedTuple):
@@ -65,16 +66,49 @@ def feast_general_core(
     rotated ellipse (Emid, r, aspect_ratio, rotation_deg) and ``bilinear``
     selects the complex-symmetric transpose pairing.
     """
-    N, M0 = Q0.shape
+    init = init_general_state(Q0)
+
+    if subspace_only:
+        Qproj = filter_apply(init.Q)
+        U, _, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        return init._replace(Q=U, loop=jnp.int32(1))
+
+    body = make_general_body(
+        apply_A, apply_B, filter_apply, Emid, r, tol=tol,
+        aspect_ratio=aspect_ratio, rotation_deg=rotation_deg,
+        convergence_criterion=convergence_criterion, bilinear=bilinear,
+        eig_method=eig_method, rank_cut=rank_cut)
+
+    final = jax.lax.while_loop(
+        lambda s: (~s.converged) & (s.loop < max_loops + 1), body, init)
+    return verify_spurious_general(final, filter_apply)
+
+
+SPURIOUS_RES = 0.1
+
+
+def init_general_state(Q0) -> GeneralState:
+    M0 = Q0.shape[1]
     cdtype = Q0.dtype
     rdtype = jnp.finfo(cdtype).dtype
-    if rank_cut is None:
-        rank_cut = float(jnp.finfo(rdtype).eps) ** 0.25
+    return GeneralState(
+        loop=jnp.int32(0),
+        Q=Q0,
+        lam=jnp.zeros((M0,), cdtype),
+        res=jnp.full((M0,), jnp.inf, rdtype),
+        inside=jnp.zeros((M0,), bool),
+        epsout=jnp.asarray(jnp.inf, rdtype),
+        trace=jnp.asarray(jnp.nan, cdtype),
+        converged=jnp.asarray(False),
+    )
+
+
+def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
+                      aspect_ratio=1.0, rotation_deg=0.0,
+                      convergence_criterion=1, bilinear=False,
+                      eig_method="callback", rank_cut=None):
+    """One general-FEAST refinement iteration as a pure state -> state fn."""
     pair = (lambda U: U.T) if bilinear else (lambda U: U.conj().T)
-    # Deflated directions' Ritz marker: outside the ellipse but O(scale) -
-    # a huge marker inflates the reduced pencil's norm and the small-eig
-    # eigenvector error (see kernel/hermitian.py BIG).
-    marker = Emid + (3.0 * r) * (1.0 + 0.0j)
     rot = np.exp(-1j * (rotation_deg / 180.0) * np.pi)
 
     def inside_region(lam):
@@ -83,11 +117,19 @@ def feast_general_core(
         y = w.imag / (r * aspect_ratio)
         return x * x + y * y <= 1.0
 
-    SPURIOUS_RES = 0.1
+    def body(state: GeneralState) -> GeneralState:
+        cdtype = state.Q.dtype
+        rdtype = jnp.finfo(cdtype).dtype
+        cut = rank_cut if rank_cut is not None \
+            else float(jnp.finfo(rdtype).eps) ** 0.25
+        # Deflated directions' Ritz marker: outside the ellipse but O(scale)
+        # (a huge marker inflates the reduced pencil norm and the small-eig
+        # eigenvector error; see kernel/hermitian.py BIG).
+        marker = Emid + (3.0 * r) * (1.0 + 0.0j)
 
-    def rayleigh_ritz(Qproj):
+        Qproj = filter_apply(state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
-        m = (s >= rank_cut * s[0]).astype(rdtype)
+        m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
         dead = jnp.diag(1.0 - m).astype(cdtype)
         S = pair(Um) @ apply_A(Um) + marker * dead
@@ -96,16 +138,9 @@ def feast_general_core(
         q = Um @ V
         nrm = jnp.linalg.norm(q, axis=0)
         q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]
-        return lam, q
 
-    def compute_res(lam, q):
         Rm = apply_A(q) - lam[None, :] * apply_B(q)
-        return jnp.linalg.norm(Rm, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
-
-    def body(state: GeneralState) -> GeneralState:
-        Qproj = filter_apply(state.Q)
-        lam, q = rayleigh_ritz(Qproj)
-        res = compute_res(lam, q)
+        res = jnp.linalg.norm(Rm, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
         inside = inside_region(lam)
         order = inside_first_order(lam, inside, general=True)
         lam, q, res, inside = lam[order], q[:, order], res[order], inside[order]
@@ -121,31 +156,16 @@ def feast_general_core(
         return GeneralState(state.loop + 1, q, lam, res, inside,
                             epsout.astype(rdtype), trace.astype(cdtype), conv)
 
-    init = GeneralState(
-        loop=jnp.int32(0),
-        Q=Q0,
-        lam=jnp.zeros((M0,), cdtype),
-        res=jnp.full((M0,), jnp.inf, rdtype),
-        inside=jnp.zeros((M0,), bool),
-        epsout=jnp.asarray(jnp.inf, rdtype),
-        trace=jnp.asarray(jnp.nan, cdtype),
-        converged=jnp.asarray(False),
-    )
+    return body
 
-    if subspace_only:
-        Qproj = filter_apply(init.Q)
-        U, _, _ = jnp.linalg.svd(Qproj, full_matrices=False)
-        return init._replace(Q=U, loop=jnp.int32(1))
 
-    final = jax.lax.while_loop(
-        lambda s: (~s.converged) & (s.loop < max_loops + 1), body, init)
-
-    # Final spurious verification via spectral-projector norm (see
-    # kernel/hermitian.py): genuine inside pairs have ||P q|| ~ |f(lam)| ~ 1.
-    rho = jnp.linalg.norm(filter_apply(final.Q), axis=0)
-    genuine = final.inside & (rho > 0.25) & (final.res < SPURIOUS_RES)
-    order = inside_first_order(final.lam, genuine, general=True)
-    return final._replace(
-        lam=final.lam[order], Q=final.Q[:, order], res=final.res[order],
+def verify_spurious_general(state: GeneralState, filter_apply) -> GeneralState:
+    """Final projector-norm spurious acceptance (see kernel/hermitian.py)."""
+    rdtype = jnp.finfo(state.Q.dtype).dtype
+    rho = jnp.linalg.norm(filter_apply(state.Q), axis=0)
+    genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
+    order = inside_first_order(state.lam, genuine, general=True)
+    return state._replace(
+        lam=state.lam[order], Q=state.Q[:, order], res=state.res[order],
         inside=genuine[order],
-        epsout=jnp.max(jnp.where(genuine, final.res, 0.0)).astype(rdtype))
+        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype))

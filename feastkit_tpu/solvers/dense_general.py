@@ -17,8 +17,12 @@ from ..core.contour import feast_gcontour
 from ..core.parameters import FeastConfig, _ensure_fpm
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, _trim
-from ..kernel.general import feast_general_core
+from ..kernel.general import (feast_general_core, GeneralState,
+                              init_general_state, make_general_body,
+                              verify_spurious_general)
+from ..utils import cio
 from ..utils.cio import cjit, fetch
+from .dense import _make_solve_all
 
 __all__ = ["feast_gegv", "feast_geev", "feast_gegv_complex_sym",
            "feast_geev_complex_sym", "feast_pep", "dense_general_feast"]
@@ -29,33 +33,27 @@ def _cdtype_of(*arrays):
     return jnp.complex64 if dt in (jnp.float32, jnp.complex64) else jnp.complex128
 
 
-@cjit(static_argnames=("config", "standard", "bilinear", "eig_method"))
-def _dense_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
-                       standard: bool, bilinear: bool, eig_method: str):
-    N = A.shape[0]
-    cdtype = A.dtype
-
-    if standard:
-        shifted = Zne[:, None, None] * jnp.eye(N, dtype=cdtype)[None] - A[None]
-        apply_B = lambda X: X
-    else:
-        shifted = Zne[:, None, None] * B[None] - A[None]
-        apply_B = lambda X: B @ X
+def _general_ops(A, B, Zne, Wne, *, standard, store_factorization,
+                 lu_piv=None):
+    solve_all, _ = _make_solve_all(A, B, Zne, standard, store_factorization,
+                                   lu_piv)
     apply_A = lambda X: A @ X
-
-    if config.store_factorization:
-        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
-        solve_all = lambda rhs: jax.vmap(
-            lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
-    else:
-        solve_all = lambda rhs: jax.lax.map(
-            lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+    apply_B = (lambda X: X) if standard else (lambda X: B @ X)
 
     def filter_apply(Q):
         rhs = apply_B(Q)
         X = solve_all(rhs)
         return jnp.einsum("e,enm->nm", Wne, X)
 
+    return apply_A, apply_B, filter_apply
+
+
+@cjit(static_argnames=("config", "standard", "bilinear", "eig_method"))
+def _dense_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
+                       standard: bool, bilinear: bool, eig_method: str):
+    apply_A, apply_B, filter_apply = _general_ops(
+        A, B, Zne, Wne, standard=standard,
+        store_factorization=config.store_factorization)
     return feast_general_core(
         apply_A, apply_B, filter_apply, Q0, Emid, r,
         tol=config.tol, max_loops=config.max_loops,
@@ -65,10 +63,84 @@ def _dense_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
         eig_method=eig_method)
 
 
+@cjit(static_argnames=("standard",))
+def _general_factor_jit(A, B, Zne, *, standard: bool):
+    from .dense import _shifted_pencils
+    shifted = _shifted_pencils(A, B, Zne, standard)
+    return jax.vmap(jsl.lu_factor)(shifted)
+
+
+@cjit(static_argnames=("config", "standard", "bilinear", "eig_method"))
+def _general_body_jit(A, B, lu, piv, Zne, Wne, state, Emid, r, *,
+                      config: FeastConfig, standard: bool, bilinear: bool,
+                      eig_method: str):
+    apply_A, apply_B, filter_apply = _general_ops(
+        A, B, Zne, Wne, standard=standard,
+        store_factorization=config.store_factorization,
+        lu_piv=(lu, piv) if config.store_factorization else None)
+    body = make_general_body(
+        apply_A, apply_B, filter_apply, Emid, r, tol=config.tol,
+        aspect_ratio=config.aspect_ratio, rotation_deg=config.rotation_deg,
+        convergence_criterion=config.convergence_criterion, bilinear=bilinear,
+        eig_method=eig_method)
+    return body(state)
+
+
+@cjit(static_argnames=("config", "standard", "mode"))
+def _general_finalize_jit(A, B, lu, piv, Zne, Wne, state, *, config,
+                          standard: bool, mode: str = "verify"):
+    apply_A, apply_B, filter_apply = _general_ops(
+        A, B, Zne, Wne, standard=standard,
+        store_factorization=config.store_factorization,
+        lu_piv=(lu, piv) if config.store_factorization else None)
+    if mode == "subspace":
+        U, _, _ = jnp.linalg.svd(filter_apply(state.Q), full_matrices=False)
+        return state._replace(Q=U, loop=jnp.int32(1))
+    return verify_spurious_general(state, filter_apply)
+
+
+def _general_host_state(Q0):
+    M0 = Q0.shape[1]
+    rdtype = np.float32 if Q0.dtype == np.dtype(np.complex64) else np.float64
+    cdtype = Q0.dtype
+    return GeneralState(
+        loop=np.int32(0), Q=Q0,
+        lam=np.zeros(M0, cdtype), res=np.full(M0, np.inf, rdtype),
+        inside=np.zeros(M0, bool), epsout=rdtype(np.inf),
+        trace=np.asarray(np.nan, cdtype)[()], converged=np.bool_(False))
+
+
+def _run_general_host_loop(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
+                           bilinear, eig_method):
+    if config.store_factorization:
+        lu, piv = _general_factor_jit(A, B, Zne, standard=standard)
+    else:
+        lu = piv = None
+    state = _general_host_state(Q0)
+    if config.mode == 1:
+        return _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+                                     config=config, standard=standard,
+                                     mode="subspace")
+    for _ in range(config.max_loops + 1):
+        state = _general_body_jit(A, B, lu, piv, Zne, Wne, state, Emid, r,
+                                  config=config, standard=standard,
+                                  bilinear=bilinear, eig_method=eig_method)
+        if bool(fetch(state.converged)):
+            break
+    return _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+                                 config=config, standard=standard)
+
+
 def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
-                        bilinear=False, eig_method="callback"
+                        bilinear=False, eig_method=None
                         ) -> FeastGeneralResult:
-    """Shared dense general/complex-symmetric driver."""
+    """Shared dense general/complex-symmetric driver.
+
+    eig_method: 'callback' (host zgeev) or 'qr' (on-device Schur). Defaults
+    to 'callback' except on the axon tunnel, where host callbacks cannot run
+    in the remote executor -> 'qr'."""
+    if eig_method is None:
+        eig_method = "qr" if cio.complex_io_required() else "callback"
     fpm = _ensure_fpm(fpm)
     A = np.asarray(A)
     standard = B is None
@@ -104,11 +176,18 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
         Q0 = np.asarray(Q0, cdtype)
 
     rdtype = np.float32 if cdtype == np.complex64 else np.float64
-    state = _dense_general_jit(
-        A, B if not standard else A, Zne, Wne, Q0,
-        np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
-        config=config, standard=standard, bilinear=bilinear,
-        eig_method=eig_method)
+    B_arg = B if not standard else A
+    if cio.complex_io_required():
+        state = _run_general_host_loop(
+            A, B_arg, Zne, Wne, Q0, np.asarray(complex(Emid), cdtype)[()],
+            rdtype(float(r)), config=config, standard=standard,
+            bilinear=bilinear, eig_method=eig_method)
+    else:
+        state = _dense_general_jit(
+            A, B_arg, Zne, Wne, Q0,
+            np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
+            config=config, standard=standard, bilinear=bilinear,
+            eig_method=eig_method)
 
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),

@@ -37,9 +37,10 @@ from ..kernel.hermitian import feast_hermitian_core
 from ..solvers.dense import _dtypes_of, _shifted_pencils
 from ..utils.cio import cjit, fetch
 
-__all__ = ["contour_mesh", "pad_contour", "pfeast_dense"]
+__all__ = ["contour_mesh", "contour_rhs_mesh", "pad_contour", "pfeast_dense"]
 
 AXIS = "contour"
+RHS_AXIS = "rhs"
 
 
 def contour_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -50,6 +51,16 @@ def contour_mesh(n_devices: int | None = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))
+
+
+def contour_rhs_mesh(n_contour: int, n_rhs: int, devices=None) -> Mesh:
+    """2-D mesh (contour x rhs): contour nodes on one axis, RHS columns on
+    the other — the second scalability axis of SURVEY.md section 5 (the
+    reference only exploits M0 implicitly via multi-RHS LAPACK calls)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_contour * n_rhs]).reshape(n_contour, n_rhs)
+    return Mesh(devices, (AXIS, RHS_AXIS))
 
 
 def pad_contour(Zne, Wne, n_shards: int):
@@ -76,6 +87,9 @@ def _pfeast_dense_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
     """Sharded dense FEAST: contour nodes sharded over the mesh axis, the
     refinement loop replicated, one psum of the filtered subspace per loop."""
 
+    has_rhs_axis = RHS_AXIS in mesh.axis_names
+    n_rhs = mesh.shape[RHS_AXIS] if has_rhs_axis else 1
+
     def device_program(A, B, Zl, Wl, Q0, Emin, Emax):
         # Local factor cache over this device's contour slice.
         shifted = _shifted_pencils(A, B, Zl, standard)
@@ -95,22 +109,35 @@ def _pfeast_dense_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
         apply_B = (lambda X: X) if standard else (lambda X: B @ X)
         cdtype = Zl.dtype
 
+        def rhs_local(Q):
+            """Slice this device's RHS-column block (2-axis meshes only)."""
+            if not has_rhs_axis:
+                return Q
+            m_loc = Q.shape[1] // n_rhs
+            j = jax.lax.axis_index(RHS_AXIS)
+            return jax.lax.dynamic_slice_in_dim(Q, j * m_loc, m_loc, axis=1)
+
+        def rhs_gather(Qp):
+            if not has_rhs_axis:
+                return Qp
+            return jax.lax.all_gather(Qp, RHS_AXIS, axis=1, tiled=True)
+
         if hermitian:
             W = Wl.astype(cdtype)
 
             def filter_apply(Q):
-                rhs = apply_B(Q)
+                rhs = apply_B(rhs_local(Q))
                 local = (jnp.einsum("e,enm->nm", W, solve(rhs))
                          + jnp.einsum("e,enm->nm", jnp.conj(W), solve_adj(rhs)))
-                return jax.lax.psum(local, AXIS)
+                return rhs_gather(jax.lax.psum(local, AXIS))
         else:
             W2 = (2.0 * Wl).astype(cdtype)
 
             def filter_apply(Q):
-                rhs = apply_B(Q).astype(cdtype)
+                rhs = apply_B(rhs_local(Q)).astype(cdtype)
                 local = jnp.real(
                     jnp.einsum("e,enm->nm", W2, solve(rhs))).astype(Q.dtype)
-                return jax.lax.psum(local, AXIS)
+                return rhs_gather(jax.lax.psum(local, AXIS))
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
@@ -135,7 +162,6 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     fpm = _ensure_fpm(fpm)
     if mesh is None:
         mesh = contour_mesh(n_devices)
-    n_shards = mesh.devices.size
 
     A = np.asarray(A)
     standard = B is None
@@ -158,7 +184,13 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         contour = feast_get_custom_contour(fpm)
     if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
-    Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_shards)
+    n_contour_shards = mesh.shape[AXIS]
+    if RHS_AXIS in mesh.axis_names:
+        # pad M0 to a multiple of the rhs axis (extra random columns are
+        # harmless oversampling)
+        n_rhs = mesh.shape[RHS_AXIS]
+        M0 = M0 + ((-M0) % n_rhs)
+    Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_contour_shards)
     Zne = np.asarray(Zp, dtype=cdtype)
     Wne = np.asarray(Wp, dtype=cdtype)
     Q0 = (seeded_subspace(N, M0, work_dtype) if Q0 is None

@@ -65,6 +65,8 @@ from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 
+from .parallel.pfeast import (contour_mesh, contour_rhs_mesh, pfeast_dense,
+                              pfeast_sparse)
 from .interfaces import aliases as _aliases
 from .interfaces.aliases import *  # noqa: F401,F403 - s/d/c/z-prefixed FEAST names
 from .kernel.rci import FeastGRCI, FeastHRCI, FeastSRCI

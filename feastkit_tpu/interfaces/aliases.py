@@ -151,6 +151,21 @@ def _make_pep(dtype):
     return alias
 
 
+def _make_parallel_sparse(dtype, generalized, hermitian):
+    def alias(A, *args, **kw):
+        from ..parallel.pfeast import pfeast_sparse
+        if generalized:
+            B, Emin, Emax, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            return pfeast_sparse(_cast(A, dtype), _cast(B, dtype), Emin, Emax,
+                                 M0, fpm, hermitian=hermitian, **kw)
+        Emin, Emax, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return pfeast_sparse(_cast(A, dtype), None, Emin, Emax, M0, fpm,
+                             hermitian=hermitian, **kw)
+    return alias
+
+
 def _make_parallel_dense(dtype, generalized, hermitian):
     def alias(A, *args, **kw):
         from ..parallel.pfeast import pfeast_dense
@@ -206,13 +221,8 @@ def _build():
         out[f"{p}feast_sypev"] = _make_pep(dt)
         out[f"p{p}feast_sygv"] = _make_parallel_dense(dt, True, False)
         out[f"p{p}feast_syev"] = _make_parallel_dense(dt, False, False)
-        # parallel sparse: the sparse engine's solves are already device-wide
-        # batched; contour-mesh sharding for sparse lands with the parallel
-        # sparse driver (p*feast_scsr* route serial for now, like the
-        # reference's dense-threaded-disabled fallback,
-        # feast_backend_utils.jl:103-121).
-        out[f"p{p}feast_scsrgv"] = _make_sparse_interval(dt, True, False)
-        out[f"p{p}feast_scsrev"] = _make_sparse_interval(dt, False, False)
+        out[f"p{p}feast_scsrgv"] = _make_parallel_sparse(dt, True, False)
+        out[f"p{p}feast_scsrev"] = _make_parallel_sparse(dt, False, False)
         out[f"{p}ifeast_sygv"] = _iterative_dense_interval(dt, True, False)
         out[f"{p}ifeast_syev"] = _iterative_dense_interval(dt, False, False)
         out[f"{p}ifeast_scsrgv"] = _make_sparse_interval(dt, True, False)
@@ -242,8 +252,8 @@ def _build():
         out[f"{p}feast_gepev"] = _make_pep(dt)
         out[f"p{p}feast_hegv"] = _make_parallel_dense(dt, True, True)
         out[f"p{p}feast_heev"] = _make_parallel_dense(dt, False, True)
-        out[f"p{p}feast_hcsrgv"] = _make_sparse_interval(dt, True, True)
-        out[f"p{p}feast_hcsrev"] = _make_sparse_interval(dt, False, True)
+        out[f"p{p}feast_hcsrgv"] = _make_parallel_sparse(dt, True, True)
+        out[f"p{p}feast_hcsrev"] = _make_parallel_sparse(dt, False, True)
         out[f"p{p}feast_gcsrgv"] = _make_sparse_general(dt, True, False)
         out[f"p{p}feast_gcsrev"] = _make_sparse_general(dt, False, False)
         out[f"{p}ifeast_hegv"] = _iterative_dense_interval(dt, True, True)

@@ -37,7 +37,8 @@ from ..kernel.hermitian import feast_hermitian_core
 from ..solvers.dense import _dtypes_of, _shifted_pencils
 from ..utils.cio import cjit, fetch
 
-__all__ = ["contour_mesh", "contour_rhs_mesh", "pad_contour", "pfeast_dense"]
+__all__ = ["contour_mesh", "contour_rhs_mesh", "pad_contour", "pfeast_dense",
+           "pfeast_sparse"]
 
 AXIS = "contour"
 RHS_AXIS = "rhs"
@@ -207,3 +208,130 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
                  int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Contour-sharded sparse FEAST (pfeast_scsrgv!/mpi_feast_scsrgv! parity)
+# ---------------------------------------------------------------------------
+
+@cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
+                       "solver_tol", "solver_maxiter", "solver_restart",
+                       "mesh"))
+def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
+                       Emin, Emax, *, shape, config, standard, hermitian,
+                       solver, solver_tol, solver_maxiter, solver_restart,
+                       mesh: Mesh):
+    """Sparse FEAST with contour nodes sharded over the mesh: each device
+    runs batched iterative solves for its node slice; one psum of the
+    filtered subspace per refinement loop (the MPI.Allreduce analog)."""
+    from jax.experimental import sparse as jsparse
+    from ..solvers.sparse import _make_sparse_solve_all
+
+    def device_program(A_data, A_idx, B_data, B_idx, Zl, Wl, Q0, Emin, Emax):
+        cdtype = Zl.dtype
+        A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
+        A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
+        if standard:
+            apply_B = lambda X: X
+            B_c = None
+        else:
+            B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
+            B_c = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
+            apply_B = lambda X: B_w @ X
+        apply_A = lambda X: A_w @ X
+        apply_A_c = lambda X: A_c @ X
+        apply_B_c = None if standard else (lambda X: B_c @ X)
+
+        if hermitian:
+            Zall = jnp.concatenate([Zl, jnp.conj(Zl)])
+            Wall = jnp.concatenate([Wl, jnp.conj(Wl)])
+        else:
+            Zall, Wall = Zl, 2.0 * Wl
+
+        solve_all = _make_sparse_solve_all(
+            apply_A_c, apply_B_c, standard, solver=solver,
+            solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+            solver_restart=solver_restart, precond="none")
+
+        if hermitian:
+            def filter_apply(Q):
+                X, _ = solve_all(Zall, apply_B(Q))
+                local = jnp.einsum("e,enm->nm", Wall, X)
+                return jax.lax.psum(local, AXIS)
+        else:
+            def filter_apply(Q):
+                X, _ = solve_all(Zall, apply_B(Q).astype(cdtype))
+                local = jnp.real(
+                    jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
+                return jax.lax.psum(local, AXIS)
+
+        return feast_hermitian_core(
+            apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+            tol=config.tol, max_loops=config.max_loops,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1))
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emin, Emax)
+
+
+def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
+                  contour=None, Q0=None, mesh=None, n_devices=None,
+                  solver="gmres", solver_tol=None, solver_maxiter=500,
+                  solver_restart=30) -> FeastResult:
+    """Sparse symmetric/Hermitian FEAST with contour-point parallelism
+    (parity: pfeast_scsrgv! threads/Distributed, mpi_feast_scsrgv! MPI)."""
+    from ..solvers.sparse import _peek_dtype, sparse_coo_arrays
+    fpm = _ensure_fpm(fpm)
+    if mesh is None:
+        mesh = contour_mesh(n_devices)
+
+    is_complex = np.iscomplexobj(_peek_dtype(A)) or (
+        B is not None and np.iscomplexobj(_peek_dtype(B)))
+    if hermitian is None:
+        hermitian = is_complex
+    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
+    work_dtype = cdtype if hermitian else rdtype
+
+    A_data, A_idx, shape = sparse_coo_arrays(A, work_dtype)
+    N = shape[0]
+    standard = B is None
+    if standard:
+        B_data, B_idx = A_data, A_idx
+    else:
+        B_data, B_idx, _ = sparse_coo_arrays(B, work_dtype)
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    if solver_tol is None:
+        solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
+    if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)
+    if contour is None:
+        contour = feast_contour(Emin, Emax, fpm)
+    Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
+    if Q0 is None:
+        Q0 = seeded_subspace(N, M0, work_dtype)
+
+    with mesh:
+        state = _pfeast_sparse_jit(
+            A_data, A_idx, B_data, B_idx,
+            np.asarray(Zp, cdtype), np.asarray(Wp, cdtype),
+            np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+            shape=tuple(shape), config=config, standard=standard,
+            hermitian=bool(hermitian), solver=str(solver),
+            solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
+            solver_restart=int(solver_restart), mesh=mesh)
+
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1)

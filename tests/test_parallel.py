@@ -67,3 +67,30 @@ def test_odd_m0_padded_on_rhs_axis():
     r = pfeast_dense(A, None, 0.5, 1.5, len(exp) + 3, mesh=mesh,
                      hermitian=False)   # M0 odd -> padded internally
     assert r.M == len(exp)
+
+
+def test_pfeast_sparse_matches_serial():
+    import scipy.sparse as sp
+    from feastkit_tpu import pfeast_sparse
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 150
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.8)])
+    r1 = pfeast_sparse(A, None, 0.5, 0.8, len(exp) + 4)
+    r2 = feast_scsrev(A, 0.5, 0.8, len(exp) + 4)
+    assert r1.M == r2.M == len(exp)
+    assert np.abs(np.sort(r1.lam) - np.sort(r2.lam)).max() < 1e-9
+
+
+def test_parallel_sparse_alias():
+    import scipy.sparse as sp
+    import feastkit_tpu as fk
+    n = 100
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])
+    r = fk.pdfeast_scsrev(A, 0.5, 0.9, len(exp) + 4)
+    assert r.M == len(exp)

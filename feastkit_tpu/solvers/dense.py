@@ -191,6 +191,15 @@ def _dense_hermitian_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
 # Host-driven path: three small programs (factor / body / verify)
 # ---------------------------------------------------------------------------
 
+@cjit(static_argnames=("config", "standard", "hermitian"))
+def _dense_estimate_jit(A, B, Zne, Wne, V, *, config, standard, hermitian):
+    """Filtered application P V on Rademacher probes (fpm[14]=2)."""
+    _, _, filter_apply = _make_ops(
+        A, B, Zne, Wne, standard=standard, hermitian=hermitian,
+        store_factorization=config.store_factorization)
+    return filter_apply(V)
+
+
 @cjit(static_argnames=("standard",))
 def _dense_factor_jit(A, B, Zne, *, standard: bool):
     shifted = _shifted_pencils(A, B, Zne, standard)
@@ -306,6 +315,22 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         Q0 = np.asarray(Q0, dtype=work_dtype)
 
     B_arg = B if not standard else A    # dummy keeps jit signature fixed
+
+    if config.mode == 2:
+        # Stochastic eigenvalue-count estimate (fpm[14]=2, fpm[32] trials):
+        # M_est = E[v^T P v] over Rademacher probes through the SAME
+        # quadrature filter (feast_parameters.jl:71-75, :274-277).
+        trials = max(fpm[32], 1)
+        rng_probe = np.random.default_rng((N * 31 + trials) % (2**31 - 1))
+        V = rng_probe.choice([-1.0, 1.0], size=(N, trials)).astype(work_dtype)
+        PV = fetch(_dense_estimate_jit(A, B_arg, Zne, Wne, V, config=config,
+                                       standard=standard,
+                                       hermitian=bool(hermitian)))
+        est = float(np.einsum("nt,nt->", np.real(V), np.real(PV)) / trials)
+        M_est = max(int(round(est)), 0)
+        return FeastResult(np.zeros(0), np.zeros((N, 0)), M_est, np.zeros(0),
+                           FeastError.SUCCESS, float(est), 1)
+
     if cio.complex_io_required():
         state = _run_host_loop(A, B_arg, Zne, Wne, Q0,
                                rdtype_np(Emin), rdtype_np(Emax),

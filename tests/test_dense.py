@@ -205,3 +205,17 @@ def test_subspace_only_mode():
     assert Q.shape == (n, 14)
     # returned basis is orthonormal
     assert np.abs(Q.conj().T @ Q - np.eye(14)).max() < 1e-8
+
+
+def test_stochastic_estimate_mode():
+    """fpm[14]=2: stochastic eigenvalue-count estimate through the driver."""
+    n = 300
+    A = laplacian_1d(n)
+    w = laplacian_eigs(n)
+    true = int(((w >= 0.5) & (w <= 1.5)).sum())
+    fpm = feastinit()
+    fpm[14] = 2
+    fpm[32] = 40
+    r = feast_syev(A, 0.5, 1.5, 8, fpm)
+    assert r.info == 0 and r.lam.size == 0
+    assert abs(r.M - true) <= 0.25 * true + 3

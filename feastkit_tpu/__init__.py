@@ -48,7 +48,7 @@ from .solvers.matfree import (LinearOperator, MatrixVecFunction,
                               feast_matvec_general)
 from .solvers.dense_general import (feast_geev, feast_geev_complex_sym,
                                     feast_gegv, feast_gegv_complex_sym,
-                                    feast_pep)
+                                    feast_pep, feast_pep_direct)
 from .core.aux import (check_complex_symmetric, feast_cauchy_weights,
                        feast_clear_all_contours, feast_clear_custom_contour,
                        feast_estimate_count, feast_get_custom_contour,

@@ -219,10 +219,18 @@ def feast_custom_contour(A, B, Zne, Wne, M0, fpm=None, *, general=None,
         return feast(A, B, interval, M0, fpm, **kw)
 
 
-def feast_polynomial(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+def feast_polynomial(coeffs, Emid, r, M0, fpm=None, *, method="companion",
+                     **kw) -> FeastGeneralResult:
     """Polynomial eigenproblem sum_k lam^k A_k x = 0 inside ellipse (Emid, r)
-    (feast_interfaces.jl:441-471 -> feast_pep!)."""
+    (feast_interfaces.jl:441-471 -> feast_pep!).
+
+    method: 'companion' (first-companion linearization to a d*N pencil,
+    machine-precision) or 'direct' (Beyn moment scheme on the N-dim
+    polynomial resolvent - d times less memory, quadrature-limited
+    accuracy)."""
     from ..solvers import dense_general as _dg
+    if method == "direct":
+        return _dg.feast_pep_direct(coeffs, Emid, r, M0, fpm, **kw)
     return _dg.feast_pep(coeffs, Emid, r, M0, fpm, **kw)
 
 

@@ -25,7 +25,8 @@ from ..utils.cio import cjit, fetch
 from .dense import _make_solve_all
 
 __all__ = ["feast_gegv", "feast_geev", "feast_gegv_complex_sym",
-           "feast_geev_complex_sym", "feast_pep", "dense_general_feast"]
+           "feast_geev_complex_sym", "feast_pep", "feast_pep_direct",
+           "dense_general_feast"]
 
 
 def _cdtype_of(*arrays):
@@ -216,6 +217,120 @@ def feast_gegv_complex_sym(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralRes
 def feast_geev_complex_sym(A, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
     """Dense complex-symmetric standard problem (feast_geev_complex_sym!)."""
     return dense_general_feast(A, None, Emid, r, M0, fpm, bilinear=True, **kw)
+
+
+@cjit(static_argnames=("config", "degree", "eig_method"))
+def _pep_direct_jit(coeffs, Zne, Wne, V0, Emid, r, *, config, degree,
+                    eig_method):
+    """Direct polynomial FEAST (moment/Beyn scheme — the TPU-native
+    counterpart of _feast_poly_grci!, feast_kernel.jl:964-1261):
+
+      Y_e = P(z_e)^{-1} V;  A0 = sum w_e Y_e;  A1 = sum w_e z_e Y_e
+      thin SVD A0 = U S W^H (rank-deflated);  B = U^H A1 W S^{-1}
+      eig(B) -> Ritz values inside the contour, vectors x = U s.
+
+    One refinement loop replaces V by the Ritz vectors (subspace iteration
+    through the polynomial resolvent)."""
+    from ..ops.eig import general_eig
+    cdtype = Zne.dtype
+    N, M0 = V0.shape
+    rdtype = jnp.finfo(cdtype).dtype
+    # Moment-matrix rank cut: the Beyn pencil's trailing singular values are
+    # quadrature leakage (~filter outside level, 1e-3..1e-2 for the default
+    # trapezoid), far above machine noise - cut aggressively; genuine inside
+    # directions sit at O(1).
+    rank_cut = 1e-2
+    marker = Emid + 3.0 * r
+
+    # P(z_e) for all nodes by Horner: (ne, N, N)
+    def pencil(z):
+        acc = jnp.zeros((N, N), cdtype) + coeffs[degree]
+        for k in range(degree - 1, -1, -1):
+            acc = acc * z + coeffs[k]
+        return acc
+    P_all = jax.vmap(pencil)(Zne)
+    lu, piv = jax.vmap(jsl.lu_factor)(P_all)
+
+    def apply_P(lam, X):
+        """P(lam_j) x_j columnwise (for residuals)."""
+        acc = coeffs[degree] @ X
+        for k in range(degree - 1, -1, -1):
+            acc = acc * lam[None, :] + coeffs[k] @ X
+        return acc
+
+    def body(state):
+        loop, V, lam_p, res_p, inside_p, eps_p, conv = state
+        Y = jax.vmap(lambda l, p: jsl.lu_solve((l, p), V))(lu, piv)
+        A0 = jnp.einsum("e,enm->nm", Wne, Y)
+        A1 = jnp.einsum("e,enm->nm", Wne * Zne, Y)
+        U, s, Wv = jnp.linalg.svd(A0, full_matrices=False)
+        m = (s >= rank_cut * s[0]).astype(rdtype)
+        s_inv = jnp.where(m > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+        Bred = (U.conj().T @ A1) @ (Wv.conj().T * s_inv[None, :])
+        # deflated directions -> decoupled marker eigenvalues
+        Bred = Bred * (m[:, None] * m[None, :])             + marker * jnp.diag(1.0 - m).astype(cdtype)
+        lam, Sv = general_eig(Bred, method=eig_method)
+        x = U @ Sv
+        nrm = jnp.linalg.norm(x, axis=0)
+        x = x / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+        Rm = apply_P(lam, x)
+        res = jnp.linalg.norm(Rm, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
+        w = (lam - Emid)
+        xs = w.real / r
+        ys = w.imag / (r * config.aspect_ratio)
+        inside = xs * xs + ys * ys <= 1.0
+        order = inside_first_order(lam, inside, general=True)
+        lam, x, res, inside = lam[order], x[:, order], res[order], inside[order]
+        plausible = inside & (res < 0.1)
+        eps = jnp.max(jnp.where(plausible, res, 0.0))
+        conv = (eps <= config.tol) & (jnp.sum(plausible) > 0)
+        return (loop + 1, x, lam, res, inside, eps.astype(rdtype), conv)
+
+    from ..core.tools import inside_first_order
+    init = (jnp.int32(0), V0, jnp.zeros((M0,), cdtype),
+            jnp.full((M0,), jnp.inf, rdtype), jnp.zeros((M0,), bool),
+            jnp.asarray(jnp.inf, rdtype), jnp.asarray(False))
+    out = jax.lax.while_loop(
+        lambda st: (~st[-1]) & (st[0] < config.max_loops + 1), body, init)
+    return out
+
+
+def feast_pep_direct(coeffs, Emid, r, M0, fpm=None,
+                     eig_method=None) -> FeastGeneralResult:
+    """Direct (linearization-free) polynomial eigensolver: memory N x M0
+    instead of the companion's dN x dM0. See _pep_direct_jit.
+
+    Accuracy is quadrature-limited (Beyn-type moment method): the eigenvalue
+    error scales with the contour leakage (~(distance ratio)^ne for the
+    trapezoid), so the node count dominates; defaults to >= 32 full-contour
+    nodes. Use the companion path (feast_pep) when machine-precision
+    eigenpairs are required and d*N memory is affordable."""
+    fpm = _ensure_fpm(fpm)
+    if fpm[8] < 32:
+        fpm = fpm.copy()
+        fpm[8] = 32
+    coeffs = [np.asarray(c) for c in coeffs]
+    d = len(coeffs) - 1
+    N = coeffs[0].shape[0]
+    cdtype = np.dtype(str(jnp.dtype(_cdtype_of(*coeffs))))
+    coeffs = tuple(c.astype(cdtype) for c in coeffs)
+    if eig_method is None:
+        eig_method = "qr" if cio.complex_io_required() else "callback"
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    from ..core.aux import feast_get_custom_contour
+    contour = feast_get_custom_contour(fpm) or feast_gcontour(
+        complex(Emid), float(r), fpm)
+    rdtype = np.float32 if cdtype == np.complex64 else np.float64
+    V0 = seeded_subspace(N, M0, cdtype, general=True)
+    loop, x, lam, res, inside, eps, conv = _pep_direct_jit(
+        coeffs, np.asarray(contour.Zne, cdtype),
+        np.asarray(contour.Wne, cdtype), V0,
+        np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
+        config=config, degree=d, eig_method=eig_method)
+    info = FeastError.SUCCESS if bool(fetch(conv)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(lam), fetch(x), fetch(res),
+                 fetch(inside), int(info), float(fetch(eps)),
+                 int(fetch(loop)) - 1)
 
 
 def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:

@@ -163,3 +163,25 @@ def test_general_trapezoid_default():
     r = feast_geev(A, 0.3 + 0.0j, 0.7, 3, fpm)
     exp = _expected_inside(lam_true, 0.3, 0.7)
     assert r.M == len(exp)
+
+
+def test_polynomial_direct_beyn(rng):
+    """Linearization-free (Beyn moment) polynomial path: quadrature-limited
+    accuracy, d-times less memory than the companion."""
+    from feastkit_tpu import feast_polynomial, feastinit
+    n = 20
+    M = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    C = 0.3 * rng.standard_normal((n, n))
+    K = rng.standard_normal((n, n))
+    Acomp = np.block([[np.zeros((n, n)), np.eye(n)], [-K, -C]])
+    Bcomp = np.block([[np.eye(n), np.zeros((n, n))],
+                      [np.zeros((n, n)), M]])
+    w = sla.eig(Acomp, Bcomp, right=False)
+    exp = _expected_inside(w, 0.0, 1.0)
+    fpm = feastinit()
+    fpm[8] = 64
+    fpm[4] = 3
+    r = feast_polynomial([K, C, M], 0.0 + 0.0j, 1.0,
+                         min(len(exp) + 6, 2 * n), fpm, method="direct")
+    assert r.M == len(exp)
+    assert _match_err(r.lam, exp) < 1e-2      # quadrature-limited

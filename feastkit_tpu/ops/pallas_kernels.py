@@ -35,8 +35,8 @@ try:
 except Exception:                                  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["dia_matvec", "dia_matvec_reference", "bands_to_dia",
-           "bcoo_to_dia"]
+__all__ = ["dia_matvec", "dia_matvec_any", "dia_matvec_reference",
+           "bands_to_dia", "bcoo_to_dia"]
 
 
 def bands_to_dia(bands, kl: int, ku: int):
@@ -97,11 +97,12 @@ def _dia_kernel(diags_ref, x_hbm, y_ref, x_vmem, sem, *, offsets, block, halo):
         x_hbm.at[pl.ds(row0, block + 2 * halo), :], x_vmem, sem)
     dma.start()
     dma.wait()
-    acc = jnp.zeros_like(y_ref)
+    acc = jnp.zeros(y_ref.shape, y_ref.dtype)
     xs = x_vmem[...]
     for k, d in enumerate(offsets):
         coeff = diags_ref[k, :]
-        xslab = jax.lax.dynamic_slice_in_dim(xs, d + halo, block, axis=0)
+        lo = d + halo                       # static Python int -> static slice
+        xslab = xs[lo:lo + block, :]
         acc = acc + coeff[:, None] * xslab
     y_ref[...] = acc
 
@@ -118,7 +119,11 @@ def dia_matvec(diags, x, offsets, *, block: int = 1024,
     squeeze = x.ndim == 1
     x2 = x[:, None] if squeeze else x
     M = x2.shape[1]
+    # The HBM->VMEM slab DMA requires a 128-aligned lane dimension: pad the
+    # column count (the waste is bounded; callers with M ~ 128 pay nothing).
+    M_pad = -(-M // 128) * 128
     halo = max((max(abs(d) for d in offsets), 8)) if offsets else 8
+    halo = -(-halo // 8) * 8                 # sublane-aligned slab
     block = int(min(block, max(64, N)))
     n_blocks = -(-N // block)
     N_pad = n_blocks * block
@@ -126,27 +131,52 @@ def dia_matvec(diags, x, offsets, *, block: int = 1024,
 
     diags_pad = jnp.zeros((nd, N_pad), out_dtype).at[:, :N].set(
         diags.astype(out_dtype))
-    top = jnp.zeros((halo, M), out_dtype)
-    bottom = jnp.zeros((N_pad - N + halo, M), out_dtype)
-    x_pad = jnp.concatenate([top, x2.astype(out_dtype), bottom], axis=0)
+    x_pad = jnp.zeros((N_pad + 2 * halo, M_pad), out_dtype)
+    x_pad = x_pad.at[halo:halo + N, :M].set(x2.astype(out_dtype))
 
     out = pl.pallas_call(
         functools.partial(_dia_kernel, offsets=offsets, block=block,
                           halo=halo),
-        out_shape=jax.ShapeDtypeStruct((N_pad, M), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((N_pad, M_pad), out_dtype),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((nd, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
         ],
-        out_specs=pl.BlockSpec((block, M), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, M_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block + 2 * halo, M), out_dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((block + 2 * halo, M_pad), out_dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(diags_pad, x_pad)
-    out = out[:N]
+    out = out[:N, :M]
     return out[:, 0] if squeeze else out
+
+
+def dia_matvec_any(diags, x, offsets, *, use_pallas: bool = True,
+                   interpret: bool = False):
+    """DIA matvec for any real/complex dtype combination.
+
+    Mosaic (Pallas TPU) has no complex support, so complex products are
+    decomposed into real kernel calls:
+      real A,    complex x: y = A xr + i A xi          (2 calls)
+      complex A, complex x: full complex product        (4 calls)
+    Falls back to the XLA reference when use_pallas is False.
+    """
+    if not use_pallas:
+        return dia_matvec_reference(diags, x, offsets)
+    mv = functools.partial(dia_matvec, offsets=offsets, interpret=interpret)
+    a_c = jnp.iscomplexobj(diags)
+    x_c = jnp.iscomplexobj(x)
+    if not a_c and not x_c:
+        return mv(diags, x)
+    if not a_c and x_c:
+        return jax.lax.complex(mv(diags, jnp.real(x)), mv(diags, jnp.imag(x)))
+    dr, di = jnp.real(diags), jnp.imag(diags)
+    if a_c and not x_c:
+        return jax.lax.complex(mv(dr, x), mv(di, x))
+    xr, xi = jnp.real(x), jnp.imag(x)
+    return jax.lax.complex(mv(dr, xr) - mv(di, xi), mv(dr, xi) + mv(di, xr))

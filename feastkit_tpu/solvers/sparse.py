@@ -30,7 +30,8 @@ from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
 from ..kernel.hermitian import feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
-from ..ops.pallas_kernels import bcoo_to_dia, dia_matvec, dia_matvec_reference
+from ..ops.pallas_kernels import (bcoo_to_dia, dia_matvec_any,
+                                  dia_matvec_reference)
 from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
@@ -85,12 +86,16 @@ def _solver_fn(name):
 
 def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
     """Matvec closure: DIA fast path (unit-stride shifted adds; Pallas on
-    TPU) when the matrix lives on few diagonals, BCOO otherwise."""
+    TPU, with complex products decomposed into real kernels) when the matrix
+    lives on few diagonals, BCOO otherwise."""
     if offsets is not None:
         diags = dia if cast is None else dia.astype(cast)
-        if use_pallas:
-            return lambda X: dia_matvec(diags, X, offsets)
-        return lambda X: dia_matvec_reference(diags, X, offsets)
+        # keep the stored diagonals REAL when the values are real-valued so
+        # the Pallas path uses the minimal number of kernel calls
+        if cast is not None and jnp.iscomplexobj(diags):
+            pass
+        return lambda X: dia_matvec_any(diags, X, offsets,
+                                        use_pallas=use_pallas)
     A = bcoo_mat if cast is None else jsparse.BCOO(
         (bcoo_mat.data.astype(cast), bcoo_mat.indices), shape=bcoo_mat.shape)
     return lambda X: A @ X

@@ -103,33 +103,53 @@ def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
 
 def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            solver_tol, solver_maxiter, solver_restart,
-                           diagA=None, diagB=None, precond="jacobi"):
+                           diagA=None, diagB=None, precond="jacobi",
+                           col_block=None):
     """solve_all(Zall, rhs): sequential scan over contour nodes, batched
     block-iterative solve per node, optional Jacobi (diagonal)
-    preconditioning of the shifted operator."""
+    preconditioning of the shifted operator.
+
+    col_block: when set (large N), the RHS columns are processed in blocks
+    of this size to bound the Krylov-basis memory
+    (GMRES V is (restart+1, N, cols))."""
 
     def apply_shift(z, X):
         BX = X if standard else apply_B_c(X)
         return z * BX - apply_A_c(X)
 
+    def solve_cols(z, rhs, prec):
+        if solver == "gmres":
+            X, info = gmres_block(lambda X: apply_shift(z, X), rhs,
+                                  tol=solver_tol, restart=solver_restart,
+                                  maxiter=solver_maxiter, apply_prec=prec)
+        else:
+            X, info = bicgstab_block(lambda X: apply_shift(z, X), rhs,
+                                     tol=solver_tol, maxiter=solver_maxiter,
+                                     apply_prec=prec)
+        return X, info.converged
+
     def solve_all(Zall, rhs):
+        K = rhs.shape[1]
+        cb = col_block if (col_block and col_block < K) else None
+        if cb is not None and K % cb != 0:
+            cb = None       # uneven split: fall back to whole-block solves
+
         def one(carry, z):
-            op = lambda X: apply_shift(z, X)
             prec = None
             if precond == "jacobi" and diagA is not None:
-                dshift = z * (1.0 if standard or diagB is None else diagB)                     - diagA if standard else z * diagB - diagA
+                dshift = (z - diagA) if (standard or diagB is None) \
+                    else (z * diagB - diagA)
                 dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
                 prec = lambda X: X / dsafe[:, None]
-            if solver == "gmres":
-                X, info = gmres_block(op, rhs, tol=solver_tol,
-                                      restart=solver_restart,
-                                      maxiter=solver_maxiter,
-                                      apply_prec=prec)
+            if cb is None:
+                X, conv = solve_cols(z, rhs, prec)
             else:
-                X, info = bicgstab_block(op, rhs, tol=solver_tol,
-                                         maxiter=solver_maxiter,
-                                         apply_prec=prec)
-            return carry, (X, info.converged)
+                blocks = rhs.T.reshape(K // cb, cb, -1).transpose(0, 2, 1)
+                Xb, convb = jax.lax.map(
+                    lambda b: solve_cols(z, b, prec), blocks)
+                X = Xb.transpose(0, 2, 1).reshape(K, -1).T
+                conv = convb.reshape(-1)
+            return carry, (X, conv)
 
         _, (X, conv) = jax.lax.scan(one, 0, Zall)
         return X, conv
@@ -167,11 +187,17 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
+    # bound Krylov memory: (restart+1)*N*cols complex; target <= ~1.5 GB
+    N_shape = shape[0]
+    budget_cols = max(1, int(1.5e9 / (8 * (solver_restart + 1) * N_shape)))
+    col_block = None
+    if Q0.shape[1] > budget_cols:
+        col_block = max(8, 1 << int(np.log2(budget_cols)))
     solve_all = _make_sparse_solve_all(
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
-        precond=precond)
+        precond=precond, col_block=col_block)
 
     if hermitian:
         def filter_apply(Q):

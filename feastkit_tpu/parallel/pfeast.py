@@ -248,22 +248,20 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
         else:
             Zall, Wall = Zl, 2.0 * Wl
 
-        solve_all = _make_sparse_solve_all(
+        filter_partial = _make_sparse_solve_all(
             apply_A_c, apply_B_c, standard, solver=solver,
             solver_tol=solver_tol, solver_maxiter=solver_maxiter,
             solver_restart=solver_restart, precond="none")
 
         if hermitian:
             def filter_apply(Q):
-                X, _ = solve_all(Zall, apply_B(Q))
-                local = jnp.einsum("e,enm->nm", Wall, X)
+                local, _ = filter_partial(Zall, Wall, apply_B(Q))
                 return jax.lax.psum(local, AXIS)
         else:
             def filter_apply(Q):
-                X, _ = solve_all(Zall, apply_B(Q).astype(cdtype))
-                local = jnp.real(
-                    jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
-                return jax.lax.psum(local, AXIS)
+                local, _ = filter_partial(Zall, Wall,
+                                          apply_B(Q).astype(cdtype))
+                return jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS)
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,

@@ -105,13 +105,12 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            solver_tol, solver_maxiter, solver_restart,
                            diagA=None, diagB=None, precond="jacobi",
                            col_block=None):
-    """solve_all(Zall, rhs): sequential scan over contour nodes, batched
-    block-iterative solve per node, optional Jacobi (diagonal)
-    preconditioning of the shifted operator.
-
-    col_block: when set (large N), the RHS columns are processed in blocks
-    of this size to bound the Krylov-basis memory
-    (GMRES V is (restart+1, N, cols))."""
+    """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
+    sequential scan over contour nodes with the weighted accumulation FUSED
+    into the scan carry (stacking all (ne, N, K) solves would cost ne x the
+    subspace memory), batched block-iterative solve per node, optional
+    Jacobi preconditioning, optional column chunking (the Krylov basis is
+    (restart+1, N, cols))."""
 
     def apply_shift(z, X):
         BX = X if standard else apply_B_c(X)
@@ -128,13 +127,14 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                                      apply_prec=prec)
         return X, info.converged
 
-    def solve_all(Zall, rhs):
+    def filter_partial(Zall, Wall, rhs):
         K = rhs.shape[1]
         cb = col_block if (col_block and col_block < K) else None
         if cb is not None and K % cb != 0:
             cb = None       # uneven split: fall back to whole-block solves
 
-        def one(carry, z):
+        def one(acc, zw):
+            z, w = zw
             prec = None
             if precond == "jacobi" and diagA is not None:
                 dshift = (z - diagA) if (standard or diagB is None) \
@@ -149,12 +149,13 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                     lambda b: solve_cols(z, b, prec), blocks)
                 X = Xb.transpose(0, 2, 1).reshape(K, -1).T
                 conv = convb.reshape(-1)
-            return carry, (X, conv)
+            return acc + w * X, conv
 
-        _, (X, conv) = jax.lax.scan(one, 0, Zall)
-        return X, conv
+        acc0 = jnp.zeros(rhs.shape, rhs.dtype)
+        acc, conv = jax.lax.scan(one, acc0, (Zall, Wall))
+        return acc, conv
 
-    return solve_all
+    return filter_partial
 
 
 @cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
@@ -193,7 +194,7 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     col_block = None
     if Q0.shape[1] > budget_cols:
         col_block = max(8, 1 << int(np.log2(budget_cols)))
-    solve_all = _make_sparse_solve_all(
+    filter_partial = _make_sparse_solve_all(
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
@@ -201,12 +202,12 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
     if hermitian:
         def filter_apply(Q):
-            X, _ = solve_all(Zall, apply_B(Q))
-            return jnp.einsum("e,enm->nm", Wall, X)
+            acc, _ = filter_partial(Zall, Wall, apply_B(Q))
+            return acc
     else:
         def filter_apply(Q):
-            X, _ = solve_all(Zall, apply_B(Q).astype(cdtype))
-            return jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
+            acc, _ = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
+            return jnp.real(acc).astype(Q.dtype)
 
     return feast_hermitian_core(
         apply_A, apply_B, filter_apply, Q0, Emin, Emax,
@@ -350,15 +351,15 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         B_bc = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
         apply_B = _make_apply(B_bc, B_dia.astype(cdtype), offsets_B, use_pallas)
         apply_B_c = apply_B
-    solve_all = _make_sparse_solve_all(
+    filter_partial = _make_sparse_solve_all(
         apply_A, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype),
         diagB=None if standard else diagB.astype(cdtype), precond=precond)
 
     def filter_apply(Q):
-        X, _ = solve_all(Zne, apply_B(Q))
-        return jnp.einsum("e,enm->nm", Wne, X)
+        acc, _ = filter_partial(Zne, Wne, apply_B(Q))
+        return acc
 
     return feast_general_core(
         apply_A, apply_B, filter_apply, Q0, Emid, r,

@@ -28,10 +28,12 @@ from ..core.parameters import (FeastConfig, _ensure_fpm,
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
-from ..kernel.hermitian import feast_hermitian_core
+from ..kernel.hermitian import (HermitianState, feast_hermitian_core,
+                                make_hermitian_body, verify_spurious)
 from ..ops.gmres import bicgstab_block, gmres_block
 from ..ops.pallas_kernels import (bcoo_to_dia, dia_matvec_any,
                                   dia_matvec_reference)
+from ..utils import cio
 from ..utils.cio import cjit, fetch
 
 __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
@@ -158,18 +160,13 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     return filter_partial
 
 
-@cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
-                       "solver_tol", "solver_maxiter", "solver_restart",
-                       "offsets_A", "offsets_B", "use_pallas", "precond"))
-def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                          diagA, diagB, Zne, Wne, Q0,
-                          Emin, Emax, *, shape, config, standard, hermitian,
-                          solver, solver_tol, solver_maxiter, solver_restart,
-                          offsets_A=None, offsets_B=None, use_pallas=False,
-                          precond="jacobi"):
-    """Sparse operands arrive as raw (data, indices) [+ optional DIA form];
-    BCOO/DIA closures are rebuilt here. A_data keeps its natural dtype (real
-    for the symmetric path)."""
+def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+                Zne, Wne, *, shape, config, standard, hermitian, solver,
+                solver_tol, solver_maxiter, solver_restart, offsets_A,
+                offsets_B, use_pallas, precond):
+    """(apply_A, apply_B, filter_apply) for sparse operands arriving as raw
+    (data, indices) [+ optional DIA form]; BCOO/DIA closures rebuilt here.
+    A_data keeps its natural dtype (real for the symmetric path)."""
     cdtype = Zne.dtype
     A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
     apply_A = _make_apply(A_w, A_dia, offsets_A, use_pallas)
@@ -188,12 +185,13 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
-    # bound Krylov memory: (restart+1)*N*cols complex; target <= ~1.5 GB
+    # bound Krylov memory: (restart+1)*N*cols complex; target <= ~1.5 GB.
+    # filter_partial skips chunking when the actual column count is already
+    # below the block size.
     N_shape = shape[0]
     budget_cols = max(1, int(1.5e9 / (8 * (solver_restart + 1) * N_shape)))
-    col_block = None
-    if Q0.shape[1] > budget_cols:
-        col_block = max(8, 1 << int(np.log2(budget_cols)))
+    col_block = max(8, 1 << int(np.log2(budget_cols))) \
+        if budget_cols < 4096 else None
     filter_partial = _make_sparse_solve_all(
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
@@ -209,11 +207,73 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
             acc, _ = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
             return jnp.real(acc).astype(Q.dtype)
 
+    return apply_A, apply_B, filter_apply
+
+
+_SPARSE_STATICS = ("shape", "config", "standard", "hermitian", "solver",
+                   "solver_tol", "solver_maxiter", "solver_restart",
+                   "offsets_A", "offsets_B", "use_pallas", "precond")
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                          diagA, diagB, Zne, Wne, Q0,
+                          Emin, Emax, *, shape, config, standard, hermitian,
+                          solver, solver_tol, solver_maxiter, solver_restart,
+                          offsets_A=None, offsets_B=None, use_pallas=False,
+                          precond="jacobi"):
+    apply_A, apply_B, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
     return feast_hermitian_core(
         apply_A, apply_B, filter_apply, Q0, Emin, Emax,
         tol=config.tol, max_loops=config.max_loops,
         convergence_criterion=config.convergence_criterion,
         subspace_only=(config.mode == 1))
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                     diagA, diagB, Zne, Wne, state, Emin, Emax, *, shape,
+                     config, standard, hermitian, solver, solver_tol,
+                     solver_maxiter, solver_restart, offsets_A=None,
+                     offsets_B=None, use_pallas=False, precond="jacobi"):
+    """One refinement iteration (host-driven loop: keeps each device
+    execution short — long fused programs trip the tunnel's execution
+    watchdog and crash the worker)."""
+    apply_A, apply_B, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+    body = make_hermitian_body(
+        apply_A, apply_B, filter_apply, Emin, Emax, tol=config.tol,
+        convergence_criterion=config.convergence_criterion)
+    return body(state)
+
+
+@cjit(static_argnames=_SPARSE_STATICS + ("final_mode",))
+def _sparse_finalize_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                         diagA, diagB, Zne, Wne, state, *, shape, config,
+                         standard, hermitian, solver, solver_tol,
+                         solver_maxiter, solver_restart, offsets_A=None,
+                         offsets_B=None, use_pallas=False, precond="jacobi",
+                         final_mode="verify"):
+    apply_A, apply_B, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+    if final_mode == "subspace":
+        from ..core.tools import orthonormalize
+        U, _, _ = orthonormalize(filter_apply(state.Q))
+        return state._replace(Q=U, loop=jnp.int32(1))
+    return verify_spurious(state, filter_apply)
 
 
 def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
@@ -315,15 +375,27 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
     if Q0 is None:
         Q0 = seeded_subspace(N, M0, work_dtype)
-    state = _sparse_hermitian_jit(
-        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
-        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
-        np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+    statics = dict(
         shape=tuple(shape), config=config, standard=standard,
         hermitian=bool(hermitian), solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
         solver_restart=int(solver_restart), offsets_A=offsets_A,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+    arrs = (A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+            np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
+    if cio.complex_io_required() and config.mode != 1:
+        from .dense import _host_state
+        state = _host_state(np.asarray(Q0, work_dtype))
+        for _ in range(config.max_loops + 1):
+            state = _sparse_body_jit(*arrs, state, rdtype(Emin),
+                                     rdtype(Emax), **statics)
+            if bool(fetch(state.converged)):
+                break
+        state = _sparse_finalize_jit(*arrs, state, **statics)
+    else:
+        state = _sparse_hermitian_jit(
+            *arrs, np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+            **statics)
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),

@@ -54,6 +54,33 @@ def seeded_subspace(N: int, M0: int, dtype, *, general: bool = False) -> np.ndar
     return w.astype(dtype)
 
 
+def initial_subspace(fpm, Q0, N: int, M0: int, dtype, *,
+                     general: bool = False) -> np.ndarray:
+    """Warm-start policy shared by every driver (feast_kernel.jl:67-79):
+    use the caller's Q0 only when fpm[5]=1 (a stale Q0 passed with fpm[5]=0
+    is ignored, exact reference semantics); otherwise the deterministic
+    seeded subspace. A Q0 with fewer than M0 columns is padded with seeded
+    columns (checkpoint resume at a larger M0)."""
+    if Q0 is None or int(fpm[5]) != 1:
+        return seeded_subspace(N, M0, dtype, general=general)
+    Q0 = np.asarray(Q0, np.dtype(dtype))
+    if Q0.shape[0] != N:
+        raise ValueError(f"Q0 must have {N} rows, got {Q0.shape[0]}")
+    seed = seeded_subspace(N, M0, dtype, general=general)
+    if Q0.shape[1] >= M0:
+        Q0 = np.ascontiguousarray(Q0[:, :M0])
+    else:
+        Q0 = np.concatenate([Q0, seed[:, Q0.shape[1]:]], axis=1)
+    # Checkpointed buffers carry zero columns for deflated directions
+    # (static-shape q_full); a zero start column never recovers — swap in
+    # seeded columns.
+    dead = np.linalg.norm(Q0, axis=0) <= 0
+    if dead.any():
+        Q0 = Q0.copy()
+        Q0[:, dead] = seed[:, dead]
+    return Q0
+
+
 def residuals(apply_A, apply_B, lam, q):
     """Relative residuals ||A q - lam B q|| / max(|lam|, 1), columnwise
     (feast_tools.jl:716-755). ``lam`` may be real or complex; q is (N, M0)."""

@@ -87,6 +87,11 @@ class FeastResult:
     q_full: Any = None
     res_full: Any = None
     inside: Any = None
+    # False when one or more inner iterative shifted solves (GMRES/BiCGStab)
+    # failed the 10*tol re-verification at some refinement loop. The outer
+    # residual test is still exact (true matvecs), so info may be SUCCESS
+    # with inner_converged=False; a warning is emitted in that case.
+    inner_converged: bool = True
 
     @property
     def converged(self) -> bool:
@@ -122,6 +127,7 @@ class FeastGeneralResult:
     q_full: Any = None
     res_full: Any = None
     inside: Any = None
+    inner_converged: bool = True    # see FeastResult.inner_converged
 
     @property
     def converged(self) -> bool:
@@ -137,14 +143,34 @@ class FeastGeneralResult:
 
 
 def _trim(result_cls, lam_full, q_full, res_full, inside, info, epsout, loop,
-          left_q_full=None):
+          left_q_full=None, inner_ok=True):
     """Host-side: order buffers inside-first (already done in-core) and trim
-    to the M valid entries, building the user-facing result object."""
+    to the M valid entries, building the user-facing result object.
+
+    ``inner_ok=False`` marks a run whose inner iterative solves missed their
+    tolerance (reference failure policy: degraded contribution + @warn,
+    feast_parallel.jl:266-273); the warning is emitted here so every driver
+    shares one policy."""
     lam_full = np.asarray(lam_full)
     q_full = np.asarray(q_full)
     res_full = np.asarray(res_full)
     inside = np.asarray(inside).astype(bool)
+    # IFEAST semantics (feast_parameters.jl:326-329: default inner tol is
+    # 1e-1): inexact inner solves are a feature — subspace iteration
+    # contracts anyway and the outer residual test uses EXACT matvecs. An
+    # inner-solve miss is therefore only a failure when the outer iteration
+    # ALSO failed: that combination means the filter was too inaccurate to
+    # contract, and the fix is more inner iterations, not more loops.
+    inner_ok = bool(inner_ok) or FeastError(int(info)) == FeastError.SUCCESS
     M = int(inside.sum())
+    if not inner_ok:
+        import warnings
+        warnings.warn(
+            "FEAST did not converge AND the inner iterative solver "
+            "(GMRES/BiCGStab) stalled above its certification accuracy at "
+            "one or more contour nodes — raise solver_maxiter / "
+            "solver_restart, improve preconditioning, or loosen the outer "
+            "tolerance", RuntimeWarning, stacklevel=3)
     out = result_cls(
         lam=lam_full[:M],
         q=q_full[:, :M],
@@ -157,5 +183,6 @@ def _trim(result_cls, lam_full, q_full, res_full, inside, info, epsout, loop,
         q_full=q_full,
         res_full=res_full,
         inside=inside,
+        inner_converged=inner_ok,
     )
     return out

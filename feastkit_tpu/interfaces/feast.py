@@ -26,6 +26,25 @@ __all__ = [
 _VALID_BACKENDS = ("auto", "serial", "sharded", "threads", "distributed", "mpi")
 
 
+def _resolve_backend(backend, parallel, strict_backend, *,
+                     auto_sharded=False, operand="dense"):
+    """Normalize + strictly select the execution backend for ANY operand
+    type (parity: _select_parallel_backend + feast_with_backend,
+    feast_backend_utils.jl:52-121).
+
+    auto_sharded: whether backend='auto' may pick the sharded mesh for this
+    operand class. Mirrors the reference's supported-problem matrix (sparse
+    problems parallelize under :auto; dense requires an explicit backend,
+    feast_backend_utils.jl:103-121 'dense threaded disabled').
+    """
+    from ..core.backend import _n_devices, select_parallel_backend
+    backend = _normalize_backend(backend, parallel)
+    if backend == "auto":
+        return "sharded" if (auto_sharded and _n_devices() > 1) else "serial"
+    return select_parallel_backend(backend,
+                                   allow_fallback=not strict_backend)
+
+
 def _normalize_backend(backend, parallel):
     """Reconcile the modern ``backend=`` kwarg with the legacy ``parallel=``
     flag (feast_interfaces.jl:27-47): both set and conflicting -> error."""
@@ -105,18 +124,36 @@ def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
 
     # Route by storage type (the feast_serial dispatch,
-    # feast_backend_utils.jl:166-198): matrix-free operators and sparse
-    # matrices go to their engines; dense arrays continue below.
+    # feast_backend_utils.jl:166-198), with backend selection applied to
+    # EVERY operand class (feast_with_backend, feast_backend_utils.jl:103-121;
+    # :auto parallelizes sparse problems — the reference's supported matrix —
+    # while dense requires an explicit backend).
     from ..solvers.matfree import LinearOperator, feast_matvec
     if isinstance(A, LinearOperator):
+        backend = _resolve_backend(backend, parallel, strict_backend,
+                                   auto_sharded=False, operand="matfree")
+        if backend == "sharded":
+            if strict_backend:
+                raise RuntimeError(
+                    "backend='sharded' is not yet available for matrix-free "
+                    "operators (the model-axis sharded matvec path); use the "
+                    "serial driver or shard inside your operator callables")
+            warnings.warn("backend='sharded' unavailable for matrix-free "
+                          "operators; falling back to serial", stacklevel=2)
         N = A.shape[0]
         return feast_matvec(A, B, (Emin, Emax),
-                            min(int(M0 or max(8, N // 10)), N), fpm, **kw)
+                            min(int(M0 or max(8, N // 10)), N), fpm,
+                            Q0=Q0, **kw)
     if _is_sparse(A):
+        backend = _resolve_backend(backend, parallel, strict_backend,
+                                   auto_sharded=True, operand="sparse")
         from ..solvers.sparse import sparse_feast_interval
         N = A.shape[0]
-        return sparse_feast_interval(
-            A, B, Emin, Emax, min(int(M0 or max(8, N // 10)), N), fpm, **kw)
+        M0r = min(int(M0 or max(8, N // 10)), N)
+        if backend == "sharded":
+            from ..parallel.pfeast import pfeast_sparse
+            return pfeast_sparse(A, B, Emin, Emax, M0r, fpm, Q0=Q0, **kw)
+        return sparse_feast_interval(A, B, Emin, Emax, M0r, fpm, Q0=Q0, **kw)
 
     A_np = np.asarray(A)
     N = A_np.shape[0]
@@ -134,7 +171,8 @@ def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
     feast_validate_interval(A_np, Emin, Emax)
 
     fpm = _ensure_fpm(fpm)
-    backend = _normalize_backend(backend, parallel)
+    backend = _resolve_backend(backend, parallel, strict_backend,
+                               auto_sharded=False, operand="dense")
     hermitian = np.iscomplexobj(A_np) or (B is not None and np.iscomplexobj(B))
 
     if backend == "sharded":
@@ -148,28 +186,66 @@ def feast(A, B=None, interval=None, M0=None, fpm=None, *, backend=None,
 
 
 def feast_general(A, B=None, Emid=0.0, r=1.0, M0=None, fpm=None, *,
-                  backend=None, parallel=None, complex_symmetric=None,
-                  **kw) -> FeastGeneralResult:
+                  backend=None, parallel=None, strict_backend=False,
+                  complex_symmetric=None, **kw) -> FeastGeneralResult:
     """Find all eigenpairs of general A x = lam B x inside the rotated
     ellipse (Emid, r, fpm[18], fpm[19]).
 
-    Parity with the 4 ``feast_general`` methods (feast_interfaces.jl:274-379):
-    complex-type promotion, complex-symmetric routing, serial execution
-    (the reference too only supports serial/MPI here,
-    feast_interfaces.jl:95-127).
+    Parity with the 4 ``feast_general`` methods (feast_interfaces.jl:274-379)
+    plus the MPI general route (_execute_feast_general,
+    feast_interfaces.jl:95-127 -> mpi_feast_general): sparse and dense
+    operands both accept ``backend='sharded'`` (contour mesh), and sparse
+    operands route to the iterative sparse general engine.
     """
     from ..solvers import dense_general as _dg
+    fpm = _ensure_fpm(fpm)
+    if _is_sparse(A):
+        from ..solvers.sparse import sparse_feast_general
+        N = A.shape[0]
+        M0r = min(int(M0 or max(8, N // 10)), N)
+        backend = _resolve_backend(backend, parallel, strict_backend,
+                                   auto_sharded=True, operand="sparse")
+        if complex_symmetric is None:
+            complex_symmetric = False
+        if backend == "sharded":
+            from ..parallel.pfeast import pfeast_sparse_general
+            return pfeast_sparse_general(A, B, Emid, r, M0r, fpm,
+                                         bilinear=bool(complex_symmetric),
+                                         **kw)
+        return sparse_feast_general(A, B, Emid, r, M0r, fpm,
+                                    bilinear=bool(complex_symmetric), **kw)
+    from ..solvers.matfree import LinearOperator
+    if isinstance(A, LinearOperator):
+        from ..solvers.matfree import feast_matvec_general
+        backend = _resolve_backend(backend, parallel, strict_backend,
+                                   auto_sharded=False, operand="matfree")
+        if backend == "sharded":
+            if strict_backend:
+                raise RuntimeError(
+                    "backend='sharded' is not yet available for matrix-free "
+                    "operators; use the serial driver")
+            warnings.warn("backend='sharded' unavailable for matrix-free "
+                          "operators; falling back to serial", stacklevel=2)
+        N = A.shape[0]
+        return feast_matvec_general(A, B, Emid, r,
+                                    min(int(M0 or max(8, N // 10)), N), fpm,
+                                    bilinear=bool(complex_symmetric or False),
+                                    **kw)
     A_np = np.asarray(A)
     N = A_np.shape[0]
     if M0 is None:
         M0 = min(N, max(8, N // 10))
     M0 = min(int(M0), N)
-    _normalize_backend(backend, parallel)   # validate; sharded TBD for general
+    backend = _resolve_backend(backend, parallel, strict_backend,
+                               auto_sharded=False, operand="dense")
     if complex_symmetric is None:
         complex_symmetric = (np.iscomplexobj(A_np)
                              and np.allclose(A_np, A_np.T)
                              and not np.allclose(A_np, A_np.conj().T))
-    fpm = _ensure_fpm(fpm)
+    if backend == "sharded":
+        from ..parallel.pfeast import pfeast_general
+        return pfeast_general(A, B, Emid, r, M0, fpm,
+                              bilinear=bool(complex_symmetric), **kw)
     if complex_symmetric:
         return _dg.dense_general_feast(A, B, Emid, r, M0, fpm,
                                        bilinear=True, **kw)

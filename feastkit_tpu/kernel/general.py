@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core.tools import inside_first_order
 from ..ops.eig import generalized_eig
+from .hermitian import _filter_with_ok
 
 __all__ = ["GeneralState", "feast_general_core", "make_general_body",
            "init_general_state", "verify_spurious_general"]
@@ -40,6 +41,7 @@ class GeneralState(NamedTuple):
     epsout: jax.Array
     trace: jax.Array         # complex
     converged: jax.Array
+    inner_ok: jax.Array = True   # see kernel/hermitian.HermitianState
 
 
 def feast_general_core(
@@ -69,9 +71,9 @@ def feast_general_core(
     init = init_general_state(Q0)
 
     if subspace_only:
-        Qproj = filter_apply(init.Q)
+        Qproj, ok = _filter_with_ok(filter_apply, init.Q)
         U, _, _ = jnp.linalg.svd(Qproj, full_matrices=False)
-        return init._replace(Q=U, loop=jnp.int32(1))
+        return init._replace(Q=U, loop=jnp.int32(1), inner_ok=ok)
 
     body = make_general_body(
         apply_A, apply_B, filter_apply, Emid, r, tol=tol,
@@ -100,6 +102,7 @@ def init_general_state(Q0) -> GeneralState:
         epsout=jnp.asarray(jnp.inf, rdtype),
         trace=jnp.asarray(jnp.nan, cdtype),
         converged=jnp.asarray(False),
+        inner_ok=jnp.asarray(True),
     )
 
 
@@ -127,7 +130,7 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
         # eigenvector error; see kernel/hermitian.py BIG).
         marker = Emid + (3.0 * r) * (1.0 + 0.0j)
 
-        Qproj = filter_apply(state.Q)
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
@@ -154,7 +157,8 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
             scale = jnp.maximum(jnp.abs(state.trace), 1.0)
             conv = (jnp.abs(trace - state.trace) <= tol * scale) & (M > 0)
         return GeneralState(state.loop + 1, q, lam, res, inside,
-                            epsout.astype(rdtype), trace.astype(cdtype), conv)
+                            epsout.astype(rdtype), trace.astype(cdtype), conv,
+                            jnp.asarray(state.inner_ok) & solves_ok)
 
     return body
 
@@ -162,10 +166,12 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
 def verify_spurious_general(state: GeneralState, filter_apply) -> GeneralState:
     """Final projector-norm spurious acceptance (see kernel/hermitian.py)."""
     rdtype = jnp.finfo(state.Q.dtype).dtype
-    rho = jnp.linalg.norm(filter_apply(state.Q), axis=0)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q)
+    rho = jnp.linalg.norm(Qproj, axis=0)
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine, general=True)
     return state._replace(
         lam=state.lam[order], Q=state.Q[:, order], res=state.res[order],
         inside=genuine[order],
-        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype))
+        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype),
+        inner_ok=jnp.asarray(state.inner_ok) & ok)

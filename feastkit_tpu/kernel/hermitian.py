@@ -69,6 +69,22 @@ class HermitianState(NamedTuple):
     epsout: jax.Array        # max residual over inside eigenpairs
     trace: jax.Array         # sum of inside Ritz values (trace criterion)
     converged: jax.Array     # bool
+    inner_ok: jax.Array = True   # bool: every inner iterative shifted solve
+    #   reached its tolerance (sticky AND across loops). Always True for
+    #   direct-factorization drivers. Counterpart of the reference's
+    #   inner-solve failure policy (feast_parallel.jl:266-273 degraded
+    #   contributions + warning; feast_mpi.jl:508-511 success consensus).
+
+
+def _filter_with_ok(filter_apply, Q):
+    """filter_apply may return Qproj or (Qproj, ok): iterative drivers
+    report whether all inner solves converged; direct drivers return the
+    bare array (ok=True)."""
+    out = filter_apply(Q)
+    if isinstance(out, tuple):
+        Qproj, ok = out
+        return Qproj, jnp.asarray(ok)
+    return out, jnp.asarray(True)
 
 
 def init_hermitian_state(Q0) -> HermitianState:
@@ -83,6 +99,7 @@ def init_hermitian_state(Q0) -> HermitianState:
         epsout=jnp.asarray(jnp.inf, rdtype),
         trace=jnp.asarray(jnp.nan, rdtype),   # NaN: first trace check never
         converged=jnp.asarray(False),         # passes (inf<=inf would)
+        inner_ok=jnp.asarray(True),
     )
 
 
@@ -112,7 +129,7 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
         # convergence (observed 1e-2 stall on TPU with BIG ~ 1e3).
         BIG = (Emax + 2.0 * (Emax - Emin)).astype(rdtype)
 
-        Qproj = filter_apply(state.Q)
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
@@ -143,6 +160,7 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
             loop=state.loop + 1, Q=q, lam=lam, res=res, inside=inside,
             epsout=epsout.astype(rdtype), trace=trace.astype(rdtype),
             converged=conv,
+            inner_ok=jnp.asarray(state.inner_ok) & solves_ok,
         )
 
     return body
@@ -158,13 +176,15 @@ def verify_spurious(state: HermitianState, filter_apply: Callable
     an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
     equioscillating outside response never decays with distance."""
     rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
-    rho = jnp.linalg.norm(filter_apply(state.Q), axis=0)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q)
+    rho = jnp.linalg.norm(Qproj, axis=0)
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine)
     return state._replace(
         lam=state.lam[order], Q=state.Q[:, order], res=state.res[order],
         inside=genuine[order],
-        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype))
+        epsout=jnp.max(jnp.where(genuine, state.res, 0.0)).astype(rdtype),
+        inner_ok=jnp.asarray(state.inner_ok) & ok)
 
 
 def feast_hermitian_core(
@@ -203,9 +223,9 @@ def feast_hermitian_core(
     init = init_hermitian_state(Q0)
 
     if subspace_only:
-        Qproj = filter_apply(init.Q)
+        Qproj, ok = _filter_with_ok(filter_apply, init.Q)
         U, _, _ = orthonormalize(Qproj)
-        return init._replace(Q=U, loop=jnp.int32(1))
+        return init._replace(Q=U, loop=jnp.int32(1), inner_ok=ok)
 
     body = make_hermitian_body(apply_A, apply_B, filter_apply, Emin, Emax,
                                tol=tol,

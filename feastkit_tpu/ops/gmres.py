@@ -40,7 +40,8 @@ def _col_norms(X):
 def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
                 restart: int = 30, maxiter: int = 200,
                 apply_prec: Callable | None = None,
-                x0=None) -> tuple[jax.Array, IterativeInfo]:
+                x0=None, flag_tol: float | None = None
+                ) -> tuple[jax.Array, IterativeInfo]:
     """Restarted GMRES on K right-hand sides at once.
 
     Args:
@@ -124,16 +125,22 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
     (X, done, iters), _ = jax.lax.scan(
         cycle, (X0, init_done, jnp.int32(0)), None, length=n_cycles)
 
-    # Independent re-verification at 10*tol slack (reference contract).
+    # Independent re-verification at 10*tol slack (reference contract,
+    # feast_sparse.jl:191-199). flag_tol lets callers certify against a
+    # LOOSER accuracy than the solve target (e.g. the outer FEAST tolerance:
+    # the solver aims at tol = 0.1*outer but only outer-level inner accuracy
+    # is required for the filter; a stall between the two is not a failure).
+    cert = jnp.maximum(tol, flag_tol) if flag_tol is not None else tol
     true_res = _col_norms(B - apply_op(X))
-    converged = true_res <= 10.0 * thresh
+    converged = true_res <= 10.0 * cert * scale
     return X, IterativeInfo(iters, true_res, converged)
 
 
 def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
                    maxiter: int = 200,
                    apply_prec: Callable | None = None,
-                   x0=None) -> tuple[jax.Array, IterativeInfo]:
+                   x0=None, flag_tol: float | None = None
+                   ) -> tuple[jax.Array, IterativeInfo]:
     """BiCGStab on K right-hand sides at once (constant memory per column).
 
     The IFEAST default inner solver (fpm[44]=0 -> BiCGstab,
@@ -183,6 +190,7 @@ def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
             ones, ones, ones, jnp.int32(0), _col_norms(R0) <= thresh)
     X, R, *_, it, done = jax.lax.while_loop(cond, step, init)
 
+    cert = jnp.maximum(tol, flag_tol) if flag_tol is not None else tol
     true_res = _col_norms(B - apply_op(X))
-    converged = true_res <= 10.0 * thresh
+    converged = true_res <= 10.0 * cert * scale
     return X, IterativeInfo(it, true_res, converged)

@@ -38,7 +38,7 @@ from ..solvers.dense import _dtypes_of, _shifted_pencils
 from ..utils.cio import cjit, fetch
 
 __all__ = ["contour_mesh", "contour_rhs_mesh", "pad_contour", "pfeast_dense",
-           "pfeast_sparse"]
+           "pfeast_sparse", "pfeast_general", "pfeast_sparse_general"]
 
 AXIS = "contour"
 RHS_AXIS = "rhs"
@@ -194,8 +194,8 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_contour_shards)
     Zne = np.asarray(Zp, dtype=cdtype)
     Wne = np.asarray(Wp, dtype=cdtype)
-    Q0 = (seeded_subspace(N, M0, work_dtype) if Q0 is None
-          else np.asarray(Q0, dtype=work_dtype))
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
 
     with mesh:
         state = _pfeast_dense_jit(
@@ -208,6 +208,239 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
                  int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Contour-sharded GENERAL FEAST (parity: _mpi_feast_complex_general!,
+# feast_mpi.jl:941-1046, dispatch mpi_feast_general :1199-1273)
+# ---------------------------------------------------------------------------
+
+@cjit(static_argnames=("config", "standard", "bilinear", "eig_method", "mesh"))
+def _pfeast_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
+                        standard: bool, bilinear: bool, eig_method: str,
+                        mesh: Mesh):
+    """Sharded dense general FEAST: full-contour nodes sharded over the mesh
+    axis, Q_proj psum'd per loop, reduced Rayleigh-Ritz replicated on every
+    device (the reference's every-rank-solves-redundantly consistency trick,
+    feast_mpi.jl:1001-1007)."""
+    from ..kernel.general import feast_general_core
+
+    def device_program(A, B, Zl, Wl, Q0, Emid, r):
+        shifted = _shifted_pencils(A, B, Zl, standard)
+        if config.store_factorization:
+            lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+            solve = lambda rhs: jax.vmap(
+                lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+        else:
+            solve = lambda rhs: jax.lax.map(
+                lambda m: jsl.lu_solve(jsl.lu_factor(m), rhs), shifted)
+
+        apply_A = lambda X: A @ X
+        apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+
+        def filter_apply(Q):
+            local = jnp.einsum("e,enm->nm", Wl, solve(apply_B(Q)))
+            return jax.lax.psum(local, AXIS)
+
+        return feast_general_core(
+            apply_A, apply_B, filter_apply, Q0, Emid, r,
+            tol=config.tol, max_loops=config.max_loops,
+            aspect_ratio=config.aspect_ratio,
+            rotation_deg=config.rotation_deg,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1), bilinear=bilinear,
+            eig_method=eig_method)
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A, B, Zne, Wne, Q0, Emid, r)
+
+
+def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
+                   eig_method=None, contour=None, Q0=None, mesh=None,
+                   n_devices=None, **kw):
+    """Dense general/complex-symmetric FEAST with contour-point parallelism
+    over a device mesh (parity: _mpi_feast_complex_general! +
+    mpi_feast_general, feast_mpi.jl:941-1046, :1199-1273). Sparse operands
+    route to :func:`pfeast_sparse_general`."""
+    from ..core.types import FeastGeneralResult
+    from ..solvers.sparse import _peek_dtype as _pd
+
+    def _is_sparse(M):
+        from jax.experimental import sparse as jsparse
+        if isinstance(M, jsparse.BCOO):
+            return True
+        try:
+            import scipy.sparse as sp
+            return sp.issparse(M)
+        except ImportError:
+            return False
+
+    if _is_sparse(A):
+        return pfeast_sparse_general(A, B, Emid, r, M0, fpm,
+                                     bilinear=bilinear,
+                                     eig_method=eig_method, contour=contour,
+                                     Q0=Q0, mesh=mesh, n_devices=n_devices,
+                                     **kw)
+    from ..core.contour import feast_gcontour
+    fpm = _ensure_fpm(fpm)
+    if mesh is None:
+        mesh = contour_mesh(n_devices)
+    if eig_method is None:
+        from ..utils import cio as _cio
+        eig_method = "qr" if _cio.complex_io_required() else "callback"
+    A = np.asarray(A)
+    standard = B is None
+    if not standard:
+        B = np.asarray(B)
+    N = A.shape[0]
+    f64 = A.dtype in (np.dtype(np.float64), np.dtype(np.complex128)) or (
+        not standard and B.dtype in (np.dtype(np.float64),
+                                     np.dtype(np.complex128)))
+    cdtype = np.complex128 if f64 else np.complex64
+    rdtype = np.float64 if f64 else np.float32
+    A = A.astype(cdtype)
+    if not standard:
+        B = B.astype(cdtype)
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)
+    if contour is None:
+        contour = feast_gcontour(complex(Emid), float(r), fpm)
+    Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
+
+    with mesh:
+        state = _pfeast_general_jit(
+            A, B if not standard else A,
+            np.asarray(Zp, cdtype), np.asarray(Wp, cdtype), Q0,
+            np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
+            config=config, standard=standard, bilinear=bool(bilinear),
+            eig_method=str(eig_method), mesh=mesh)
+
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
+
+
+@cjit(static_argnames=("shape", "config", "standard", "bilinear",
+                       "eig_method", "solver", "solver_tol", "solver_maxiter",
+                       "solver_restart", "mesh"))
+def _pfeast_sparse_general_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
+                               Emid, r, *, shape, config, standard, bilinear,
+                               eig_method, solver, solver_tol, solver_maxiter,
+                               solver_restart, mesh: Mesh):
+    from jax.experimental import sparse as jsparse
+    from ..kernel.general import feast_general_core
+    from ..solvers.sparse import _make_sparse_solve_all
+
+    def device_program(A_data, A_idx, B_data, B_idx, Zl, Wl, Q0, Emid, r):
+        A_bc = jsparse.BCOO((A_data, A_idx), shape=shape)
+        apply_A = lambda X: A_bc @ X
+        if standard:
+            apply_B = lambda X: X
+            apply_B_c = None
+        else:
+            B_bc = jsparse.BCOO((B_data, B_idx), shape=shape)
+            apply_B = lambda X: B_bc @ X
+            apply_B_c = apply_B
+
+        filter_partial = _make_sparse_solve_all(
+            apply_A, apply_B_c, standard, solver=solver,
+            solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+            solver_restart=solver_restart, precond="none",
+            flag_tol=config.tol)
+
+        def filter_apply(Q):
+            local, conv = filter_partial(Zl, Wl, apply_B(Q))
+            ok = jnp.all(conv)
+            all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+            return jax.lax.psum(local, AXIS), all_ok
+
+        return feast_general_core(
+            apply_A, apply_B, filter_apply, Q0, Emid, r,
+            tol=config.tol, max_loops=config.max_loops,
+            aspect_ratio=config.aspect_ratio,
+            rotation_deg=config.rotation_deg,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1), bilinear=bilinear,
+            eig_method=eig_method)
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emid, r)
+
+
+def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
+                          eig_method=None, contour=None, Q0=None, mesh=None,
+                          n_devices=None, solver="gmres", solver_tol=None,
+                          solver_maxiter=500, solver_restart=30):
+    """Sparse general/complex-symmetric FEAST, contour nodes sharded over
+    the mesh (the reference's recognized MPI gap closed the TPU way:
+    feast_mpi.jl has no sparse-general driver; here the same psum machinery
+    serves it)."""
+    from ..core.contour import feast_gcontour
+    from ..core.types import FeastGeneralResult
+    from ..solvers.sparse import _is_double, _peek_dtype, sparse_coo_arrays
+    fpm = _ensure_fpm(fpm)
+    if mesh is None:
+        mesh = contour_mesh(n_devices)
+    if eig_method is None:
+        from ..utils import cio as _cio
+        eig_method = "qr" if _cio.complex_io_required() else "callback"
+
+    f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
+    A_data, A_idx, shape = sparse_coo_arrays(A, cdtype)
+    N = shape[0]
+    standard = B is None
+    if standard:
+        B_data, B_idx = A_data, A_idx
+    else:
+        B_data, B_idx, _ = sparse_coo_arrays(B, cdtype)
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
+    if solver_tol is None:
+        solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
+    if contour is None:
+        from ..core.aux import feast_get_custom_contour
+        contour = feast_get_custom_contour(fpm)
+    if contour is None:
+        contour = feast_gcontour(complex(Emid), float(r), fpm)
+    Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
+
+    with mesh:
+        state = _pfeast_sparse_general_jit(
+            A_data, A_idx, B_data, B_idx,
+            np.asarray(Zp, cdtype), np.asarray(Wp, cdtype), Q0,
+            np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
+            shape=tuple(shape), config=config, standard=standard,
+            bilinear=bool(bilinear), eig_method=str(eig_method),
+            solver=str(solver), solver_tol=float(solver_tol),
+            solver_maxiter=int(solver_maxiter),
+            solver_restart=int(solver_restart), mesh=mesh)
+
+    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
+                 fetch(state.res), fetch(state.inside),
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
 
 
 # ---------------------------------------------------------------------------
@@ -251,17 +484,23 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
         filter_partial = _make_sparse_solve_all(
             apply_A_c, apply_B_c, standard, solver=solver,
             solver_tol=solver_tol, solver_maxiter=solver_maxiter,
-            solver_restart=solver_restart, precond="none")
+            solver_restart=solver_restart, precond="none",
+            flag_tol=config.tol)
 
         if hermitian:
             def filter_apply(Q):
-                local, _ = filter_partial(Zall, Wall, apply_B(Q))
-                return jax.lax.psum(local, AXIS)
+                local, conv = filter_partial(Zall, Wall, apply_B(Q))
+                ok = jnp.all(conv)
+                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+                return jax.lax.psum(local, AXIS), all_ok
         else:
             def filter_apply(Q):
-                local, _ = filter_partial(Zall, Wall,
-                                          apply_B(Q).astype(cdtype))
-                return jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS)
+                local, conv = filter_partial(Zall, Wall,
+                                             apply_B(Q).astype(cdtype))
+                ok = jnp.all(conv)
+                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+                return (jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS),
+                        all_ok)
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
@@ -284,7 +523,7 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                   solver_restart=30) -> FeastResult:
     """Sparse symmetric/Hermitian FEAST with contour-point parallelism
     (parity: pfeast_scsrgv! threads/Distributed, mpi_feast_scsrgv! MPI)."""
-    from ..solvers.sparse import _peek_dtype, sparse_coo_arrays
+    from ..solvers.sparse import _is_double, _peek_dtype, sparse_coo_arrays
     fpm = _ensure_fpm(fpm)
     if mesh is None:
         mesh = contour_mesh(n_devices)
@@ -293,7 +532,7 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         B is not None and np.iscomplexobj(_peek_dtype(B)))
     if hermitian is None:
         hermitian = is_complex
-    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
+    f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -315,8 +554,8 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
-    if Q0 is None:
-        Q0 = seeded_subspace(N, M0, work_dtype)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
 
     with mesh:
         state = _pfeast_sparse_jit(
@@ -332,4 +571,5 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
                  int(info), float(fetch(state.epsout)),
-                 int(fetch(state.loop)) - 1)
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))

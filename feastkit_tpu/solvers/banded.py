@@ -157,8 +157,26 @@ def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
         eig_method=eig_method)
 
 
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "hermitian"))
+def _banded_filter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
+                       config: FeastConfig, hermitian: bool):
+    """Raw filtered application P V (fpm[14]=2 probes)."""
+    cdtype = Zne.dtype
+    Bb = None if B_bands is None else jnp.asarray(B_bands)
+    if hermitian:
+        Zfull = jnp.concatenate([Zne, jnp.conj(Zne)])
+        Wfull = jnp.concatenate([Wne, jnp.conj(Wne)])
+    else:
+        Zfull, Wfull = Zne, (2.0 * Wne)
+    apply_A, apply_B, solve_all, N = _banded_machinery(
+        jnp.asarray(A_bands), kl, ku, Bb, klb, kub, Zfull, cdtype, V.dtype)
+    X = solve_all(apply_B(V).astype(cdtype))
+    acc = jnp.einsum("e,enm->nm", Wfull.astype(cdtype), X)
+    return acc if hermitian else jnp.real(acc).astype(V.dtype)
+
+
 def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
-                            M0, fpm, hermitian) -> FeastResult:
+                            M0, fpm, hermitian, Q0=None) -> FeastResult:
     fpm = _ensure_fpm(fpm)
     A_bands = np.asarray(A_bands)
     N = A_bands.shape[1]
@@ -180,7 +198,20 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
-    Q0 = seeded_subspace(N, M0, work_dtype)
+    if config.mode == 2:
+        from .sparse import _stochastic_estimate_result
+        return _stochastic_estimate_result(
+            lambda V: _banded_filter_jit(
+                jnp.asarray(A_bands.astype(work_dtype)),
+                None if B_bands is None else jnp.asarray(
+                    np.asarray(B_bands, work_dtype)),
+                jnp.asarray(contour.Zne, cdtype),
+                jnp.asarray(contour.Wne, cdtype), jnp.asarray(V),
+                kl=kl, ku=ku, klb=klb, kub=kub, config=config,
+                hermitian=bool(hermitian)),
+            N, fpm, work_dtype)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
     state = _banded_hermitian_jit(
         A_bands.astype(work_dtype),
         None if B_bands is None else np.asarray(B_bands, work_dtype),
@@ -194,37 +225,37 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                  int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
 
 
-def feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None) -> FeastResult:
+def feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
     """Banded real-symmetric standard problem (parity: feast_sbev!,
     feast_banded.jl:1410-1447). A_bands: full (kl+ku+1, N) band storage."""
     return _banded_interval_driver(A_bands, kl, ku, None, 0, 0,
-                                   Emin, Emax, M0, fpm, hermitian=False)
+                                   Emin, Emax, M0, fpm, hermitian=False, **kw)
 
 
 def feast_sbgv(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax, M0,
-               fpm=None) -> FeastResult:
+               fpm=None, **kw) -> FeastResult:
     """Banded real-symmetric generalized problem (feast_sbgv!,
     feast_banded.jl:9-201)."""
     return _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub,
-                                   Emin, Emax, M0, fpm, hermitian=False)
+                                   Emin, Emax, M0, fpm, hermitian=False, **kw)
 
 
-def feast_hbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None) -> FeastResult:
+def feast_hbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:
     """Banded complex-Hermitian standard problem (feast_hbev!,
     feast_banded.jl:326-418)."""
     return _banded_interval_driver(A_bands, kl, ku, None, 0, 0,
-                                   Emin, Emax, M0, fpm, hermitian=True)
+                                   Emin, Emax, M0, fpm, hermitian=True, **kw)
 
 
 def feast_hbgv(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax, M0,
-               fpm=None) -> FeastResult:
+               fpm=None, **kw) -> FeastResult:
     """Banded complex-Hermitian generalized problem (feast_hbgv!)."""
     return _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub,
-                                   Emin, Emax, M0, fpm, hermitian=True)
+                                   Emin, Emax, M0, fpm, hermitian=True, **kw)
 
 
 def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
-                           fpm, bilinear, eig_method="callback"
+                           fpm, bilinear, eig_method="callback", Q0=None
                            ) -> FeastGeneralResult:
     fpm = _ensure_fpm(fpm)
     A_bands = np.asarray(A_bands)
@@ -239,7 +270,8 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
-    Q0 = seeded_subspace(N, M0, cdtype, general=True)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
     state = _banded_general_jit(
         A_bands.astype(cdtype),
         None if B_bands is None else np.asarray(B_bands, cdtype),

@@ -309,10 +309,8 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     rdtype_np = np.float32 if cdtype_np == np.complex64 else np.float64
     Zne = np.asarray(contour.Zne, dtype=cdtype_np)
     Wne = np.asarray(contour.Wne, dtype=cdtype_np)
-    if Q0 is None:
-        Q0 = seeded_subspace(N, M0, work_dtype)
-    else:
-        Q0 = np.asarray(Q0, dtype=work_dtype)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
 
     B_arg = B if not standard else A    # dummy keeps jit signature fixed
 

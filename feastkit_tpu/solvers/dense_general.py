@@ -100,6 +100,16 @@ def _general_finalize_jit(A, B, lu, piv, Zne, Wne, state, *, config,
     return verify_spurious_general(state, filter_apply)
 
 
+@cjit(static_argnames=("config", "standard"))
+def _general_filter_jit(A, B, Zne, Wne, V, *, config, standard):
+    """Raw filtered application P V (fpm[14]=2 probes, full contour)."""
+    _, _, filter_apply = _general_ops(
+        A, B, Zne, Wne, standard=standard,
+        store_factorization=config.store_factorization)
+    out = filter_apply(V)
+    return out[0] if isinstance(out, tuple) else out
+
+
 def _general_host_state(Q0):
     M0 = Q0.shape[1]
     rdtype = np.float32 if Q0.dtype == np.dtype(np.complex64) else np.float64
@@ -169,15 +179,27 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
         contour = feast_gcontour(complex(Emid), float(r), fpm)
     Zne = np.asarray(contour.Zne, cdtype)
     Wne = np.asarray(contour.Wne, cdtype)
-    if Q0 is None:
-        # General problems seed with a fully complex subspace (the reference
-        # uses complex randn for grci, feast_kernel.jl:719).
-        Q0 = seeded_subspace(N, M0, cdtype, general=True)
-    else:
-        Q0 = np.asarray(Q0, cdtype)
+    # General problems seed with a fully complex subspace (the reference
+    # uses complex randn for grci, feast_kernel.jl:719); fpm[5]=1 + Q0 warm
+    # starts (feast_kernel.jl:67-79).
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
 
     rdtype = np.float32 if cdtype == np.complex64 else np.float64
     B_arg = B if not standard else A
+    if config.mode == 2:
+        # Stochastic count estimate for the oblique projector: trace(P) = M
+        # still holds (P is a spectral projector, not orthogonal), so real
+        # Rademacher probes estimate the inside count (fpm[14]=2, fpm[32]).
+        from .sparse import _stochastic_estimate_result
+        res = _stochastic_estimate_result(
+            lambda V: _general_filter_jit(A, B_arg, Zne, Wne,
+                                          np.asarray(V, cdtype),
+                                          config=config, standard=standard),
+            N, fpm, cdtype)
+        return FeastGeneralResult(np.zeros(0, cdtype), np.zeros((N, 0), cdtype),
+                                  res.M, np.zeros(0), res.info, res.epsout,
+                                  res.loop)
     if cio.complex_io_required():
         state = _run_general_host_loop(
             A, B_arg, Zne, Wne, Q0, np.asarray(complex(Emid), cdtype)[()],
@@ -296,7 +318,7 @@ def _pep_direct_jit(coeffs, Zne, Wne, V0, Emid, r, *, config, degree,
 
 
 def feast_pep_direct(coeffs, Emid, r, M0, fpm=None,
-                     eig_method=None) -> FeastGeneralResult:
+                     eig_method=None, Q0=None) -> FeastGeneralResult:
     """Direct (linearization-free) polynomial eigensolver: memory N x M0
     instead of the companion's dN x dM0. See _pep_direct_jit.
 
@@ -321,7 +343,8 @@ def feast_pep_direct(coeffs, Emid, r, M0, fpm=None,
     contour = feast_get_custom_contour(fpm) or feast_gcontour(
         complex(Emid), float(r), fpm)
     rdtype = np.float32 if cdtype == np.complex64 else np.float64
-    V0 = seeded_subspace(N, M0, cdtype, general=True)
+    from ..core.tools import initial_subspace
+    V0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
     loop, x, lam, res, inside, eps, conv = _pep_direct_jit(
         coeffs, np.asarray(contour.Zne, cdtype),
         np.asarray(contour.Wne, cdtype), V0,
@@ -333,7 +356,7 @@ def feast_pep_direct(coeffs, Emid, r, M0, fpm=None,
                  int(fetch(loop)) - 1)
 
 
-def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
+def feast_pep(coeffs, Emid, r, M0, fpm=None, Q0=None, **kw) -> FeastGeneralResult:
     """Polynomial eigenproblem P(lam) x = (sum_k lam^k A_k) x = 0 via
     first-companion linearization to a (d*N)-dim generalized pencil
     (parity: feast_pep!, feast_dense.jl:714-772).
@@ -354,7 +377,8 @@ def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
     coeffs = [c.astype(cdtype) for c in coeffs]
     if d == 1:
         # linear pencil: A0 + lam A1 -> A x = lam B x with A=-A0, B=A1
-        res = dense_general_feast(-coeffs[0], coeffs[1], Emid, r, M0, fpm, **kw)
+        res = dense_general_feast(-coeffs[0], coeffs[1], Emid, r, M0, fpm,
+                                  Q0=Q0, **kw)
         return res
     import scipy.linalg as _sla
     eye = np.eye(N, dtype=cdtype)
@@ -366,7 +390,17 @@ def feast_pep(coeffs, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:
     rows.append(np.concatenate([-c for c in coeffs[:d]], axis=1))
     Ac = np.concatenate(rows, axis=0)
     Bc = _sla.block_diag(*([eye] * (d - 1) + [coeffs[d]]))
-    res = dense_general_feast(Ac, Bc, Emid, r, M0, fpm, **kw)
+    # Warm start (fpm[5]): an (N, M0) Q0 from a previous run / checkpoint is
+    # lifted into the companion space by vertical tiling (the checkpointed
+    # eigenvector block is the first N rows of the companion eigenvector).
+    Q0c = None
+    if Q0 is not None and np.asarray(Q0).shape[0] == N:
+        Q0c = np.tile(np.asarray(Q0, cdtype), (d, 1))
+        nrm = np.linalg.norm(Q0c, axis=0, keepdims=True)
+        Q0c = Q0c / np.where(nrm > 0, nrm, 1.0)
+    elif Q0 is not None:
+        Q0c = np.asarray(Q0, cdtype)
+    res = dense_general_feast(Ac, Bc, Emid, r, M0, fpm, Q0=Q0c, **kw)
     # Project eigenvectors back to the first N rows, renormalized.
     if res.M:
         q = res.q[:N, :]

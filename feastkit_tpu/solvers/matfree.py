@@ -86,7 +86,7 @@ def MatrixVecFunction(matvec, shape, dtype=jnp.float64, *, issymmetric=False,
 
 
 def create_iterative_solver(A_op, B_op=None, method="gmres", *, tol=1e-12,
-                            restart=30, maxiter=500):
+                            restart=30, maxiter=500, flag_tol=None):
     """Factory: ``solve_shifted(z, RHS) -> X`` solving (z B - A) X = RHS.
 
     Parity with create_iterative_solver (feast_matfree.jl:668-739),
@@ -100,17 +100,22 @@ def create_iterative_solver(A_op, B_op=None, method="gmres", *, tol=1e-12,
     if method not in ("gmres", "bicgstab"):
         raise ValueError(f"Unknown iterative solver {method!r}")
 
-    def solve_shifted(z, RHS):
+    def solve_shifted_info(z, RHS):
         def op(X):
             BX = X if B_op is None else B_op(X)
             return z * BX - A_op(X)
         if method == "gmres":
-            X, _ = gmres_block(op, RHS, tol=tol, restart=restart,
-                               maxiter=maxiter)
+            X, info = gmres_block(op, RHS, tol=tol, restart=restart,
+                                  maxiter=maxiter, flag_tol=flag_tol)
         else:
-            X, _ = bicgstab_block(op, RHS, tol=tol, maxiter=maxiter)
-        return X
+            X, info = bicgstab_block(op, RHS, tol=tol, maxiter=maxiter,
+                                     flag_tol=flag_tol)
+        return X, jnp.all(info.converged)
 
+    def solve_shifted(z, RHS):
+        return solve_shifted_info(z, RHS)[0]
+
+    solve_shifted.with_info = solve_shifted_info
     return solve_shifted
 
 
@@ -150,7 +155,8 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     is_complex = jnp.issubdtype(A_op.dtype, jnp.complexfloating)
     if hermitian is None:
         hermitian = A_op.hermitian or is_complex
-    f64 = jnp.dtype(A_op.dtype).itemsize >= 8 and jax.config.jax_enable_x64
+    from .sparse import _is_double
+    f64 = _is_double(A_op.dtype) and jax.config.jax_enable_x64
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -173,27 +179,50 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     if solve_shifted is None:
         solve_shifted = create_iterative_solver(
             A_op, None if standard else B_op, solver, tol=solver_tol,
-            restart=solver_restart, maxiter=solver_maxiter)
+            restart=solver_restart, maxiter=solver_maxiter,
+            flag_tol=config.tol)
 
     apply_A = lambda X: A_op(X)
     apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
 
-    if Q0 is None:
-        Q0 = seeded_subspace(N, M0, work_dtype)
+    from ..core.tools import initial_subspace
+    wd = np.complex64 if str(jnp.dtype(work_dtype)) == 'complex64' else (
+        np.complex128 if str(jnp.dtype(work_dtype)) == 'complex128' else (
+            np.float32 if str(jnp.dtype(work_dtype)) == 'float32' else np.float64))
+    Q0 = initial_subspace(fpm, Q0, N, M0, wd)
+
+    solve_info = getattr(solve_shifted, "with_info",
+                         lambda z, RHS: (solve_shifted(z, RHS), jnp.asarray(True)))
+
+    if config.mode == 2:
+        from .sparse import _stochastic_estimate_result
+
+        @cjit
+        def filt(V, Zall, Wall):
+            X, _ = jax.lax.map(lambda z: solve_info(z, apply_B(V).astype(Zall.dtype)
+                                                     if not hermitian else apply_B(V)),
+                               Zall)
+            acc = jnp.einsum("e,enm->nm", Wall, X)
+            return acc if hermitian else jnp.real(acc).astype(V.dtype)
+
+        wd = np.dtype(str(jnp.dtype(work_dtype)))
+        return _stochastic_estimate_result(
+            lambda V: filt(V, Zall, Wall), N, fpm, wd)
 
     @cjit
     def run(Q0, Emin, Emax, Zall, Wall):
         def solve_nodes(rhs):
-            return jax.lax.map(lambda z: solve_shifted(z, rhs), Zall)
+            return jax.lax.map(lambda z: solve_info(z, rhs), Zall)
 
         if hermitian:
             def filter_apply(Q):
-                X = solve_nodes(apply_B(Q))
-                return jnp.einsum("e,enm->nm", Wall, X)
+                X, ok = solve_nodes(apply_B(Q))
+                return jnp.einsum("e,enm->nm", Wall, X), jnp.all(ok)
         else:
             def filter_apply(Q):
-                X = solve_nodes(apply_B(Q).astype(Zall.dtype))
-                return jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype)
+                X, ok = solve_nodes(apply_B(Q).astype(Zall.dtype))
+                return (jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype),
+                        jnp.all(ok))
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
@@ -206,13 +235,15 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
 
 
 def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
                          solver="gmres", solver_tol=None, solver_maxiter=500,
                          solver_restart=30, solve_shifted=None,
-                         bilinear=False, eig_method="callback"
+                         bilinear=False, eig_method="callback", Q0=None
                          ) -> FeastGeneralResult:
     """Matrix-free general FEAST inside the ellipse (Emid, r)
     (parity: feast_matfree_grci! + feast_general(A_op, ...),
@@ -223,7 +254,8 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     if not standard:
         B_op = _as_op(B_op)
     N = A_op.shape[0]
-    f64 = jnp.dtype(A_op.dtype).itemsize >= 8 and jax.config.jax_enable_x64
+    from .sparse import _is_double
+    f64 = _is_double(A_op.dtype) and jax.config.jax_enable_x64
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
@@ -238,18 +270,23 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     if solve_shifted is None:
         solve_shifted = create_iterative_solver(
             A_op, None if standard else B_op, solver, tol=solver_tol,
-            restart=solver_restart, maxiter=solver_maxiter)
+            restart=solver_restart, maxiter=solver_maxiter,
+            flag_tol=config.tol)
 
     apply_A = lambda X: A_op(X)
     apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
 
-    Q0 = seeded_subspace(N, M0, cdtype_np, general=True)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype_np, general=True)
+
+    solve_info = getattr(solve_shifted, "with_info",
+                         lambda z, RHS: (solve_shifted(z, RHS), jnp.asarray(True)))
 
     @cjit
     def run(Q0, Emid, r, Zne, Wne):
         def filter_apply(Q):
-            X = jax.lax.map(lambda z: solve_shifted(z, apply_B(Q)), Zne)
-            return jnp.einsum("e,enm->nm", Wne, X)
+            X, ok = jax.lax.map(lambda z: solve_info(z, apply_B(Q)), Zne)
+            return jnp.einsum("e,enm->nm", Wne, X), jnp.all(ok)
 
         return feast_general_core(
             apply_A, apply_B, filter_apply, Q0, Emid, r,
@@ -265,4 +302,6 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))

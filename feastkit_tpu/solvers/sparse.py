@@ -43,11 +43,24 @@ __all__ = ["feast_scsrev", "feast_scsrgv", "feast_hcsrev", "feast_hcsrgv",
            "sparse_feast_interval", "sparse_feast_general"]
 
 
+def _cast_values(data, dtype):
+    """dtype cast that handles complex -> real explicitly (JAX deprecates
+    Array.astype from complex to real dtypes): s/d-prefixed aliases applied
+    to complex data keep the real part, matching the reference's
+    real-precision wrappers."""
+    if dtype is None:
+        return data
+    if (jnp.iscomplexobj(data)
+            and not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)):
+        data = data.real
+    return data.astype(dtype)
+
+
 def as_bcoo(A, dtype=None):
     """scipy.sparse / dense / BCOO -> jax BCOO (optionally cast)."""
     if isinstance(A, jsparse.BCOO):
         return A if dtype is None else jsparse.BCOO(
-            (A.data.astype(dtype), A.indices), shape=A.shape)
+            (_cast_values(A.data, dtype), A.indices), shape=A.shape)
     data, idx, shape = sparse_coo_arrays(A, dtype)
     return jsparse.BCOO((jnp.asarray(data), jnp.asarray(idx)), shape=shape)
 
@@ -62,13 +75,13 @@ def sparse_coo_arrays(A, dtype=None):
         import scipy.sparse as sp
         if sp.issparse(A):
             coo = A.tocoo()
-            data = coo.data if dtype is None else coo.data.astype(dtype)
+            data = _cast_values(coo.data, dtype)
             idx = np.stack([coo.row.astype(np.int32),
                             coo.col.astype(np.int32)], axis=1)
             return np.ascontiguousarray(data), idx, tuple(coo.shape)
     except ImportError:
         pass
-    A = np.asarray(A) if dtype is None else np.asarray(A, dtype)
+    A = np.asarray(A) if dtype is None else _cast_values(np.asarray(A), dtype)
     r, c = np.nonzero(np.ones(A.shape, bool))
     idx = np.stack([r.astype(np.int32), c.astype(np.int32)], axis=1)
     return A.ravel(), idx, tuple(A.shape)
@@ -91,22 +104,27 @@ def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
     TPU, with complex products decomposed into real kernels) when the matrix
     lives on few diagonals, BCOO otherwise."""
     if offsets is not None:
-        diags = dia if cast is None else dia.astype(cast)
-        # keep the stored diagonals REAL when the values are real-valued so
-        # the Pallas path uses the minimal number of kernel calls
-        if cast is not None and jnp.iscomplexobj(diags):
-            pass
+        if cast is None:
+            diags = dia
+        elif (jnp.issubdtype(jnp.dtype(cast), jnp.complexfloating)
+              and not jnp.iscomplexobj(dia)):
+            # keep REAL diagonals real under a complex cast: dia_matvec_any
+            # then decomposes real-A x complex-X into 2 Pallas calls, not 4
+            diags = dia.astype(jnp.finfo(cast).dtype)
+        else:
+            diags = _cast_values(dia, cast)
         return lambda X: dia_matvec_any(diags, X, offsets,
                                         use_pallas=use_pallas)
     A = bcoo_mat if cast is None else jsparse.BCOO(
-        (bcoo_mat.data.astype(cast), bcoo_mat.indices), shape=bcoo_mat.shape)
+        (_cast_values(bcoo_mat.data, cast), bcoo_mat.indices),
+        shape=bcoo_mat.shape)
     return lambda X: A @ X
 
 
 def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            solver_tol, solver_maxiter, solver_restart,
                            diagA=None, diagB=None, precond="jacobi",
-                           col_block=None):
+                           col_block=None, flag_tol=None):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
     into the scan carry (stacking all (ne, N, K) solves would cost ne x the
@@ -122,11 +140,12 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         if solver == "gmres":
             X, info = gmres_block(lambda X: apply_shift(z, X), rhs,
                                   tol=solver_tol, restart=solver_restart,
-                                  maxiter=solver_maxiter, apply_prec=prec)
+                                  maxiter=solver_maxiter, apply_prec=prec,
+                                  flag_tol=flag_tol)
         else:
             X, info = bicgstab_block(lambda X: apply_shift(z, X), rhs,
                                      tol=solver_tol, maxiter=solver_maxiter,
-                                     apply_prec=prec)
+                                     apply_prec=prec, flag_tol=flag_tol)
         return X, info.converged
 
     def filter_partial(Zall, Wall, rhs):
@@ -185,27 +204,29 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
-    # bound Krylov memory: (restart+1)*N*cols complex; target <= ~1.5 GB.
-    # filter_partial skips chunking when the actual column count is already
-    # below the block size.
+    # bound Krylov memory: (restart+1)*N*cols at the complex work itemsize
+    # (16 bytes in x64); target <= ~1.5 GB. filter_partial skips chunking
+    # when the actual column count is already below the block size.
     N_shape = shape[0]
-    budget_cols = max(1, int(1.5e9 / (8 * (solver_restart + 1) * N_shape)))
+    itemsize = jnp.dtype(cdtype).itemsize
+    budget_cols = max(1, int(1.5e9 / (itemsize * (solver_restart + 1)
+                                      * N_shape)))
     col_block = max(8, 1 << int(np.log2(budget_cols))) \
         if budget_cols < 4096 else None
     filter_partial = _make_sparse_solve_all(
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
-        precond=precond, col_block=col_block)
+        precond=precond, col_block=col_block, flag_tol=config.tol)
 
     if hermitian:
         def filter_apply(Q):
-            acc, _ = filter_partial(Zall, Wall, apply_B(Q))
-            return acc
+            acc, conv = filter_partial(Zall, Wall, apply_B(Q))
+            return acc, jnp.all(conv)
     else:
         def filter_apply(Q):
-            acc, _ = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
-            return jnp.real(acc).astype(Q.dtype)
+            acc, conv = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
+            return jnp.real(acc).astype(Q.dtype), jnp.all(conv)
 
     return apply_A, apply_B, filter_apply
 
@@ -271,9 +292,43 @@ def _sparse_finalize_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
     if final_mode == "subspace":
         from ..core.tools import orthonormalize
-        U, _, _ = orthonormalize(filter_apply(state.Q))
-        return state._replace(Q=U, loop=jnp.int32(1))
+        from ..kernel.hermitian import _filter_with_ok
+        Qp, ok = _filter_with_ok(filter_apply, state.Q)
+        U, _, _ = orthonormalize(Qp)
+        return state._replace(Q=U, loop=jnp.int32(1), inner_ok=ok)
     return verify_spurious(state, filter_apply)
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_filter_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                       diagA, diagB, Zne, Wne, V, *, shape, config, standard,
+                       hermitian, solver, solver_tol, solver_maxiter,
+                       solver_restart, offsets_A=None, offsets_B=None,
+                       use_pallas=False, precond="jacobi"):
+    """Raw filtered application P V (stochastic-estimate probes,
+    fpm[14]=2)."""
+    _, _, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+    out = filter_apply(V)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _stochastic_estimate_result(filter_fn, N, fpm, work_dtype):
+    """Shared fpm[14]=2 driver tail: Rademacher probes through the SAME
+    quadrature filter; M_est = E[v^T P v] (feast_parameters.jl:71-75).
+    Returns a count-only FeastResult (the reference's estimate mode returns
+    no eigenpairs)."""
+    trials = max(int(fpm[32]), 1)
+    rng_probe = np.random.default_rng((N * 31 + trials) % (2**31 - 1))
+    V = rng_probe.choice([-1.0, 1.0], size=(N, trials)).astype(work_dtype)
+    PV = np.asarray(fetch(filter_fn(V)))
+    est = float(np.einsum("nt,nt->", np.real(V), np.real(PV)) / trials)
+    return FeastResult(np.zeros(0), np.zeros((N, 0)), max(int(round(est)), 0),
+                       np.zeros(0), FeastError.SUCCESS, float(est), 1)
 
 
 def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
@@ -316,6 +371,17 @@ def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
             diagA, diagB, use_pallas, precond)
 
 
+def _is_double(dt) -> bool:
+    """True when the operand's REAL-component precision is 64-bit: float64 /
+    complex128 (complex64 has itemsize 8 but is SINGLE precision)."""
+    dt = np.dtype(dt)
+    if dt.kind == "c":
+        return np.finfo(dt).dtype.itemsize >= 8
+    if dt.kind == "f":
+        return dt.itemsize >= 8
+    return True          # integer / exotic inputs promote to double
+
+
 def _peek_dtype(A):
     if isinstance(A, jsparse.BCOO):
         return np.zeros((), A.data.dtype)
@@ -347,7 +413,7 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         B is not None and np.iscomplexobj(_peek_dtype(B)))
     if hermitian is None:
         hermitian = is_complex
-    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
+    f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -373,8 +439,8 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                          10 * float(np.finfo(rdtype).eps))
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
-    if Q0 is None:
-        Q0 = seeded_subspace(N, M0, work_dtype)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
     statics = dict(
         shape=tuple(shape), config=config, standard=standard,
         hermitian=bool(hermitian), solver=solver,
@@ -383,6 +449,10 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
     arrs = (A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
             np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
+    if config.mode == 2:
+        return _stochastic_estimate_result(
+            lambda V: _sparse_filter_jit(*arrs, V, **statics),
+            N, fpm, work_dtype)
     if cio.complex_io_required() and config.mode != 1:
         from .dense import _host_state
         state = _host_state(np.asarray(Q0, work_dtype))
@@ -400,7 +470,8 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
                  int(info), float(fetch(state.epsout)),
-                 int(fetch(state.loop)) - 1)
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
 
 
 @cjit(static_argnames=("shape", "config", "standard", "bilinear",
@@ -427,11 +498,12 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         apply_A, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype),
-        diagB=None if standard else diagB.astype(cdtype), precond=precond)
+        diagB=None if standard else diagB.astype(cdtype), precond=precond,
+        flag_tol=config.tol)
 
     def filter_apply(Q):
-        acc, _ = filter_partial(Zne, Wne, apply_B(Q))
-        return acc
+        acc, conv = filter_partial(Zne, Wne, apply_B(Q))
+        return acc, jnp.all(conv)
 
     return feast_general_core(
         apply_A, apply_B, filter_apply, Q0, Emid, r,
@@ -445,7 +517,7 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
                          eig_method="callback", solver=None,
                          solver_tol=None, solver_maxiter=None,
-                         solver_restart=30) -> FeastGeneralResult:
+                         solver_restart=30, Q0=None) -> FeastGeneralResult:
     """Shared sparse general/complex-symmetric driver
     (parity: feast_gcsrgv!/gcsrev! RCI-loop drivers, feast_sparse.jl:873-1006,
     complex-symmetric :509-711)."""
@@ -456,7 +528,7 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     solver_maxiter = (solver_maxiter if solver_maxiter is not None
                       else iopts.get("solver_maxiter", 500))
 
-    f64 = _peek_dtype(A).itemsize >= 8 and jax.config.jax_enable_x64
+    f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     A_data, A_idx, shape = sparse_coo_arrays(A, cdtype)
@@ -479,7 +551,27 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(
         complex(Emid), float(r), fpm)
-    Q0 = seeded_subspace(N, M0, cdtype, general=True)
+    gen_statics = dict(
+        shape=tuple(shape), config=config, standard=standard,
+        hermitian=False, solver=solver, solver_tol=float(solver_tol),
+        solver_maxiter=int(solver_maxiter),
+        solver_restart=int(solver_restart), offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+    if config.mode == 2:
+        # General contours: replace the half-contour doubling with the raw
+        # full-contour quadrature sum (trace(P) = M for oblique projectors).
+        Zg = np.asarray(contour.Zne, cdtype)
+        Wg = np.asarray(contour.Wne, cdtype)
+        res = _stochastic_estimate_result(
+            lambda V: _sparse_filter_jit(
+                A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+                Zg, 0.5 * Wg, np.asarray(V, cdtype), **gen_statics),
+            N, fpm, cdtype)
+        return FeastGeneralResult(np.zeros(0, cdtype), np.zeros((N, 0), cdtype),
+                                  res.M, np.zeros(0), res.info, res.epsout,
+                                  res.loop)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
     state = _sparse_general_jit(
         A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
@@ -493,7 +585,8 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
                  int(info), float(fetch(state.epsout)),
-                 int(fetch(state.loop)) - 1)
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
 
 
 # --- Reference-named wrappers (CSR-family) ---------------------------------

@@ -54,7 +54,14 @@ def load_checkpoint(path) -> FeastCheckpoint:
 
 def resume_kwargs(ckpt: FeastCheckpoint) -> dict:
     """Driver kwargs implementing the fpm[5]=1 warm start
-    (feast_kernel.jl:67-79): resume iteration from the saved subspace."""
+    (feast_kernel.jl:67-79): resume iteration from the saved subspace.
+
+    Every driver accepts these kwargs: dense (feast_sy*/he*), dense general
+    (feast_ge*), sparse (feast_*csr*), sparse general, banded (feast_*b*),
+    matrix-free (feast_matvec*), polynomial (feast_pep/feast_pep_direct —
+    an (N, M0) checkpoint basis is lifted into the companion space by
+    tiling), and the sharded pfeast_* drivers. Drivers honor fpm[5]=0 by
+    ignoring a stale Q0 (core/tools.initial_subspace)."""
     fpm = FeastParameters(ckpt.fpm)
     fpm[5] = 1
     return {"fpm": fpm, "Q0": ckpt.Q}

@@ -1,0 +1,82 @@
+"""fpm[14]=2 stochastic eigenvalue-count estimate across every driver class
+(the reference applies execution modes per driver class,
+feast_parameters.jl:71-75; dense is covered in test_dense.py)."""
+import numpy as np
+import scipy.sparse as sp
+
+import feastkit_tpu as fk
+from feastkit_tpu.core.parameters import feastinit
+
+from conftest import laplacian_1d, laplacian_eigs
+
+
+def _estimate_fpm(trials=40):
+    fpm = feastinit()
+    fpm[14] = 2
+    fpm[32] = trials
+    return fpm
+
+
+def _laplacian_count(n, lo, hi):
+    w = laplacian_eigs(n)
+    return int(((w >= lo) & (w <= hi)).sum())
+
+
+def test_sparse_estimate():
+    n = 300
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    true = _laplacian_count(n, 0.5, 1.5)
+    r = fk.feast_scsrev(A, 0.5, 1.5, 8, _estimate_fpm())
+    assert r.info == 0 and r.lam.size == 0
+    assert abs(r.M - true) <= 0.25 * true + 3
+
+
+def test_banded_estimate():
+    n = 300
+    bands = np.zeros((3, n))
+    bands[0, 1:] = -1.0
+    bands[1, :] = 2.0
+    bands[2, :-1] = -1.0
+    true = _laplacian_count(n, 0.5, 1.5)
+    r = fk.feast_sbev(bands, 1, 1, 0.5, 1.5, 8, _estimate_fpm())
+    assert r.lam.size == 0
+    assert abs(r.M - true) <= 0.25 * true + 3
+
+
+def test_matfree_estimate():
+    import jax.numpy as jnp
+    n = 300
+    Ad = jnp.asarray(laplacian_1d(n))
+    A_op = fk.LinearOperator(lambda X: Ad @ X, (n, n), np.float64,
+                             symmetric=True)
+    true = _laplacian_count(n, 0.5, 1.5)
+    r = fk.feast_matvec(A_op, None, (0.5, 1.5), 8, _estimate_fpm())
+    assert r.lam.size == 0
+    assert abs(r.M - true) <= 0.25 * true + 3
+
+
+def test_dense_general_estimate(rng):
+    n = 120
+    lam = np.concatenate([rng.uniform(-0.5, 0.5, 12)
+                          + 1j * rng.uniform(-0.4, 0.4, 12),
+                          3.0 + rng.standard_normal(n - 12)])
+    X = rng.standard_normal((n, n)) + 0.05 * 1j * rng.standard_normal((n, n))
+    A = X @ np.diag(lam) @ np.linalg.inv(X)
+    true = int(np.sum(np.abs(lam) <= 1.0))
+    fpm = _estimate_fpm(60)
+    r = fk.feast_geev(A, 0.0 + 0.0j, 1.0, 8, fpm)
+    assert r.lam.size == 0
+    assert abs(r.M - true) <= 0.3 * true + 3
+
+
+def test_sparse_general_estimate(rng):
+    n = 200
+    d = np.concatenate([rng.uniform(-0.5, 0.5, 10)
+                        + 1j * rng.uniform(-0.3, 0.3, 10),
+                        4.0 + np.arange(n - 10, dtype=float)])
+    A = sp.diags(d, 0, format="csr")
+    true = 10
+    r = fk.feast_gcsrev(A, 0.0 + 0.0j, 1.0, 8, _estimate_fpm(60))
+    assert r.lam.size == 0
+    assert abs(r.M - true) <= 0.3 * true + 3

@@ -94,3 +94,90 @@ def test_parallel_sparse_alias():
     exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])
     r = fk.pdfeast_scsrev(A, 0.5, 0.9, len(exp) + 4)
     assert r.M == len(exp)
+
+
+def test_pfeast_general_dense(rng):
+    """Sharded dense general driver vs serial (parity:
+    _mpi_feast_complex_general!, feast_mpi.jl:941-1046)."""
+    from feastkit_tpu import feast_general
+    n = 60
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    w = np.linalg.eigvals(A)
+    Emid, r_c = complex(w[0]), 1.2
+    rs = feast_general(A, None, Emid, r_c, 12, backend="serial")
+    rp = feast_general(A, None, Emid, r_c, 12, backend="sharded",
+                       strict_backend=True)
+    assert rp.M == rs.M
+    assert np.abs(np.sort_complex(rp.lam) - np.sort_complex(rs.lam)).max() < 1e-8
+
+
+def test_pfeast_general_sparse(rng):
+    """feast_general on sparse operands honors backend='sharded'."""
+    import scipy.sparse as sp
+    from feastkit_tpu import feast_general
+    n = 120
+    d = np.concatenate([rng.uniform(-0.5, 0.5, 10)
+                        + 1j * rng.uniform(-0.3, 0.3, 10),
+                        4.0 + np.arange(n - 10, dtype=float)])
+    A = sp.diags(d, 0, format="csr")
+    rs = feast_general(A, None, 0.0 + 0.0j, 1.0, 14, backend="serial")
+    rp = feast_general(A, None, 0.0 + 0.0j, 1.0, 14, backend="sharded",
+                       strict_backend=True)
+    assert rp.M == rs.M == 10
+    assert np.abs(np.sort_complex(rp.lam) - np.sort_complex(rs.lam)).max() < 1e-7
+
+
+def test_strict_backend_raises_on_single_device():
+    """backend='sharded' with strict_backend=True raises when the mesh has
+    one device (select_parallel_backend contract,
+    feast_backend_utils.jl:52-68)."""
+    from unittest import mock
+    from feastkit_tpu import feast
+    n = 40
+    A = laplacian_1d(n)
+    with mock.patch("feastkit_tpu.core.backend._n_devices", return_value=1):
+        with pytest.raises(RuntimeError, match="sharded"):
+            feast(A, None, (0.5, 1.5), 10, backend="sharded",
+                  strict_backend=True)
+        # non-strict: warns + falls back serial
+        with pytest.warns(UserWarning, match="falling back"):
+            r = feast(A, None, (0.5, 1.5), 10, backend="sharded")
+        assert r.M > 0
+
+
+def test_auto_backend_selects_sharded_for_sparse():
+    """backend='auto' picks the sharded mesh for sparse operands on a
+    multi-device mesh (the reference's supported-problem matrix:
+    sparse parallelizes under :auto, feast_backend_utils.jl:103-121)."""
+    import scipy.sparse as sp
+    from feastkit_tpu import feast
+    from feastkit_tpu.parallel import pfeast as pf
+    n = 150
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.8)])
+    called = {}
+    orig = pf.pfeast_sparse
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    from unittest import mock
+    with mock.patch.object(pf, "pfeast_sparse", side_effect=spy):
+        r = feast(A, None, (0.5, 0.8), len(exp) + 4)     # backend defaults auto
+    assert called.get("yes")
+    assert r.M == len(exp)
+
+
+def test_strict_backend_honored_for_sparse():
+    import scipy.sparse as sp
+    from unittest import mock
+    from feastkit_tpu import feast
+    n = 60
+    A = sp.eye(n, format="csr") * 2.0
+    with mock.patch("feastkit_tpu.core.backend._n_devices", return_value=1):
+        with pytest.raises(RuntimeError, match="sharded"):
+            feast(A, None, (1.5, 2.5), 10, backend="sharded",
+                  strict_backend=True)

@@ -10,26 +10,28 @@ from conftest import laplacian_1d, laplacian_eigs
 
 
 def _drive(state, A, B=None):
-    """Service the RCI protocol with dense numpy linear algebra."""
+    """Service the RCI protocol with dense numpy linear algebra.
+
+    Factorizations happen ONLY at FACTORIZE jobs (reference-style service
+    loop, feast_kernel.jl ijob=10/20): a SOLVE for a shift that was never
+    announced via FACTORIZE is a protocol violation and fails the test.
+    """
     factors = {}
     job = state.step()
     n_steps = 0
     while job != FeastRCIJob.DONE and n_steps < 10000:
         n_steps += 1
-        if job in (FeastRCIJob.FACTORIZE, FeastRCIJob.FACTORIZE_TRANSPOSE):
-            pass
+        if job == FeastRCIJob.FACTORIZE:
+            z = state.Ze
+            M = z * (np.eye(A.shape[0]) if B is None else B) - A
+            factors[z] = sla.lu_factor(M)
+        elif job == FeastRCIJob.FACTORIZE_TRANSPOSE:
+            # adjoint solves reuse the plain factorization with trans=2
+            assert state.Ze in factors
         elif job == FeastRCIJob.SOLVE:
-            z = state.Ze
-            if z not in factors:
-                M = z * (np.eye(A.shape[0]) if B is None else B) - A
-                factors[z] = sla.lu_factor(M)
-            state.workc = sla.lu_solve(factors[z], state.workc)
+            state.workc = sla.lu_solve(factors[state.Ze], state.workc)
         elif job == FeastRCIJob.SOLVE_TRANSPOSE:
-            z = state.Ze
-            if z not in factors:
-                M = z * (np.eye(A.shape[0]) if B is None else B) - A
-                factors[z] = sla.lu_factor(M)
-            state.workc = sla.lu_solve(factors[z], state.workc,
+            state.workc = sla.lu_solve(factors[state.Ze], state.workc,
                                        trans=2)
         elif job == FeastRCIJob.MULT_A:
             state.workc = (A @ state.q) if state.phase.startswith("mult_a_res") \
@@ -43,11 +45,36 @@ def _drive(state, A, B=None):
 
 
 def test_srci_first_transition():
-    """ijob protocol starts with a MULT_B / SOLVE request (smoke test,
-    runtests.jl:72-118)."""
-    st = FeastSRCI(20, 6, 0.5, 1.5)
+    """ijob protocol: standard problems emit FACTORIZE first (ijob=10,
+    feast_kernel.jl:97); generalized problems request MULT_B to form B@Q,
+    then FACTORIZE before any SOLVE (smoke test, runtests.jl:72-118)."""
+    st = FeastSRCI(20, 6, 0.5, 1.5, standard_B=True)
     job = st.step()
-    assert job in (FeastRCIJob.MULT_B, FeastRCIJob.SOLVE)
+    assert job == FeastRCIJob.FACTORIZE
+    assert st.Ze == complex(st.contour.Zne[0])
+    assert st.step() == FeastRCIJob.SOLVE
+
+    st = FeastSRCI(20, 6, 0.5, 1.5)
+    assert st.step() == FeastRCIJob.MULT_B
+    st.workc = np.asarray(st.workc)      # identity B
+    assert st.step() == FeastRCIJob.FACTORIZE
+    assert st.step() == FeastRCIJob.SOLVE
+
+
+def test_hrci_factorize_transpose_sequence():
+    """Hermitian protocol announces FACTORIZE_TRANSPOSE (ijob=20) before each
+    adjoint solve (ijob=21)."""
+    st = FeastHRCI(16, 4, -1.0, 1.0, standard_B=True)
+    seq = [st.step()]
+    st.workc = np.asarray(st.workc)
+    seq.append(st.step())
+    st.workc = np.asarray(st.workc)      # pretend-solve
+    seq.append(st.step())
+    st.workc = np.asarray(st.workc)
+    seq.append(st.step())
+    assert seq[:4] == [FeastRCIJob.FACTORIZE, FeastRCIJob.SOLVE,
+                       FeastRCIJob.FACTORIZE_TRANSPOSE,
+                       FeastRCIJob.SOLVE_TRANSPOSE]
 
 
 def test_srci_full_drive():
@@ -122,3 +149,76 @@ def test_warm_start_subspace():
     _drive(st, A)
     assert st.M == len(exp)
     assert st.loop <= 2
+
+
+def test_prci_parallel_solve_protocol():
+    """FeastPRCI: one PARALLEL_SOLVE (ijob=50) per sweep hands out all
+    contour nodes at once (feast_parallel_rci.jl:47-266,386-390)."""
+    from feastkit_tpu.kernel.rci import FeastPRCI
+    n = 80
+    A = laplacian_1d(n)
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.5)])
+    st = FeastPRCI(n, len(exp) + 5, 0.5, 1.5, standard_B=True)
+    job = st.step()
+    n_steps = 0
+    saw_parallel = False
+    while job != FeastRCIJob.DONE and n_steps < 1000:
+        n_steps += 1
+        if job == FeastRCIJob.PARALLEL_SOLVE:
+            saw_parallel = True
+            X = np.stack([
+                sla.lu_solve(sla.lu_factor(z * np.eye(n) - A), st.workc)
+                for z in st.Zall])
+            st.Xall = X
+        elif job == FeastRCIJob.PARALLEL_ACCUMULATE:
+            pass                    # accumulation is internal
+        elif job == FeastRCIJob.MULT_A:
+            st.workc = A @ np.asarray(st.workc)
+        elif job == FeastRCIJob.MULT_B:
+            st.workc = np.asarray(st.workc)
+        job = st.step()
+    assert saw_parallel
+    assert st.M == len(exp)
+    assert np.abs(np.sort(st.lam[st.inside]) - exp).max() < 1e-10
+
+
+def test_poly_rci_drive(rng):
+    """FeastPolyRCI full drive on a quadratic EVP, checked against the
+    companion spectrum (parity: _feast_poly_grci!,
+    feast_kernel.jl:964-1261)."""
+    from feastkit_tpu.kernel.rci import FeastPolyRCI
+    n = 12
+    K = np.diag(rng.uniform(0.5, 2.0, n))
+    C = 0.1 * np.eye(n)
+    M = np.eye(n)
+    coeffs = [K, C, M]
+
+    Acomp = np.block([[np.zeros((n, n)), np.eye(n)], [-K, -C]])
+    w = np.linalg.eigvals(Acomp)
+    from feastkit_tpu import feast_inside_gcontour
+    exp = w[np.asarray(feast_inside_gcontour(w, 0.0 + 1.0j, 0.22))]
+    assert 0 < len(exp) < n           # Beyn scheme needs M0 <= N
+
+    def P(z):
+        return K + z * C + z * z * M
+
+    st = FeastPolyRCI(n, 2, min(len(exp) + 4, n), 0.0 + 1.0j, 0.22)
+    job = st.step()
+    n_steps = 0
+    factor = None
+    while job != FeastRCIJob.DONE and n_steps < 10000:
+        n_steps += 1
+        if job == FeastRCIJob.FACTORIZE:
+            factor = sla.lu_factor(P(st.Ze))
+        elif job == FeastRCIJob.SOLVE:
+            st.workc = sla.lu_solve(factor, st.workc)
+        elif job == FeastRCIJob.MULT_A:
+            # P(lam_j) q_j columnwise
+            st.workc = np.stack(
+                [P(l) @ st.q[:, j] for j, l in enumerate(st.lam)], axis=1)
+        job = st.step()
+    assert st.M == len(exp)
+    got = st.lam[st.inside]
+    for lam in exp:       # sort_complex pairing is unstable for near-ties
+        assert np.min(np.abs(got - lam)) < 1e-5

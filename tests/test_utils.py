@@ -25,6 +25,74 @@ def test_checkpoint_resume(tmp_path):
     assert np.abs(np.sort(r2.lam) - np.sort(r.lam)).max() < 1e-12
 
 
+def test_checkpoint_resume_banded(tmp_path):
+    """resume_kwargs round-trips through the banded driver (Q0 + fpm[5])."""
+    n = 200
+    bands = np.zeros((3, n))
+    bands[0, 1:] = -1.0
+    bands[1, :] = 2.0
+    bands[2, :-1] = -1.0
+    w = laplacian_eigs(n)
+    M0 = int(((w >= 0.5) & (w <= 0.8)).sum()) + 5
+    r = fk.feast_sbev(bands, 1, 1, 0.5, 0.8, M0)
+    assert r.info == 0
+    p = tmp_path / "ck.npz"
+    fk.save_checkpoint(p, r, fk.feastinit(), (0.5, 0.8))
+    ck = fk.load_checkpoint(p)
+    r2 = fk.feast_sbev(bands, 1, 1, 0.5, 0.8, M0, **fk.resume_kwargs(ck))
+    # BCR solve error is slightly above the LU path's, so the warm start may
+    # need one extra polish loop
+    assert r2.loop <= 2
+    assert r2.M == r.M
+
+
+def test_checkpoint_resume_sparse_general(tmp_path, rng):
+    import scipy.sparse as sp
+    n = 80
+    d = np.concatenate([rng.uniform(-0.5, 0.5, 8)
+                        + 1j * rng.uniform(-0.3, 0.3, 8),
+                        4.0 + np.arange(n - 8, dtype=float)])
+    A = sp.diags(d, 0, format="csr")
+    r = fk.feast_gcsrev(A, 0.0 + 0.0j, 1.0, 12)
+    p = tmp_path / "ck.npz"
+    fk.save_checkpoint(p, r, fk.feastinit(), (0.0, 0.0, 1.0), kind="general")
+    ck = fk.load_checkpoint(p)
+    r2 = fk.feast_gcsrev(A, 0.0 + 0.0j, 1.0, 12, **fk.resume_kwargs(ck))
+    assert r2.M == r.M
+    assert r2.loop <= 1
+
+
+def test_checkpoint_resume_pep(tmp_path, rng):
+    n = 12
+    K = np.diag(rng.uniform(0.5, 2.0, n))
+    C = 0.1 * np.eye(n)
+    M = np.eye(n)
+    r = fk.feast_pep([K, C, M], 0.0 + 1.0j, 0.8, 16)
+    assert r.info == fk.FeastError.SUCCESS
+    p = tmp_path / "ck.npz"
+    fk.save_checkpoint(p, r, fk.feastinit(), (0.0, 1.0, 0.8), kind="general")
+    ck = fk.load_checkpoint(p)
+    r2 = fk.feast_pep([K, C, M], 0.0 + 1.0j, 0.8, 16, **fk.resume_kwargs(ck))
+    assert r2.info == fk.FeastError.SUCCESS
+    # every converged pair of the first run is recovered by the warm start
+    # (the tiled companion basis may legitimately capture extra borderline
+    # pairs, so compare as a subset, not an exact count)
+    for lam in r.lam:
+        assert np.min(np.abs(r2.lam - lam)) < 1e-6
+
+
+def test_stale_q0_ignored_without_fpm5():
+    """fpm[5]=0 ignores a supplied Q0 (exact reference semantics,
+    feast_kernel.jl:67-79): results equal the seeded-subspace run."""
+    n = 60
+    A = laplacian_1d(n)
+    base = fk.feast_syev(A, 0.5, 1.5, 14)
+    stale = np.ones((n, 14)) / np.sqrt(n)    # rank-1: disastrous if used
+    r = fk.feast_syev(A, 0.5, 1.5, 14, Q0=stale)   # fpm[5] defaults to 0
+    assert r.M == base.M
+    assert np.abs(np.sort(r.lam) - np.sort(base.lam)).max() < 1e-12
+
+
 def test_ifeast_knobs():
     fpm = fk.feastinit()
     fpm[43] = 1

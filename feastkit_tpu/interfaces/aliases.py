@@ -151,6 +151,127 @@ def _make_pep(dtype):
     return alias
 
 
+def _make_sparse_pep(dtype):
+    def alias(coeffs, Emid, r, M0, fpm=None, **kw):
+        return _sp.feast_scsrpev([_cast(c, dtype) for c in coeffs], Emid, r,
+                                 M0, fpm, **kw)
+    return alias
+
+
+def _make_rcipev(dtype):
+    """*rcipev aliases: drive the polynomial RCI state machine with host LU
+    solves (parity: feast_srcipev!/grcipev!, feast_kernel.jl:990-1050 — the
+    reference's RCI-polynomial entry points)."""
+    def alias(coeffs, Emid, r, M0, fpm=None, **kw):
+        import scipy.linalg as sla
+        from ..core.types import FeastError, FeastGeneralResult, FeastRCIJob
+        from ..kernel.rci import FeastPolyRCI
+        coeffs = [np.asarray(c, dtype) for c in coeffs]
+        d = len(coeffs) - 1
+        N = coeffs[0].shape[0]
+
+        def P(z):
+            acc = np.asarray(coeffs[d], complex).copy()
+            for k in range(d - 1, -1, -1):
+                acc = acc * z + coeffs[k]
+            return acc
+
+        st = FeastPolyRCI(N, d, M0, Emid, r, fpm, **kw)
+        job = st.step()
+        factor = None
+        guard = 0
+        while job != FeastRCIJob.DONE and guard < 100000:
+            guard += 1
+            if job == FeastRCIJob.FACTORIZE:
+                factor = sla.lu_factor(P(st.Ze))
+            elif job == FeastRCIJob.SOLVE:
+                st.workc = sla.lu_solve(factor, st.workc)
+            elif job == FeastRCIJob.MULT_A:
+                st.workc = np.stack(
+                    [P(l) @ st.q[:, j] for j, l in enumerate(st.lam)], axis=1)
+            job = st.step()
+        from ..core.types import _trim
+        return _trim(FeastGeneralResult, st.lam, st.q, st.res, st.inside,
+                     int(st.info), float(st.epsout), st.loop)
+    return alias
+
+
+def _make_parallel_sparse_general(dtype, generalized, bilinear):
+    """Actually-parallel sparse general aliases (contour-sharded mesh) —
+    p{c,z}feast_gcsr* route here, never to the serial engine."""
+    def alias(A, *args, **kw):
+        from ..parallel.pfeast import pfeast_sparse_general
+        if generalized:
+            B, Emid, r, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            return pfeast_sparse_general(_cast(A, dtype), _cast(B, dtype),
+                                         Emid, r, M0, fpm,
+                                         bilinear=bilinear, **kw)
+        Emid, r, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return pfeast_sparse_general(_cast(A, dtype), None, Emid, r, M0, fpm,
+                                     bilinear=bilinear, **kw)
+    return alias
+
+
+def _make_parallel_dense_general(dtype, generalized, bilinear):
+    def alias(A, *args, **kw):
+        from ..parallel.pfeast import pfeast_general
+        if generalized:
+            B, Emid, r, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            return pfeast_general(_cast(A, dtype), _cast(B, dtype), Emid, r,
+                                  M0, fpm, bilinear=bilinear, **kw)
+        Emid, r, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return pfeast_general(_cast(A, dtype), None, Emid, r, M0, fpm,
+                              bilinear=bilinear, **kw)
+    return alias
+
+
+def _make_parallel_iter_interval(dtype, generalized, hermitian):
+    """p{c,z}ifeast interval aliases: iterative inner solves on the
+    contour-sharded mesh. Dense operands are routed through the sparse
+    engine's BCOO matvecs (iterative + parallel, honest semantics)."""
+    def alias(A, *args, **kw):
+        from ..parallel.pfeast import pfeast_sparse
+        if generalized:
+            B, Emin, Emax, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            return pfeast_sparse(_cast(A, dtype), _cast(B, dtype), Emin, Emax,
+                                 M0, fpm, hermitian=hermitian, **kw)
+        Emin, Emax, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return pfeast_sparse(_cast(A, dtype), None, Emin, Emax, M0, fpm,
+                             hermitian=hermitian, **kw)
+    return alias
+
+
+def _make_parallel_iter_general(dtype, generalized, bilinear):
+    def alias(A, *args, **kw):
+        from ..parallel.pfeast import pfeast_sparse_general
+        if generalized:
+            B, Emid, r, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            return pfeast_sparse_general(_cast(A, dtype), _cast(B, dtype),
+                                         Emid, r, M0, fpm,
+                                         bilinear=bilinear, **kw)
+        Emid, r, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return pfeast_sparse_general(_cast(A, dtype), None, Emid, r, M0, fpm,
+                                     bilinear=bilinear, **kw)
+    return alias
+
+
+def _make_parallel_rci(dtype):
+    """p{s,d}feast_srci: construct the batch-parallel RCI state machine
+    (parity: pfeast_srci!, feast_parallel_rci.jl:47-266)."""
+    def alias(N, M0, Emin, Emax, fpm=None, **kw):
+        from ..kernel.rci import FeastPRCI
+        return FeastPRCI(N, M0, Emin, Emax, fpm, **kw)
+    return alias
+
+
 def _make_parallel_sparse(dtype, generalized, hermitian):
     def alias(A, *args, **kw):
         from ..parallel.pfeast import pfeast_sparse
@@ -208,9 +329,41 @@ def _iterative_dense_interval(dtype, generalized, hermitian):
     return alias
 
 
+def _looks_like_fpm(obj):
+    from ..core.parameters import FeastParameters
+    if isinstance(obj, FeastParameters):
+        return True
+    try:
+        arr = np.asarray(obj)
+    except Exception:
+        return False
+    return (arr.ndim == 1 and arr.size >= 64
+            and np.issubdtype(arr.dtype, np.integer))
+
+
+def _xify(fn):
+    """x-variant: trailing (Zne, Wne) positional args register a custom
+    contour in the fpm[29] registry for the call (parity with the
+    reference's *x! routines routing through feast_contour_custom_weights)."""
+    def xalias(*args, **kw):
+        *base, Zne, Wne = args
+        from ..core.aux import with_custom_contour
+        from ..core.parameters import FeastParameters, feastinit
+        contour = Contour(np.asarray(Zne, complex), np.asarray(Wne, complex))
+        fpm = kw.pop("fpm", None)
+        if fpm is None and base and _looks_like_fpm(base[-1]):
+            fpm = base[-1]
+            base = base[:-1]
+        fpm = feastinit() if fpm is None else (
+            fpm if isinstance(fpm, FeastParameters) else FeastParameters(fpm))
+        with with_custom_contour(fpm, contour):
+            return fn(*base, fpm=fpm, **kw)
+    return xalias
+
+
 def _build():
     out = {}
-    # ---- dense interval families -------------------------------------
+    # ---- real prefixes s/d -------------------------------------------
     for p, dt in _REAL.items():
         out[f"{p}feast_sygv"] = _make_dense_interval(dt, True, False)
         out[f"{p}feast_syev"] = _make_dense_interval(dt, False, False)
@@ -219,14 +372,26 @@ def _build():
         out[f"{p}feast_scsrgv"] = _make_sparse_interval(dt, True, False)
         out[f"{p}feast_scsrev"] = _make_sparse_interval(dt, False, False)
         out[f"{p}feast_sypev"] = _make_pep(dt)
-        out[f"p{p}feast_sygv"] = _make_parallel_dense(dt, True, False)
-        out[f"p{p}feast_syev"] = _make_parallel_dense(dt, False, False)
-        out[f"p{p}feast_scsrgv"] = _make_parallel_sparse(dt, True, False)
-        out[f"p{p}feast_scsrev"] = _make_parallel_sparse(dt, False, False)
+        out[f"{p}feast_scsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}feast_srcipev"] = _make_rcipev(dt)
+        # iterative (si/di naming): polynomial entries per the reference
+        # alias layer, plus dense/sparse interval extras
+        out[f"{p}ifeast_sypev"] = _make_pep(dt)
+        out[f"{p}ifeast_scsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}ifeast_srcipev"] = _make_rcipev(dt)
         out[f"{p}ifeast_sygv"] = _iterative_dense_interval(dt, True, False)
         out[f"{p}ifeast_syev"] = _iterative_dense_interval(dt, False, False)
         out[f"{p}ifeast_scsrgv"] = _make_sparse_interval(dt, True, False)
         out[f"{p}ifeast_scsrev"] = _make_sparse_interval(dt, False, False)
+        out[f"{p}ifeast_sbgv"] = _make_banded_interval(dt, True, False)
+        out[f"{p}ifeast_sbev"] = _make_banded_interval(dt, False, False)
+        # parallel
+        out[f"p{p}feast_sygv"] = _make_parallel_dense(dt, True, False)
+        out[f"p{p}feast_syev"] = _make_parallel_dense(dt, False, False)
+        out[f"p{p}feast_scsrgv"] = _make_parallel_sparse(dt, True, False)
+        out[f"p{p}feast_scsrev"] = _make_parallel_sparse(dt, False, False)
+        out[f"p{p}feast_srci"] = _make_parallel_rci(dt)
+    # ---- complex prefixes c/z ----------------------------------------
     for p, dt in _CPLX.items():
         out[f"{p}feast_hegv"] = _make_dense_interval(dt, True, True)
         out[f"{p}feast_heev"] = _make_dense_interval(dt, False, True)
@@ -234,7 +399,7 @@ def _build():
         out[f"{p}feast_hbev"] = _make_banded_interval(dt, False, True)
         out[f"{p}feast_hcsrgv"] = _make_sparse_interval(dt, True, True)
         out[f"{p}feast_hcsrev"] = _make_sparse_interval(dt, False, True)
-        # complex-symmetric: {c,z}feast_sy* (elliptical region, bilinear)
+        # complex-symmetric: {c,z}feast_sy*/sb*/scsr* (elliptical, bilinear)
         out[f"{p}feast_sygv"] = _make_dense_general(dt, True, True)
         out[f"{p}feast_syev"] = _make_dense_general(dt, False, True)
         out[f"{p}feast_sbgv"] = _make_banded_general(dt, True, True)
@@ -248,38 +413,66 @@ def _build():
         out[f"{p}feast_gbev"] = _make_banded_general(dt, False, False)
         out[f"{p}feast_gcsrgv"] = _make_sparse_general(dt, True, False)
         out[f"{p}feast_gcsrev"] = _make_sparse_general(dt, False, False)
+        # polynomial
         out[f"{p}feast_hepev"] = _make_pep(dt)
         out[f"{p}feast_gepev"] = _make_pep(dt)
-        out[f"p{p}feast_hegv"] = _make_parallel_dense(dt, True, True)
-        out[f"p{p}feast_heev"] = _make_parallel_dense(dt, False, True)
-        out[f"p{p}feast_hcsrgv"] = _make_parallel_sparse(dt, True, True)
-        out[f"p{p}feast_hcsrev"] = _make_parallel_sparse(dt, False, True)
-        out[f"p{p}feast_gcsrgv"] = _make_sparse_general(dt, True, False)
-        out[f"p{p}feast_gcsrev"] = _make_sparse_general(dt, False, False)
+        out[f"{p}feast_hcsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}feast_gcsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}feast_grcipev"] = _make_rcipev(dt)
+        # iterative (ci/zi naming): polynomial entries per the reference
+        out[f"{p}ifeast_hepev"] = _make_pep(dt)
+        out[f"{p}ifeast_gepev"] = _make_pep(dt)
+        out[f"{p}ifeast_hcsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}ifeast_gcsrpev"] = _make_sparse_pep(dt)
+        out[f"{p}ifeast_grcipev"] = _make_rcipev(dt)
+        # iterative interval/general extras
         out[f"{p}ifeast_hegv"] = _iterative_dense_interval(dt, True, True)
         out[f"{p}ifeast_heev"] = _iterative_dense_interval(dt, False, True)
         out[f"{p}ifeast_hcsrgv"] = _make_sparse_interval(dt, True, True)
         out[f"{p}ifeast_hcsrev"] = _make_sparse_interval(dt, False, True)
         out[f"{p}ifeast_gcsrgv"] = _make_sparse_general(dt, True, False)
         out[f"{p}ifeast_gcsrev"] = _make_sparse_general(dt, False, False)
-        out[f"p{p}ifeast_hcsrgv"] = _make_sparse_interval(dt, True, True)
-        out[f"p{p}ifeast_hcsrev"] = _make_sparse_interval(dt, False, True)
-        out[f"p{p}ifeast_gcsrgv"] = _make_sparse_general(dt, True, False)
-        out[f"p{p}ifeast_gcsrev"] = _make_sparse_general(dt, False, False)
+        # parallel direct: dense Hermitian + dense general + sparse, all on
+        # the contour-sharded mesh (no serial masquerading)
+        out[f"p{p}feast_hegv"] = _make_parallel_dense(dt, True, True)
+        out[f"p{p}feast_heev"] = _make_parallel_dense(dt, False, True)
+        out[f"p{p}feast_gegv"] = _make_parallel_dense_general(dt, True, False)
+        out[f"p{p}feast_geev"] = _make_parallel_dense_general(dt, False, False)
+        out[f"p{p}feast_hcsrgv"] = _make_parallel_sparse(dt, True, True)
+        out[f"p{p}feast_hcsrev"] = _make_parallel_sparse(dt, False, True)
+        out[f"p{p}feast_gcsrgv"] = _make_parallel_sparse_general(dt, True, False)
+        out[f"p{p}feast_gcsrev"] = _make_parallel_sparse_general(dt, False, False)
+        # parallel iterative: GMRES inner solves on the sharded mesh (dense
+        # operands run through the BCOO matvec engine)
+        out[f"p{p}ifeast_hegv"] = _make_parallel_iter_interval(dt, True, True)
+        out[f"p{p}ifeast_heev"] = _make_parallel_iter_interval(dt, False, True)
+        out[f"p{p}ifeast_gegv"] = _make_parallel_iter_general(dt, True, False)
+        out[f"p{p}ifeast_geev"] = _make_parallel_iter_general(dt, False, False)
+        out[f"p{p}ifeast_hcsrgv"] = _make_parallel_iter_interval(dt, True, True)
+        out[f"p{p}ifeast_hcsrev"] = _make_parallel_iter_interval(dt, False, True)
+        out[f"p{p}ifeast_gcsrgv"] = _make_parallel_iter_general(dt, True, False)
+        out[f"p{p}ifeast_gcsrev"] = _make_parallel_iter_general(dt, False, False)
 
-    # x-variants: explicit custom contour nodes/weights appended args
-    def _xify(fn):
-        def xalias(*args, **kw):
-            *base, Zne, Wne = args
-            kw.update(_contour_kw((Zne, Wne)))
-            return fn(*base, **kw)
-        return xalias
-
-    x_bases = ([f"{p}feast_{k}" for p in _REAL for k in ("sygv", "syev")]
-               + [f"{p}feast_{k}" for p in _CPLX
-                  for k in ("hegv", "heev", "gegv", "geev", "sygv", "syev")])
-    for name in x_bases:
-        out[name + "x"] = _xify(out[name])
+    # ---- x-variants: every serial/iterative name gains an explicit
+    # custom-contour form (reference generates *x for all of them) --------
+    x_real = ["feast_sygv", "feast_syev", "feast_sbgv", "feast_sbev",
+              "feast_scsrgv", "feast_scsrev", "feast_sypev", "feast_scsrpev",
+              "feast_srcipev", "ifeast_sypev", "ifeast_scsrpev",
+              "ifeast_srcipev"]
+    x_cplx = ["feast_hegv", "feast_heev", "feast_hbgv", "feast_hbev",
+              "feast_hcsrgv", "feast_hcsrev", "feast_sygv", "feast_syev",
+              "feast_sbgv", "feast_sbev", "feast_scsrgv", "feast_scsrev",
+              "feast_gegv", "feast_geev", "feast_gbgv", "feast_gbev",
+              "feast_gcsrgv", "feast_gcsrev", "feast_hepev", "feast_gepev",
+              "feast_hcsrpev", "feast_gcsrpev", "feast_grcipev",
+              "ifeast_hepev", "ifeast_gepev", "ifeast_hcsrpev",
+              "ifeast_gcsrpev", "ifeast_grcipev"]
+    for p in _REAL:
+        for k in x_real:
+            out[f"{p}{k}x"] = _xify(out[f"{p}{k}"])
+    for p in _CPLX:
+        for k in x_cplx:
+            out[f"{p}{k}x"] = _xify(out[f"{p}{k}"])
     return out
 
 

@@ -354,6 +354,11 @@ class FeastConfig:
     print_level: int = 0         # fpm[1]
     mode: int = 0                # fpm[14]
     custom_contour_id: int = 0   # fpm[29]
+    mixed: int = 1               # fpm[42]: mixed-precision inner solves
+    #   (single-precision Krylov + double-precision iterative refinement /
+    #   accumulation, iterative drivers in double precision only).
+    #   0 = off, 1 = auto (engage where f64 is emulated, i.e. TPU),
+    #   2 = force everywhere
 
     @staticmethod
     def from_fpm(fpm: FeastParameters, dtype=None, full_contour: bool = False
@@ -371,4 +376,5 @@ class FeastConfig:
             print_level=fpm[1],
             mode=fpm[14],
             custom_contour_id=fpm[29],
+            mixed=int(fpm[42]),
         )

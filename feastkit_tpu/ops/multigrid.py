@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["GridStencil", "detect_grid_stencil", "coarsen_stencil",
-           "apply_stencil", "make_shifted_vcycle", "stencil_to_dense"]
+           "apply_stencil", "make_shifted_vcycle", "stencil_to_dense",
+           "plan_mg_levels"]
 
 
 class GridStencil(NamedTuple):
@@ -213,10 +214,13 @@ def coarsen_stencil(st: GridStencil) -> GridStencil:
     center = tuple(g // 2 for g in probe_c)
     e = np.zeros(probe_c)
     e[center] = 1.0
-    ex = jnp.asarray(e.astype(st.coeffs.dtype))
-    xf = _prolong(ex, probe_f, ndim)
-    yf = apply_stencil(xf, st.disps, st.coeffs, probe_f)
-    yc = np.asarray(_restrict(yf, ndim))
+    # the probe is host-side compile-time data even when this runs inside a
+    # trace (drivers build V-cycle closures under jit/scan)
+    with jax.ensure_compile_time_eval():
+        ex = jnp.asarray(e.astype(st.coeffs.dtype))
+        xf = _prolong(ex, probe_f, ndim)
+        yf = apply_stencil(xf, st.disps, st.coeffs, probe_f)
+        yc = np.asarray(_restrict(yf, ndim))
     disps, coeffs = [], []
     scale = max(np.abs(yc).max(), 1e-30)
     for off in itertools.product(range(-2, 3), repeat=ndim):
@@ -232,9 +236,86 @@ def coarsen_stencil(st: GridStencil) -> GridStencil:
                        np.asarray(coeffs), grid_c)
 
 
-def _stencil_levels(stA: GridStencil, stB, min_size=8, max_levels=12):
+def plan_mg_levels(stA: GridStencil, stB, re_max, *, coarse_budget=2048,
+                   min_size=4, theta_samples=48):
+    """Decide whether multigrid is FEASIBLE for shifts with Re z <= re_max,
+    and how many levels to use. Returns level count (>= 2) or None.
+
+    For a constant-coefficient pencil the (Fourier-)symbol eigenvalue of the
+    grid mode with per-axis frequency theta is lam(theta) = symA/symB. The
+    shifted operator z B - A flips sign on modes with lam < Re z; a V-cycle
+    is only a convergent preconditioner if the COARSEST grid still resolves
+    every flipped mode (the Helmholtz "kh small on the coarsest level" rule
+    of complex-shifted-Laplacian multigrid). Each 2x coarsening doubles the
+    effective frequency, so the coarsening depth is capped by
+    log2((pi/2) / theta*), theta* = highest flipped frequency per axis.
+    The coarsest level must also stay within the dense-solve budget; if the
+    two constraints cannot meet, multigrid is rejected (caller falls back
+    to Jacobi/plain Krylov)."""
+    grid = stA.grid
+    ndim = len(grid)
+    ths = [np.linspace(np.pi / (g + 1), np.pi * g / (g + 1),
+                       min(g, theta_samples)) for g in grid]
+    TH = np.meshgrid(*ths, indexing="ij")
+    symA = np.zeros(TH[0].shape, np.complex128)
+    for disp, c in zip(stA.disps, stA.coeffs):
+        phase = np.zeros(TH[0].shape)
+        for k, d in enumerate(disp):
+            phase = phase + float(d) * TH[k]
+        symA = symA + c * np.exp(1j * phase)
+    if stB is None:
+        symB = np.ones(TH[0].shape)
+    else:
+        symB = np.zeros(TH[0].shape, np.complex128)
+        for disp, c in zip(stB.disps, stB.coeffs):
+            phase = np.zeros(TH[0].shape)
+            for k, d in enumerate(disp):
+                phase = phase + float(d) * TH[k]
+            symB = symB + c * np.exp(1j * phase)
+        symB = np.where(np.abs(symB) > 1e-12, symB, 1e-12)
+    lam = np.real(symA) / np.real(np.where(np.abs(np.real(symB)) > 1e-12,
+                                           symB, 1.0))
+    flipped = lam < float(re_max)
+    # levels needed so the coarse dense solve fits the budget
+    need = 0
+    g = list(grid)
+    while np.prod(g) > coarse_budget and min(g) > min_size:
+        g = [(x + 1) // 2 for x in g]
+        need += 1
+    if np.prod(g) > coarse_budget:
+        return None
+    if flipped.all() or not flipped.any():
+        # definite shifted operator (z beyond either end of the spectrum):
+        # classic multigrid regime, coarsen as deep as sizes allow
+        cap = need
+        while all((x + 1) // 2 >= min_size for x in g) and cap < 12:
+            g = [(x + 1) // 2 for x in g]
+            cap += 1
+        return max(cap, need) + 1
+    cap = min(
+        int(np.floor(np.log2((np.pi / 2) / max(float(TH[k][flipped].max()),
+                                               1e-9))))
+        for k in range(ndim))
+    s_max, gs = 0, list(grid)
+    while min(gs) >= 2 * min_size:
+        gs = [(x + 1) // 2 for x in gs]
+        s_max += 1
+    cap = min(cap, s_max)
+    if cap < max(need, 1):
+        return None          # cannot both resolve flipped modes and fit budget
+    return min(cap, need + 6) + 1
+
+
+def _stencil_levels(stA: GridStencil, stB, min_size=8, max_levels=12,
+                    n_levels=None):
     """Host-side level hierarchy [(stA_l, stB_l), ...] finest first."""
     levels = [(stA, stB)]
+    if n_levels is not None:
+        while len(levels) < n_levels:
+            a, b = levels[-1]
+            levels.append((coarsen_stencil(a),
+                           coarsen_stencil(b) if b is not None else None))
+        return levels
     while (min(levels[-1][0].grid) > min_size
            and int(np.prod(levels[-1][0].grid)) > 4 * min_size ** 2
            and len(levels) < max_levels):
@@ -245,15 +326,17 @@ def _stencil_levels(stA: GridStencil, stB, min_size=8, max_levels=12):
 
 
 def make_shifted_vcycle(stA: GridStencil, stB, z, *, nu_pre=2, nu_post=2,
-                        omega=0.8, dtype=jnp.complex64, n_cycles=1):
+                        omega=0.8, dtype=jnp.complex64, n_cycles=1,
+                        n_levels=None):
     """vcycle(X: (N, K)) -> approximate (z B - A)^{-1} X.
 
     z may be a traced scalar (it enters only via scalar stencil
     combinations and the dense coarse solve, re-factored per call site —
     callers should build this closure once per contour node).
-    stB=None means B = I.
+    stB=None means B = I. n_levels (from plan_mg_levels) bounds the depth
+    for indefinite shifts; default: coarsen while sizes allow.
     """
-    levels = _stencil_levels(stA, stB)
+    levels = _stencil_levels(stA, stB, n_levels=n_levels)
     ndim = len(stA.grid)
     z = jnp.asarray(z, dtype)
 
@@ -274,7 +357,9 @@ def make_shifted_vcycle(stA: GridStencil, stB, z, *, nu_pre=2, nu_post=2,
             for disp, c in zip(b.disps, b.coeffs):
                 if not np.any(disp):
                     cb = c
-        return z * cb - jnp.asarray(ca, dtype)
+        # numpy scalars are strongly typed — cast, or they promote the whole
+        # V-cycle to complex128
+        return z * jnp.asarray(cb, dtype) - jnp.asarray(ca, dtype)
 
     # coarsest-level dense operator: z * Bc - Ac (factored per closure use)
     aC, bC = levels[-1]

@@ -31,6 +31,8 @@ from ..kernel.general import feast_general_core
 from ..kernel.hermitian import (HermitianState, feast_hermitian_core,
                                 make_hermitian_body, verify_spurious)
 from ..ops.gmres import bicgstab_block, gmres_block
+from ..ops.multigrid import (GridStencil, detect_grid_stencil,
+                             make_shifted_vcycle, plan_mg_levels)
 from ..ops.pallas_kernels import (bcoo_to_dia, dia_matvec_any,
                                   dia_matvec_reference)
 from ..utils import cio
@@ -121,32 +123,174 @@ def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
     return lambda X: A @ X
 
 
+def _mixed_enabled(config, cdtype):
+    """fpm[42] policy: 0 off, 1 auto (mixed precision pays only where f64
+    is software-emulated, i.e. TPU backends), 2 force. Only meaningful for
+    double-precision work dtypes."""
+    if cdtype != jnp.complex128 or not config.mixed:
+        return False
+    if int(config.mixed) >= 2:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _unpack_stencil(mg):
+    """Hashable static tuple -> GridStencil (see _pack_stencil). A packed
+    tuple may carry the planned V-cycle level count as a 4th element."""
+    if mg is None:
+        return None
+    disps, coeffs, grid = mg[:3]
+    return GridStencil(np.asarray(disps, np.int64), np.asarray(coeffs), grid)
+
+
+def _plan_mg(mg_A, mg_B, re_max, precond_base, user_precond):
+    """Driver-side multigrid decision (needs the search region's real upper
+    edge re_max): returns (precond, mg_A', mg_B') with the planned level
+    count appended to mg_A'. Falls back to the diagonal-dominance-based
+    preconditioner when no feasible V-cycle exists."""
+    import warnings
+    if user_precond not in (None, "mg"):
+        return user_precond, None, None
+    if mg_A is not None:
+        n_lv = plan_mg_levels(_unpack_stencil(mg_A), _unpack_stencil(mg_B),
+                              re_max)
+        if n_lv is not None:
+            return "mg", mg_A + (int(n_lv),), mg_B
+    if user_precond == "mg":
+        warnings.warn(
+            "precond='mg' requested but no feasible multigrid hierarchy "
+            "exists for this operator/search region (operator is not a "
+            "constant tensor-grid stencil, or the shifted problem is too "
+            "indefinite for the coarse-grid budget); falling back",
+            RuntimeWarning)
+    return precond_base, None, None
+
+
+def _pack_stencil(st):
+    """GridStencil -> hashable nested tuples (jit static argument)."""
+    if st is None:
+        return None
+    return (tuple(tuple(int(x) for x in d) for d in st.disps),
+            tuple(complex(c) if np.iscomplexobj(st.coeffs) else float(c)
+                  for c in st.coeffs),
+            tuple(st.grid))
+
+
 def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            solver_tol, solver_maxiter, solver_restart,
                            diagA=None, diagB=None, precond="jacobi",
-                           col_block=None, flag_tol=None):
+                           col_block=None, flag_tol=None,
+                           mg_A=None, mg_B=None, mixed=False,
+                           apply_A_lo=None, apply_B_lo=None, ir_max=8):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
     into the scan carry (stacking all (ne, N, K) solves would cost ne x the
     subspace memory), batched block-iterative solve per node, optional
-    Jacobi preconditioning, optional column chunking (the Krylov basis is
-    (restart+1, N, cols))."""
+    column chunking (the Krylov basis is (restart+1, N, cols)).
+
+    Preconditioning: ``precond`` is 'jacobi' | 'mg' | 'none'. 'mg' builds a
+    geometric-multigrid V-cycle per contour node from the packed stencil
+    statics (ops/multigrid.py) — the TPU-native replacement for the
+    reference's per-node UMFPACK factorization (feast_sparse.jl:294).
+
+    Mixed precision (fpm[42], ``mixed=True``): the Krylov solves run in
+    COMPLEX64 (apply_*_lo operators) with column-normalized residuals, and
+    a double-precision iterative-refinement loop around them restores the
+    full-accuracy solution — single-precision speed with float64 residual
+    floors (SURVEY.md section 7 hard-part 3)."""
 
     def apply_shift(z, X):
         BX = X if standard else apply_B_c(X)
         return z * BX - apply_A_c(X)
 
-    def solve_cols(z, rhs, prec):
+    def apply_shift_lo(z_lo, X):
+        BX = X if standard else apply_B_lo(X)
+        return z_lo * BX - apply_A_lo(X)
+
+    # Inner single-precision target: just above the complex64 roundoff
+    # floor; the refinement loop does the rest.
+    lo_tol = max(float(solver_tol), 3e-7) if mixed else solver_tol
+
+    def krylov(apply_op, rhs, tol, prec):
         if solver == "gmres":
-            X, info = gmres_block(lambda X: apply_shift(z, X), rhs,
-                                  tol=solver_tol, restart=solver_restart,
-                                  maxiter=solver_maxiter, apply_prec=prec,
-                                  flag_tol=flag_tol)
-        else:
-            X, info = bicgstab_block(lambda X: apply_shift(z, X), rhs,
-                                     tol=solver_tol, maxiter=solver_maxiter,
-                                     apply_prec=prec, flag_tol=flag_tol)
-        return X, info.converged
+            return gmres_block(apply_op, rhs, tol=tol,
+                               restart=solver_restart,
+                               maxiter=solver_maxiter, apply_prec=prec,
+                               flag_tol=flag_tol)
+        return bicgstab_block(apply_op, rhs, tol=tol,
+                              maxiter=solver_maxiter, apply_prec=prec,
+                              flag_tol=flag_tol)
+
+    def solve_cols(z, rhs, prec):
+        if not mixed:
+            X, info = krylov(lambda X: apply_shift(z, X), rhs,
+                             solver_tol, prec)
+            return X, info.converged
+        # --- mixed precision: c64 Krylov + c128 iterative refinement ---
+        # Each step solves the column-normalized f64 residual in c64 and
+        # accepts the correction PER COLUMN only where it reduced the true
+        # residual (c64 BiCGStab can diverge near-breakdown; a rejected
+        # correction must not poison the f64 iterate). Stalled refinement
+        # (< 2x reduction on every column) exits early.
+        hi = rhs.dtype
+        lo = jnp.complex64
+        z_lo = z.astype(lo)
+        nrm = jnp.sqrt(jnp.real(jnp.einsum("nk,nk->k", jnp.conj(rhs), rhs)))
+        scale = jnp.maximum(nrm, 1.0)
+        target = solver_tol * scale
+
+        def ir_body(carry):
+            X, it, rn, _ = carry
+            R = rhs - apply_shift(z, X)
+            safe = jnp.where(rn > 0, rn, 1.0)
+            Rn = (R / safe[None, :]).astype(lo)
+            dX, _ = krylov(lambda V: apply_shift_lo(z_lo, V), Rn,
+                           lo_tol, prec)
+            X_new = X + dX.astype(hi) * safe[None, :].astype(hi)
+            Rf = rhs - apply_shift(z, X_new)
+            rn_new = jnp.sqrt(jnp.real(jnp.einsum("nk,nk->k",
+                                                  jnp.conj(Rf), Rf)))
+            improved = rn_new < rn
+            X = jnp.where(improved[None, :], X_new, X)
+            rn_best = jnp.minimum(rn_new, rn)
+            stalled = ~jnp.any(rn_new < 0.5 * rn)
+            return X, it + 1, rn_best, stalled
+
+        def ir_cond(carry):
+            _, it, rn, stalled = carry
+            return (it < ir_max) & jnp.any(rn > target) & ~stalled
+
+        X0 = jnp.zeros_like(rhs)
+        X, _, rn, _ = jax.lax.while_loop(
+            ir_cond, ir_body, (X0, jnp.int32(0), nrm, jnp.asarray(False)))
+        cert = max(solver_tol, flag_tol) if flag_tol is not None \
+            else solver_tol
+        return X, rn <= 10.0 * cert * scale
+
+    stA, stB = _unpack_stencil(mg_A), _unpack_stencil(mg_B)
+    mg_n_levels = mg_A[3] if (mg_A is not None and len(mg_A) > 3) else None
+
+    def node_prec(z):
+        if precond == "mg" and stA is not None:
+            lo = jnp.complex64 if mixed else None
+            dt = lo or (jnp.complex64 if z.dtype == jnp.complex64
+                        else jnp.complex128)
+            return make_shifted_vcycle(stA, stB, z.astype(dt), dtype=dt,
+                                       n_levels=mg_n_levels)
+        if precond == "jacobi" and diagA is not None:
+            dA, dB = diagA, diagB
+            if mixed:
+                dA = dA.astype(jnp.complex64)
+                dB = None if dB is None else dB.astype(jnp.complex64)
+                z = z.astype(jnp.complex64)
+            dshift = (z - dA) if (standard or dB is None) \
+                else (z * dB - dA)
+            dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
+            return lambda X: X / dsafe[:, None]
+        return None
 
     def filter_partial(Zall, Wall, rhs):
         K = rhs.shape[1]
@@ -156,12 +300,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
 
         def one(acc, zw):
             z, w = zw
-            prec = None
-            if precond == "jacobi" and diagA is not None:
-                dshift = (z - diagA) if (standard or diagB is None) \
-                    else (z * diagB - diagA)
-                dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
-                prec = lambda X: X / dsafe[:, None]
+            prec = node_prec(z)
             if cb is None:
                 X, conv = solve_cols(z, rhs, prec)
             else:
@@ -182,14 +321,18 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
 def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
                 Zne, Wne, *, shape, config, standard, hermitian, solver,
                 solver_tol, solver_maxiter, solver_restart, offsets_A,
-                offsets_B, use_pallas, precond):
+                offsets_B, use_pallas, precond, mg_A=None, mg_B=None):
     """(apply_A, apply_B, filter_apply) for sparse operands arriving as raw
     (data, indices) [+ optional DIA form]; BCOO/DIA closures rebuilt here.
     A_data keeps its natural dtype (real for the symmetric path)."""
     cdtype = Zne.dtype
+    mixed = _mixed_enabled(config, cdtype)
     A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
     apply_A = _make_apply(A_w, A_dia, offsets_A, use_pallas)
     apply_A_c = _make_apply(A_w, A_dia, offsets_A, use_pallas, cast=cdtype)
+    apply_A_lo = _make_apply(A_w, A_dia, offsets_A, use_pallas,
+                             cast=jnp.complex64) if mixed else None
+    apply_B_lo = None
     if standard:
         apply_B = lambda X: X
         apply_B_c = None
@@ -197,6 +340,9 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
         apply_B = _make_apply(B_w, B_dia, offsets_B, use_pallas)
         apply_B_c = _make_apply(B_w, B_dia, offsets_B, use_pallas, cast=cdtype)
+        if mixed:
+            apply_B_lo = _make_apply(B_w, B_dia, offsets_B, use_pallas,
+                                     cast=jnp.complex64)
 
     if hermitian:
         Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
@@ -204,11 +350,12 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
-    # bound Krylov memory: (restart+1)*N*cols at the complex work itemsize
-    # (16 bytes in x64); target <= ~1.5 GB. filter_partial skips chunking
-    # when the actual column count is already below the block size.
+    # bound Krylov memory: (restart+1)*N*cols at the Krylov work itemsize
+    # (complex64 under mixed precision, else the work dtype); target
+    # <= ~1.5 GB. filter_partial skips chunking when the actual column
+    # count is already below the block size.
     N_shape = shape[0]
-    itemsize = jnp.dtype(cdtype).itemsize
+    itemsize = 8 if mixed else jnp.dtype(cdtype).itemsize
     budget_cols = max(1, int(1.5e9 / (itemsize * (solver_restart + 1)
                                       * N_shape)))
     col_block = max(8, 1 << int(np.log2(budget_cols))) \
@@ -217,7 +364,9 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
-        precond=precond, col_block=col_block, flag_tol=config.tol)
+        precond=precond, col_block=col_block, flag_tol=config.tol,
+        mg_A=mg_A, mg_B=mg_B, mixed=mixed,
+        apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo)
 
     if hermitian:
         def filter_apply(Q):
@@ -233,7 +382,8 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
 
 _SPARSE_STATICS = ("shape", "config", "standard", "hermitian", "solver",
                    "solver_tol", "solver_maxiter", "solver_restart",
-                   "offsets_A", "offsets_B", "use_pallas", "precond")
+                   "offsets_A", "offsets_B", "use_pallas", "precond",
+                   "mg_A", "mg_B")
 
 
 @cjit(static_argnames=_SPARSE_STATICS)
@@ -242,13 +392,14 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                           Emin, Emax, *, shape, config, standard, hermitian,
                           solver, solver_tol, solver_maxiter, solver_restart,
                           offsets_A=None, offsets_B=None, use_pallas=False,
-                          precond="jacobi"):
+                          precond="jacobi", mg_A=None, mg_B=None):
     apply_A, apply_B, filter_apply = _sparse_ops(
         A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     return feast_hermitian_core(
         apply_A, apply_B, filter_apply, Q0, Emin, Emax,
         tol=config.tol, max_loops=config.max_loops,
@@ -261,7 +412,8 @@ def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                      diagA, diagB, Zne, Wne, state, Emin, Emax, *, shape,
                      config, standard, hermitian, solver, solver_tol,
                      solver_maxiter, solver_restart, offsets_A=None,
-                     offsets_B=None, use_pallas=False, precond="jacobi"):
+                     offsets_B=None, use_pallas=False, precond="jacobi",
+                     mg_A=None, mg_B=None):
     """One refinement iteration (host-driven loop: keeps each device
     execution short — long fused programs trip the tunnel's execution
     watchdog and crash the worker)."""
@@ -270,7 +422,8 @@ def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     body = make_hermitian_body(
         apply_A, apply_B, filter_apply, Emin, Emax, tol=config.tol,
         convergence_criterion=config.convergence_criterion)
@@ -283,13 +436,14 @@ def _sparse_finalize_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                          standard, hermitian, solver, solver_tol,
                          solver_maxiter, solver_restart, offsets_A=None,
                          offsets_B=None, use_pallas=False, precond="jacobi",
-                         final_mode="verify"):
+                         mg_A=None, mg_B=None, final_mode="verify"):
     apply_A, apply_B, filter_apply = _sparse_ops(
         A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     if final_mode == "subspace":
         from ..core.tools import orthonormalize
         from ..kernel.hermitian import _filter_with_ok
@@ -312,7 +466,8 @@ def _sparse_filter_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     out = filter_apply(V)
     return out[0] if isinstance(out, tuple) else out
 
@@ -331,13 +486,42 @@ def _stochastic_estimate_result(filter_fn, N, fpm, work_dtype):
                        np.zeros(0), FeastError.SUCCESS, float(est), 1)
 
 
-def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
+def _guess_grid(offsets, N):
+    """Candidate tensor-grid shapes for a DIA offset pattern (row-major).
+
+    A 5-point 2D stencil on (nx, ny) has offsets within {0,+-1,+-ny}; a
+    7-point 3D stencil on (nx, ny, nz) within {0,+-1,+-nz,+-ny*nz}. Returns
+    candidates largest-dimension-first; detect_grid_stencil validates."""
+    if offsets is None:
+        return []
+    pos = sorted({int(d) for d in offsets if d > 1})
+    cands = []
+    for s2 in pos:                                     # 3D: strides (s2*?, s2, s1)
+        for s1 in pos:
+            if s1 < s2 and s2 % s1 == 0 and N % s2 == 0 \
+                    and s2 // s1 >= 3 and N // s2 >= 3 and s1 >= 3:
+                cands.append((N // s2, s2 // s1, s1))
+    for s in pos:                                      # 2D: strides (s, 1)
+        if N % s == 0 and N // s >= 3 and s >= 3:
+            cands.append((N // s, s))
+    if not pos and all(abs(int(d)) <= 1 for d in offsets):
+        cands.append((N,))                             # 1D tridiagonal
+    return cands
+
+
+def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype,
+                      grid=None):
     """Detect DIA structure + extract diagonals (Jacobi preconditioner).
 
-    Returns (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas):
-    DIA arrays are (nd, N) host arrays or (0, N) dummies when unstructured.
-    The Pallas kernel runs only on real TPU backends; the XLA shifted-add
-    reference covers CPU."""
+    Returns (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
+    precond, mg_A, mg_B): DIA arrays are (nd, N) host arrays or (0, N)
+    dummies when unstructured. The Pallas kernel runs only on real TPU
+    backends; the XLA shifted-add reference covers CPU.
+
+    When the operands form constant-coefficient stencils on a tensor grid
+    (``grid`` given, or guessed from the offset pattern), precond='mg' with
+    packed stencil statics — geometric multigrid inner preconditioning
+    (ops/multigrid.py)."""
     outA = bcoo_to_dia(A_data, A_idx, N)
     A_dia, offsets_A = outA if outA else (np.zeros((0, N), dtype), None)
     if standard:
@@ -367,8 +551,29 @@ def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype):
     offdiag = rowsum - np.abs(diagA)
     dominant = np.mean(np.abs(diagA) >= 0.5 * offdiag) > 0.9
     precond = "jacobi" if dominant else "none"
+
+    # Multigrid detection: constant stencils on a tensor grid make a V-cycle
+    # preconditioner AVAILABLE (decisive for near-singular shifted systems
+    # where Jacobi is useless — the BASELINE Laplacian configs). Whether it
+    # is USED is decided by the driver via _plan_mg (the search region is
+    # needed to judge indefiniteness).
+    mg_A = mg_B = None
+    if offsets_A is not None and (standard or offsets_B is not None):
+        cands = [tuple(int(g) for g in grid)] if grid is not None \
+            else _guess_grid(offsets_A, N)
+        for cand in cands:
+            stA = detect_grid_stencil(A_dia, offsets_A, cand)
+            if stA is None:
+                continue
+            if standard:
+                mg_A, mg_B = _pack_stencil(stA), None
+                break
+            stB = detect_grid_stencil(B_dia, offsets_B, cand)
+            if stB is not None:
+                mg_A, mg_B = _pack_stencil(stA), _pack_stencil(stB)
+                break
     return (A_dia.astype(dtype), offsets_A, B_dia.astype(dtype), offsets_B,
-            diagA, diagB, use_pallas, precond)
+            diagA, diagB, use_pallas, precond, mg_A, mg_B)
 
 
 def _is_double(dt) -> bool:
@@ -396,7 +601,8 @@ def _peek_dtype(A):
 
 def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                           solver=None, solver_tol=None, solver_maxiter=None,
-                          solver_restart=30, Q0=None) -> FeastResult:
+                          solver_restart=30, Q0=None, grid=None,
+                          precond=None) -> FeastResult:
     """Shared sparse symmetric/Hermitian interval driver
     (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871).
 
@@ -430,8 +636,10 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if not Emax > Emin:
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
     (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
-     precond) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
-                                  standard, work_dtype)
+     precond_auto, mg_A, mg_B) = _structured_forms(
+         A_data, A_idx, B_data, B_idx, N, standard, work_dtype, grid=grid)
+    precond, mg_A, mg_B = _plan_mg(mg_A, mg_B, float(Emax), precond_auto,
+                                   precond)
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if solver_tol is None:
@@ -446,7 +654,8 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         hermitian=bool(hermitian), solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
         solver_restart=int(solver_restart), offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     arrs = (A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
             np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
     if config.mode == 2:
@@ -477,16 +686,20 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 @cjit(static_argnames=("shape", "config", "standard", "bilinear",
                        "eig_method", "solver", "solver_tol", "solver_maxiter",
                        "solver_restart", "offsets_A", "offsets_B",
-                       "use_pallas", "precond"))
+                       "use_pallas", "precond", "mg_A", "mg_B"))
 def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                         diagA, diagB, Zne, Wne, Q0, Emid, r,
                         *, shape, config, standard, bilinear, eig_method,
                         solver, solver_tol, solver_maxiter, solver_restart,
                         offsets_A=None, offsets_B=None, use_pallas=False,
-                        precond="jacobi"):
+                        precond="jacobi", mg_A=None, mg_B=None):
     cdtype = Zne.dtype
+    mixed = _mixed_enabled(config, cdtype)
     A_bc = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
     apply_A = _make_apply(A_bc, A_dia.astype(cdtype), offsets_A, use_pallas)
+    apply_A_lo = _make_apply(A_bc, A_dia, offsets_A, use_pallas,
+                             cast=jnp.complex64) if mixed else None
+    apply_B_lo = None
     if standard:
         apply_B = (lambda X: X)
         apply_B_c = None
@@ -494,12 +707,16 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         B_bc = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
         apply_B = _make_apply(B_bc, B_dia.astype(cdtype), offsets_B, use_pallas)
         apply_B_c = apply_B
+        if mixed:
+            apply_B_lo = _make_apply(B_bc, B_dia, offsets_B, use_pallas,
+                                     cast=jnp.complex64)
     filter_partial = _make_sparse_solve_all(
         apply_A, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA.astype(cdtype),
         diagB=None if standard else diagB.astype(cdtype), precond=precond,
-        flag_tol=config.tol)
+        flag_tol=config.tol, mg_A=mg_A, mg_B=mg_B, mixed=mixed,
+        apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo)
 
     def filter_apply(Q):
         acc, conv = filter_partial(Zne, Wne, apply_B(Q))
@@ -517,7 +734,8 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
                          eig_method="callback", solver=None,
                          solver_tol=None, solver_maxiter=None,
-                         solver_restart=30, Q0=None) -> FeastGeneralResult:
+                         solver_restart=30, Q0=None, grid=None,
+                         precond=None) -> FeastGeneralResult:
     """Shared sparse general/complex-symmetric driver
     (parity: feast_gcsrgv!/gcsrev! RCI-loop drivers, feast_sparse.jl:873-1006,
     complex-symmetric :509-711)."""
@@ -543,8 +761,11 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
     (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
-     precond) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
-                                  standard, cdtype)
+     precond_auto, mg_A, mg_B) = _structured_forms(
+         A_data, A_idx, B_data, B_idx, N, standard, cdtype, grid=grid)
+    precond, mg_A, mg_B = _plan_mg(
+        mg_A, mg_B, float(np.real(complex(Emid))) + float(r), precond_auto,
+        precond)
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
@@ -556,7 +777,8 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
         hermitian=False, solver=solver, solver_tol=float(solver_tol),
         solver_maxiter=int(solver_maxiter),
         solver_restart=int(solver_restart), offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     if config.mode == 2:
         # General contours: replace the half-contour doubling with the raw
         # full-contour quadrature sum (trace(P) = M for oblique projectors).
@@ -580,7 +802,8 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
         bilinear=bilinear, eig_method=eig_method, solver=solver,
         solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
         solver_restart=int(solver_restart), offsets_A=offsets_A,
-        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond)
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),

@@ -179,3 +179,106 @@ def test_bicgstab_path():
                      solver_maxiter=800)
     assert r.M == len(exp)
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-8
+
+
+# --- mixed precision (fpm[42]) and multigrid-through-driver ----------------
+
+def _lap2d(nx, ny):
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Dy = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ny, ny))
+    return (sp.kron(Dx, sp.eye(ny)) + sp.kron(sp.eye(nx), Dy)).tocsr()
+
+
+def _lap2d_eigs(nx, ny):
+    wx = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
+    wy = 2.0 - 2.0 * np.cos(np.arange(1, ny + 1) * np.pi / (ny + 1))
+    return np.sort((wx[:, None] + wy[None, :]).ravel())
+
+
+def test_mixed_precision_forced_matches_f64():
+    """fpm[42]=2 (force single-precision Krylov + f64 iterative refinement,
+    even on CPU) must reach the same eigenvalues and a <=1e-10 residual as
+    the pure-f64 path — the mixed path is the TPU default for f64 inputs."""
+    from feastkit_tpu import feastinit
+
+    n = 300
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    fpm = feastinit()
+    fpm[3] = 10                    # 1e-10: safely above the IR floor
+    fpm[42] = 2
+    r_mix = feast_scsrev(A, 0.5, 0.7, len(exp) + 5, fpm)
+    assert r_mix.info == 0
+    assert r_mix.M == len(exp)
+    assert r_mix.epsout <= 1e-10
+    assert np.abs(np.sort(r_mix.lam) - exp).max() < 1e-9
+
+    fpm0 = feastinit()
+    fpm0[3] = 10
+    fpm0[42] = 0
+    r_f64 = feast_scsrev(A, 0.5, 0.7, len(exp) + 5, fpm0)
+    assert r_f64.M == r_mix.M
+    assert np.abs(np.sort(r_mix.lam) - np.sort(r_f64.lam)).max() < 1e-9
+
+
+def test_mg_engages_on_2d_laplacian_low_modes():
+    """2D Laplacian, lowest modes: the grid stencil must be auto-detected
+    (grid guessed from the DIA offsets) and the multigrid V-cycle planned;
+    the solve must converge to 1e-12 at the default settings."""
+    from feastkit_tpu.solvers.sparse import (_structured_forms, _plan_mg,
+                                             sparse_coo_arrays)
+
+    nx = ny = 40
+    A = _lap2d(nx, ny)
+    w = _lap2d_eigs(nx, ny)
+    # cut at genuine spectral gaps (the square grid has degenerate pairs;
+    # an interval edge must not bisect one)
+    gaps = np.nonzero(np.diff(w) > 1e-6)[0]
+    lo, hi = gaps[4], gaps[8]
+    Emin, Emax = 0.5 * (w[lo] + w[lo + 1]), 0.5 * (w[hi] + w[hi + 1])
+    exp = w[(w >= Emin) & (w <= Emax)]
+
+    # the planning layer must pick MG for this operator/region
+    A_data, A_idx, shape = sparse_coo_arrays(A, np.float64)
+    out = _structured_forms(A_data, A_idx, A_data, A_idx, nx * ny, True,
+                            np.float64)
+    precond, mg_A, mg_B = _plan_mg(out[8], out[9], Emax, out[7], None)
+    assert precond == "mg"
+    assert mg_A is not None and len(mg_A) == 4 and mg_A[3] >= 2
+
+    r = feast_scsrev(A, Emin, Emax, len(exp) + 6)
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+
+
+def test_mg_generalized_2d_mass():
+    """Generalized pencil with a tensor-product mass matrix through the
+    public sparse driver with explicit grid=: both stencils detected."""
+    nx, ny = 24, 20
+    A = _lap2d(nx, ny)
+    Mx = sp.diags([1 / 6, 2 / 3, 1 / 6], [-1, 0, 1], shape=(nx, nx))
+    My = sp.diags([1 / 6, 2 / 3, 1 / 6], [-1, 0, 1], shape=(ny, ny))
+    B = sp.kron(Mx, My).tocsr()
+    w = np.sort(sla.eigh(A.toarray(), B.toarray(), eigvals_only=True))
+    Emin, Emax = 0.5 * (w[3] + w[4]), 0.5 * (w[9] + w[10])
+    exp = w[(w >= Emin) & (w <= Emax)]
+    r = feast_scsrgv(A, B, Emin, Emax, len(exp) + 5, grid=(nx, ny))
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_mg_rejected_mid_spectrum():
+    """Deep-interior intervals are too indefinite for the coarse-grid
+    budget: planning must reject MG (fall back) rather than diverge."""
+    from feastkit_tpu.solvers.sparse import (_structured_forms, _plan_mg,
+                                             sparse_coo_arrays)
+    n = 300
+    A = _lap(n)
+    A_data, A_idx, _ = sparse_coo_arrays(A, np.float64)
+    out = _structured_forms(A_data, A_idx, A_data, A_idx, n, True,
+                            np.float64)
+    precond, mg_A, _ = _plan_mg(out[8], out[9], 0.7, out[7], None)
+    assert precond != "mg"

@@ -50,7 +50,8 @@ from ..core.tools import (inside_first_order, orthonormalize,
                           reduced_hermitian_gevp, residuals)
 
 __all__ = ["HermitianState", "feast_hermitian_core", "make_hermitian_body",
-           "init_hermitian_state", "verify_spurious"]
+           "make_rayleigh_ritz_update", "init_hermitian_state",
+           "verify_spurious", "verify_spurious_from"]
 
 # In-loop plausibility cut: Ritz pairs with O(1) residual are never counted
 # toward convergence (noise-space pairs that land inside the interval);
@@ -108,8 +109,28 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
                         convergence_criterion: int = 1,
                         rank_cut: float | None = None) -> Callable:
     """One FEAST refinement iteration as a pure state -> state function."""
+    update = make_rayleigh_ritz_update(
+        apply_A, apply_B, Emin, Emax, tol=tol,
+        convergence_criterion=convergence_criterion, rank_cut=rank_cut)
 
     def body(state: HermitianState) -> HermitianState:
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
+        return update(state, Qproj, solves_ok)
+
+    return body
+
+
+def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
+                              Emin, Emax, *, tol: float,
+                              convergence_criterion: int = 1,
+                              rank_cut: float | None = None) -> Callable:
+    """The non-filter half of a refinement iteration:
+    (state, Qproj, solves_ok) -> state. Split out so host-granular drivers
+    (one device dispatch per contour node at very large N) can accumulate
+    Qproj across separate dispatches and still share the exact
+    orthonormalize/Rayleigh-Ritz/residual logic."""
+
+    def update(state: HermitianState, Qproj, solves_ok) -> HermitianState:
         rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
         cut = rank_cut
         if cut is None:
@@ -129,7 +150,6 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
         # convergence (observed 1e-2 stall on TPU with BIG ~ 1e3).
         BIG = (Emax + 2.0 * (Emax - Emin)).astype(rdtype)
 
-        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
@@ -160,10 +180,10 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
             loop=state.loop + 1, Q=q, lam=lam, res=res, inside=inside,
             epsout=epsout.astype(rdtype), trace=trace.astype(rdtype),
             converged=conv,
-            inner_ok=jnp.asarray(state.inner_ok) & solves_ok,
+            inner_ok=jnp.asarray(state.inner_ok) & jnp.asarray(solves_ok),
         )
 
-    return body
+    return update
 
 
 def verify_spurious(state: HermitianState, filter_apply: Callable
@@ -175,8 +195,14 @@ def verify_spurious(state: HermitianState, filter_apply: Callable
     filter-value test FEAST's stochastic estimator is built on, applied as
     an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
     equioscillating outside response never decays with distance."""
-    rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
     Qproj, ok = _filter_with_ok(filter_apply, state.Q)
+    return verify_spurious_from(state, Qproj, ok)
+
+
+def verify_spurious_from(state: HermitianState, Qproj, ok) -> HermitianState:
+    """verify_spurious with a caller-supplied filtered subspace (host-granular
+    drivers accumulate Qproj across per-node dispatches)."""
+    rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
     rho = jnp.linalg.norm(Qproj, axis=0)
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine)

@@ -70,8 +70,8 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
     X0 = jnp.zeros_like(B) if x0 is None else x0.astype(dtype)
     n_cycles = max(1, -(-maxiter // m))
 
-    def cycle(carry, _):
-        X, done, iters = carry
+    def cycle(carry):
+        X, done, iters, cyc = carry
         R = B - apply_op(X)
         beta = _col_norms(R)
         active = (~done) & (beta > thresh)
@@ -118,12 +118,20 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
         R_new = B - apply_op(X_new)
         res = _col_norms(R_new)
         done_new = done | (res <= thresh)
-        return (X_new, done_new, iters + jnp.where(jnp.any(active), m, 0)), None
+        return (X_new, done_new, iters + jnp.where(jnp.any(active), m, 0),
+                cyc + 1)
+
+    def cycle_cond(carry):
+        _, done, _, cyc = carry
+        # early exit once every column converged (a preconditioned solve
+        # often finishes in one cycle; running the full maxiter budget
+        # anyway wastes restart-fold work and trips execution watchdogs)
+        return (cyc < n_cycles) & ~jnp.all(done)
 
     init_R = B - apply_op(X0)
     init_done = _col_norms(init_R) <= thresh
-    (X, done, iters), _ = jax.lax.scan(
-        cycle, (X0, init_done, jnp.int32(0)), None, length=n_cycles)
+    X, done, iters, _ = jax.lax.while_loop(
+        cycle_cond, cycle, (X0, init_done, jnp.int32(0), jnp.int32(0)))
 
     # Independent re-verification at 10*tol slack (reference contract,
     # feast_sparse.jl:191-199). flag_tol lets callers certify against a

@@ -171,9 +171,28 @@ def stencil_to_dense(st: GridStencil, dtype=None):
     return A
 
 
+def _shift_ax(x, ax, d):
+    """x shifted by d along axis ax, zero-filled (Dirichlet extension)."""
+    n = x.shape[ax]
+    sl_src = [slice(None)] * x.ndim
+    sl_dst = [slice(None)] * x.ndim
+    if d >= 0:
+        sl_src[ax] = slice(d, n)
+        sl_dst[ax] = slice(0, n - d)
+    else:
+        sl_src[ax] = slice(0, n + d)
+        sl_dst[ax] = slice(-d, n)
+    out = jnp.zeros_like(x)
+    return out.at[tuple(sl_dst)].set(x[tuple(sl_src)])
+
+
 def _restrict(x, ndim):
-    """Full-weighting restriction = 2x average pooling per grid axis (grid
-    axes last; odd sizes zero-padded to even first)."""
+    """Adjoint (scaled x1/2 per axis) of the cell-centered LINEAR
+    prolongation below: c_j = (0.25 f_{2j-1} + 0.75 f_{2j} + 0.75 f_{2j+1}
+    + 0.25 f_{2j+2}) / 2, zero outside. Order-2 transfers — the
+    piecewise-constant pool/repeat pair stalls V-cycle convergence on
+    Poisson-class operators once hierarchies get deep (transfer order 1+1
+    is only borderline for a 2nd-order PDE)."""
     for ax in range(x.ndim - ndim, x.ndim):
         n = x.shape[ax]
         if n % 2:
@@ -181,21 +200,34 @@ def _restrict(x, ndim):
             pad[ax] = (0, 1)
             x = jnp.pad(x, pad)
             n += 1
-        shp = x.shape[:ax] + (n // 2, 2) + x.shape[ax + 1:]
-        x = x.reshape(shp).mean(axis=ax + 1)
+        fm1 = _shift_ax(x, ax, -1)     # f_{2j-1} at even positions
+        fp2 = _shift_ax(x, ax, 2)      # f_{2j+2} at even positions
+        fp1 = _shift_ax(x, ax, 1)      # f_{2j+1}
+        comb = 0.25 * fm1 + 0.75 * x + 0.75 * fp1 + 0.25 * fp2
+        sl = [slice(None)] * x.ndim
+        sl[ax] = slice(0, n, 2)
+        x = 0.5 * comb[tuple(sl)]
     return x
 
 
 def _prolong(x, fine_shape, ndim):
-    """Adjoint-style prolongation: nearest-neighbor 2x repeat per axis,
-    cropped to the fine shape."""
+    """Cell-centered linear interpolation per axis, zero (Dirichlet)
+    extension: f_{2j} = 0.75 c_j + 0.25 c_{j-1}, f_{2j+1} = 0.75 c_j +
+    0.25 c_{j+1}; cropped to the fine shape."""
     for k, ax in enumerate(range(x.ndim - ndim, x.ndim)):
-        x = jnp.repeat(x, 2, axis=ax)
+        cm = _shift_ax(x, ax, -1)
+        cp = _shift_ax(x, ax, 1)
+        f_even = 0.75 * x + 0.25 * cm
+        f_odd = 0.75 * x + 0.25 * cp
+        f = jnp.stack([f_even, f_odd], axis=ax + 1)
+        shp = x.shape[:ax] + (2 * x.shape[ax],) + x.shape[ax + 1:]
+        f = f.reshape(shp)
         nf = fine_shape[k]
-        if x.shape[ax] != nf:
-            sl = [slice(None)] * x.ndim
+        if f.shape[ax] != nf:
+            sl = [slice(None)] * f.ndim
             sl[ax] = slice(0, nf)
-            x = x[tuple(sl)]
+            f = f[tuple(sl)]
+        x = f
     return x
 
 
@@ -363,9 +395,12 @@ def make_shifted_vcycle(stA: GridStencil, stB, z, *, nu_pre=2, nu_post=2,
 
     # coarsest-level dense operator: z * Bc - Ac (factored per closure use)
     aC, bC = levels[-1]
-    Ac = jnp.asarray(stencil_to_dense(aC).astype(np.complex128)).astype(dtype)
+    # convert constants in NUMPY: an on-device c128->c64 convert is
+    # unimplemented in the TPU constant folder
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    Ac = jnp.asarray(stencil_to_dense(aC).astype(np_dt))
     Bc = (jnp.eye(Ac.shape[0], dtype=dtype) if bC is None else
-          jnp.asarray(stencil_to_dense(bC).astype(np.complex128)).astype(dtype))
+          jnp.asarray(stencil_to_dense(bC).astype(np_dt)))
     Sc = z * Bc - Ac
     coarse_lu = jax.scipy.linalg.lu_factor(Sc)
 

@@ -114,6 +114,21 @@ def dia_matvec(diags, x, offsets, *, block: int = 1024,
     when Pallas is unavailable."""
     if not _PALLAS_OK:
         return dia_matvec_reference(diags, x, offsets)
+    # Under jax_enable_x64 the pallas grid/index arithmetic traces as i64,
+    # which Mosaic cannot legalize ("failed to legalize func.return
+    # (i64, i32)"). For 32-bit data (the only kind Mosaic accepts anyway)
+    # trace the kernel with x64 off; 64-bit data keeps the plain path
+    # (CPU/interpret use — the x64-off context would silently downcast it).
+    bits = max(jnp.finfo(jnp.asarray(diags).dtype).bits,
+               jnp.finfo(jnp.asarray(x).dtype).bits)
+    if bits <= 32:
+        with jax.enable_x64(False):
+            return _dia_matvec_32(diags, x, offsets, block=block,
+                                  interpret=interpret)
+    return _dia_matvec_32(diags, x, offsets, block=block, interpret=interpret)
+
+
+def _dia_matvec_32(diags, x, offsets, *, block, interpret):
     diags = jnp.asarray(diags)
     nd, N = diags.shape
     squeeze = x.ndim == 1

@@ -115,6 +115,10 @@ def _make_apply(bcoo_mat, dia, offsets, use_pallas, cast=None):
             diags = dia.astype(jnp.finfo(cast).dtype)
         else:
             diags = _cast_values(dia, cast)
+        # Mosaic has no 64-bit element types (and the x64 rewriter cannot
+        # split a custom-call): 64-bit applies take the XLA shifted-add path
+        if jnp.finfo(jnp.dtype(diags.dtype)).bits > 32:
+            use_pallas = False
         return lambda X: dia_matvec_any(diags, X, offsets,
                                         use_pallas=use_pallas)
     A = bcoo_mat if cast is None else jsparse.BCOO(
@@ -184,7 +188,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            diagA=None, diagB=None, precond="jacobi",
                            col_block=None, flag_tol=None,
                            mg_A=None, mg_B=None, mixed=False,
-                           apply_A_lo=None, apply_B_lo=None, ir_max=8):
+                           apply_A_lo=None, apply_B_lo=None,
+                           apply_A_re=None, apply_B_re=None, ir_max=8):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
     into the scan carry (stacking all (ne, N, K) solves would cost ne x the
@@ -210,9 +215,12 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         BX = X if standard else apply_B_lo(X)
         return z_lo * BX - apply_A_lo(X)
 
-    # Inner single-precision target: just above the complex64 roundoff
-    # floor; the refinement loop does the rest.
-    lo_tol = max(float(solver_tol), 3e-7) if mixed else solver_tol
+    # Inner single-precision target: the attainable c64 GMRES floor is
+    # ~eps_c64 * kappa(precond system) ~ 1e-5 relative; aiming below it
+    # makes every refinement step burn its full iteration budget for
+    # nothing. Stop at the floor and let the (cheap) f64 refinement steps
+    # multiply accuracy: 3 steps at 2e-5 each reach ~1e-14.
+    lo_tol = max(float(solver_tol), 2e-5) if mixed else solver_tol
 
     def krylov(apply_op, rhs, tol, prec):
         if solver == "gmres":
@@ -283,50 +291,163 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         if precond == "jacobi" and diagA is not None:
             dA, dB = diagA, diagB
             if mixed:
-                dA = dA.astype(jnp.complex64)
-                dB = None if dB is None else dB.astype(jnp.complex64)
+                dA = _cast_values(dA, jnp.complex64)
+                dB = None if dB is None else _cast_values(dB, jnp.complex64)
                 z = z.astype(jnp.complex64)
+            else:
+                dA = _cast_values(dA, z.dtype)
+                dB = None if dB is None else _cast_values(dB, z.dtype)
             dshift = (z - dA) if (standard or dB is None) \
                 else (z * dB - dA)
             dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
             return lambda X: X / dsafe[:, None]
         return None
 
-    def filter_partial(Zall, Wall, rhs):
+    def _chunked(solve_fn, rhs):
+        """Apply solve_fn over column chunks of rhs (Krylov memory bound);
+        solve_fn maps (N, cb) -> (X-like pytree, conv (cb,))."""
         K = rhs.shape[1]
         cb = col_block if (col_block and col_block < K) else None
         if cb is not None and K % cb != 0:
             cb = None       # uneven split: fall back to whole-block solves
+        if cb is None:
+            return solve_fn(rhs)
+        blocks = rhs.T.reshape(K // cb, cb, -1).transpose(0, 2, 1)
+        out, convb = jax.lax.map(solve_fn, blocks)
+        remap = lambda Xb: Xb.transpose(0, 2, 1).reshape(K, -1).T
+        out = jax.tree_util.tree_map(remap, out)
+        return out, convb.reshape(-1)
 
+    def filter_partial(Zall, Wall, rhs):
         def one(acc, zw):
             z, w = zw
             prec = node_prec(z)
-            if cb is None:
-                X, conv = solve_cols(z, rhs, prec)
-            else:
-                blocks = rhs.T.reshape(K // cb, cb, -1).transpose(0, 2, 1)
-                Xb, convb = jax.lax.map(
-                    lambda b: solve_cols(z, b, prec), blocks)
-                X = Xb.transpose(0, 2, 1).reshape(K, -1).T
-                conv = convb.reshape(-1)
+            X, conv = _chunked(lambda b: solve_cols(z, b, prec), rhs)
             return acc + w * X, conv
 
         acc0 = jnp.zeros(rhs.shape, rhs.dtype)
         acc, conv = jax.lax.scan(one, acc0, (Zall, Wall))
         return acc, conv
 
+    # ------------------------------------------------------------------
+    # Real-pair mixed filter: the c128-FREE realization of the mixed path
+    # for REAL symmetric pencils. The TPU x64 rewriter cannot compile
+    # programs carrying complex128 tensors (RET_CHECK in x64_rewriter.cc on
+    # loop carries), so the f64 iterate is carried as explicit (re, im)
+    # float64 pairs; only the inner Krylov runs in native complex64. The
+    # contour enters as f64 component arrays — the whole program contains
+    # no 128-bit complex value anywhere.
+    # ------------------------------------------------------------------
+
+    def shift_pair(zr, zi, Xr, Xi):
+        """(zB - A) applied to Xr + i Xi with real A, B: f64 arithmetic
+        through the NATURAL (real) operator applications."""
+        BXr = Xr if standard else apply_B_re(Xr)
+        BXi = Xi if standard else apply_B_re(Xi)
+        Sr = zr * BXr - zi * BXi - apply_A_re(Xr)
+        Si = zr * BXi + zi * BXr - apply_A_re(Xi)
+        return Sr, Si
+
+    def _cn2(X):
+        return jnp.einsum("nk,nk->k", X, X)
+
+    def solve_cols_pair(zr, zi, prec, rhs):
+        """IR solve of (zB - A)(Xr + i Xi) = rhs (real rhs), pair-carried.
+        Returns ((Xr, Xi), conv)."""
+        z_lo = jax.lax.complex(zr.astype(jnp.float32),
+                               zi.astype(jnp.float32))
+        nrm = jnp.sqrt(_cn2(rhs))
+        scale = jnp.maximum(nrm, 1.0)
+        target = solver_tol * scale
+
+        def residual(Xr, Xi):
+            Sr, Si = shift_pair(zr, zi, Xr, Xi)
+            Rr = rhs - Sr
+            Ri = -Si
+            return Rr, Ri, jnp.sqrt(_cn2(Rr) + _cn2(Ri))
+
+        def ir_body(carry):
+            Xr, Xi, it, rn, _ = carry
+            Rr, Ri, _ = residual(Xr, Xi)
+            safe = jnp.where(rn > 0, rn, 1.0)
+            Rn = jax.lax.complex((Rr / safe[None, :]).astype(jnp.float32),
+                                 (Ri / safe[None, :]).astype(jnp.float32))
+            dX, _ = krylov(lambda V: apply_shift_lo(z_lo, V), Rn,
+                           lo_tol, prec)
+            Xr_new = Xr + jnp.real(dX).astype(rhs.dtype) * safe[None, :]
+            Xi_new = Xi + jnp.imag(dX).astype(rhs.dtype) * safe[None, :]
+            _, _, rn_new = residual(Xr_new, Xi_new)
+            improved = rn_new < rn
+            Xr = jnp.where(improved[None, :], Xr_new, Xr)
+            Xi = jnp.where(improved[None, :], Xi_new, Xi)
+            rn_best = jnp.minimum(rn_new, rn)
+            stalled = ~jnp.any(rn_new < 0.5 * rn)
+            return Xr, Xi, it + 1, rn_best, stalled
+
+        def ir_cond(carry):
+            _, _, it, rn, stalled = carry
+            return (it < ir_max) & jnp.any(rn > target) & ~stalled
+
+        Z = jnp.zeros_like(rhs)
+        Xr, Xi, _, rn, _ = jax.lax.while_loop(
+            ir_cond, ir_body,
+            (Z, Z, jnp.int32(0), nrm, jnp.asarray(False)))
+        cert = max(solver_tol, flag_tol) if flag_tol is not None \
+            else solver_tol
+        return (Xr, Xi), rn <= 10.0 * cert * scale
+
+    def node_prec_pair(zr, zi):
+        z_lo = jax.lax.complex(zr.astype(jnp.float32), zi.astype(jnp.float32))
+        if precond == "mg" and stA is not None:
+            return make_shifted_vcycle(stA, stB, z_lo, dtype=jnp.complex64,
+                                       n_levels=mg_n_levels)
+        if precond == "jacobi" and diagA is not None:
+            dA = jnp.real(diagA).astype(jnp.float32) if jnp.iscomplexobj(diagA) \
+                else diagA.astype(jnp.float32)
+            dB = None
+            if not (standard or diagB is None):
+                dB = jnp.real(diagB).astype(jnp.float32) if jnp.iscomplexobj(diagB) \
+                    else diagB.astype(jnp.float32)
+            dshift = (z_lo - dA) if dB is None else (z_lo * dB - dA)
+            dsafe = jnp.where(jnp.abs(dshift) > 1e-30, dshift, 1.0)
+            return lambda X: X / dsafe[:, None]
+        return None
+
+    def filter_partial_pair(Zr, Zi, Wr, Wi, rhs):
+        """sum_e Re(W_e X_e) for real rhs; all-f64 pair arithmetic."""
+
+        def one(acc, zw):
+            zr, zi, wr, wi = zw
+            prec = node_prec_pair(zr, zi)
+            (Xr, Xi), conv = _chunked(
+                lambda b: solve_cols_pair(zr, zi, prec, b), rhs)
+            return acc + wr * Xr - wi * Xi, conv
+
+        acc0 = jnp.zeros(rhs.shape, rhs.dtype)
+        acc, conv = jax.lax.scan(one, acc0, (Zr, Zi, Wr, Wi))
+        return acc, conv
+
+    filter_partial.pair = filter_partial_pair
     return filter_partial
 
 
 def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
-                Zne, Wne, *, shape, config, standard, hermitian, solver,
-                solver_tol, solver_maxiter, solver_restart, offsets_A,
-                offsets_B, use_pallas, precond, mg_A=None, mg_B=None):
+                Zr, Zi, Wr, Wi, *, shape, config, standard, hermitian,
+                solver, solver_tol, solver_maxiter, solver_restart, offsets_A,
+                offsets_B, use_pallas, precond, mg_A=None, mg_B=None,
+                allow_pair=True):
     """(apply_A, apply_B, filter_apply) for sparse operands arriving as raw
     (data, indices) [+ optional DIA form]; BCOO/DIA closures rebuilt here.
-    A_data keeps its natural dtype (real for the symmetric path)."""
-    cdtype = Zne.dtype
+    A_data keeps its natural dtype (real for the symmetric path).
+
+    The contour arrives as REAL component arrays (Zr, Zi, Wr, Wi): under
+    mixed precision on TPU the real-symmetric program must contain no
+    complex128 value anywhere (the XLA x64 rewriter cannot compile c128
+    loop carries), so complex nodes are only reassembled on paths that
+    genuinely need them."""
+    cdtype = jnp.complex128 if Zr.dtype == jnp.float64 else jnp.complex64
     mixed = _mixed_enabled(config, cdtype)
+    real_pair = mixed and not hermitian and allow_pair
     A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
     apply_A = _make_apply(A_w, A_dia, offsets_A, use_pallas)
     apply_A_c = _make_apply(A_w, A_dia, offsets_A, use_pallas, cast=cdtype)
@@ -344,12 +465,6 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
             apply_B_lo = _make_apply(B_w, B_dia, offsets_B, use_pallas,
                                      cast=jnp.complex64)
 
-    if hermitian:
-        Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
-        Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
-    else:
-        Zall, Wall = Zne, 2.0 * Wne
-
     # bound Krylov memory: (restart+1)*N*cols at the Krylov work itemsize
     # (complex64 under mixed precision, else the work dtype); target
     # <= ~1.5 GB. filter_partial skips chunking when the actual column
@@ -363,16 +478,32 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
     filter_partial = _make_sparse_solve_all(
         apply_A_c, apply_B_c, standard, solver=solver, solver_tol=solver_tol,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
-        diagA=diagA.astype(cdtype), diagB=None if standard else diagB.astype(cdtype),
+        diagA=diagA, diagB=None if standard else diagB,
         precond=precond, col_block=col_block, flag_tol=config.tol,
         mg_A=mg_A, mg_B=mg_B, mixed=mixed,
-        apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo)
+        apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
+        apply_A_re=apply_A, apply_B_re=None if standard else apply_B)
 
-    if hermitian:
+    if real_pair:
+        # half-contour with 2x real-part weights, all-f64 pair arithmetic
+        def filter_apply(Q):
+            acc, conv = filter_partial.pair(Zr, Zi, 2.0 * Wr, 2.0 * Wi,
+                                            apply_B(Q))
+            return acc, jnp.all(conv)
+        filter_apply.pair_partial = filter_partial.pair
+    elif hermitian:
+        Zne = jax.lax.complex(Zr, Zi)
+        Wne = jax.lax.complex(Wr, Wi)
+        Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
+        Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
+
         def filter_apply(Q):
             acc, conv = filter_partial(Zall, Wall, apply_B(Q))
             return acc, jnp.all(conv)
     else:
+        Zall = jax.lax.complex(Zr, Zi)
+        Wall = 2.0 * jax.lax.complex(Wr, Wi)
+
         def filter_apply(Q):
             acc, conv = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
             return jnp.real(acc).astype(Q.dtype), jnp.all(conv)
@@ -383,18 +514,19 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
 _SPARSE_STATICS = ("shape", "config", "standard", "hermitian", "solver",
                    "solver_tol", "solver_maxiter", "solver_restart",
                    "offsets_A", "offsets_B", "use_pallas", "precond",
-                   "mg_A", "mg_B")
+                   "mg_A", "mg_B", "allow_pair")
 
 
 @cjit(static_argnames=_SPARSE_STATICS)
 def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                          diagA, diagB, Zne, Wne, Q0,
+                          diagA, diagB, Zr, Zi, Wr, Wi, Q0,
                           Emin, Emax, *, shape, config, standard, hermitian,
                           solver, solver_tol, solver_maxiter, solver_restart,
                           offsets_A=None, offsets_B=None, use_pallas=False,
                           precond="jacobi", mg_A=None, mg_B=None):
     apply_A, apply_B, filter_apply = _sparse_ops(
-        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
@@ -409,7 +541,7 @@ def _sparse_hermitian_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
 @cjit(static_argnames=_SPARSE_STATICS)
 def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                     diagA, diagB, Zne, Wne, state, Emin, Emax, *, shape,
+                     diagA, diagB, Zr, Zi, Wr, Wi, state, Emin, Emax, *, shape,
                      config, standard, hermitian, solver, solver_tol,
                      solver_maxiter, solver_restart, offsets_A=None,
                      offsets_B=None, use_pallas=False, precond="jacobi",
@@ -418,7 +550,8 @@ def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     execution short — long fused programs trip the tunnel's execution
     watchdog and crash the worker)."""
     apply_A, apply_B, filter_apply = _sparse_ops(
-        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
@@ -432,13 +565,14 @@ def _sparse_body_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
 @cjit(static_argnames=_SPARSE_STATICS + ("final_mode",))
 def _sparse_finalize_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                         diagA, diagB, Zne, Wne, state, *, shape, config,
+                         diagA, diagB, Zr, Zi, Wr, Wi, state, *, shape, config,
                          standard, hermitian, solver, solver_tol,
                          solver_maxiter, solver_restart, offsets_A=None,
                          offsets_B=None, use_pallas=False, precond="jacobi",
                          mg_A=None, mg_B=None, final_mode="verify"):
     apply_A, apply_B, filter_apply = _sparse_ops(
-        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
@@ -455,21 +589,96 @@ def _sparse_finalize_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
 @cjit(static_argnames=_SPARSE_STATICS)
 def _sparse_filter_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                       diagA, diagB, Zne, Wne, V, *, shape, config, standard,
+                       diagA, diagB, Zr, Zi, Wr, Wi, V, *, shape, config, standard,
                        hermitian, solver, solver_tol, solver_maxiter,
                        solver_restart, offsets_A=None, offsets_B=None,
-                       use_pallas=False, precond="jacobi"):
+                       use_pallas=False, precond="jacobi",
+                       mg_A=None, mg_B=None, allow_pair=True):
     """Raw filtered application P V (stochastic-estimate probes,
     fpm[14]=2)."""
     _, _, filter_apply = _sparse_ops(
-        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne, Wne,
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B, allow_pair=allow_pair)
+    out = filter_apply(V)
+    return out[0] if isinstance(out, tuple) else out
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_node_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                          diagA, diagB, Zr, Zi, Wr, Wi, zr, zi, wr, wi, rhs,
+                          *, shape, config, standard, hermitian, solver,
+                          solver_tol, solver_maxiter, solver_restart,
+                          offsets_A=None, offsets_B=None, use_pallas=False,
+                          precond="jacobi", mg_A=None, mg_B=None,
+                          allow_pair=True):
+    """ONE contour node's weighted filtered contribution (host-granular
+    mode: at very large N a whole refinement loop in one dispatch trips the
+    remote execution watchdog; the host loops over nodes and accumulates).
+    Weights arrive pre-doubled (half-contour 2x)."""
+    _, _, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
         shape=shape, config=config, standard=standard, hermitian=hermitian,
         solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
         solver_restart=solver_restart, offsets_A=offsets_A,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
         mg_A=mg_A, mg_B=mg_B)
-    out = filter_apply(V)
-    return out[0] if isinstance(out, tuple) else out
+    acc, conv = filter_apply.pair_partial(zr[None], zi[None],
+                                          wr[None], wi[None], rhs)
+    return acc, jnp.all(conv)
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_rhs_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                         diagA, diagB, Zr, Zi, Wr, Wi, Q, *, shape, config,
+                         standard, hermitian, solver, solver_tol,
+                         solver_maxiter, solver_restart, offsets_A=None,
+                         offsets_B=None, use_pallas=False, precond="jacobi",
+                         mg_A=None, mg_B=None, allow_pair=True):
+    _, apply_B, _ = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
+    return apply_B(Q)
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_outer_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                           diagA, diagB, Zr, Zi, Wr, Wi, state, Qproj, ok,
+                           Emin, Emax, *, shape, config, standard, hermitian,
+                           solver, solver_tol, solver_maxiter, solver_restart,
+                           offsets_A=None, offsets_B=None, use_pallas=False,
+                           precond="jacobi", mg_A=None, mg_B=None,
+                           allow_pair=True):
+    """Rayleigh-Ritz half of a refinement loop from an accumulated Qproj."""
+    from ..kernel.hermitian import make_rayleigh_ritz_update
+    apply_A, apply_B, _ = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
+    update = make_rayleigh_ritz_update(
+        apply_A, apply_B, Emin, Emax, tol=config.tol,
+        convergence_criterion=config.convergence_criterion)
+    return update(state, Qproj, ok)
+
+
+@cjit()
+def _sparse_verify_from_jit(state, Qproj, ok):
+    from ..kernel.hermitian import verify_spurious_from
+    return verify_spurious_from(state, Qproj, ok)
 
 
 def _stochastic_estimate_result(filter_fn, N, fpm, work_dtype):
@@ -656,21 +865,61 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         solver_restart=int(solver_restart), offsets_A=offsets_A,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
         mg_A=mg_A, mg_B=mg_B)
+    rcomp = np.float64 if f64 else np.float32
     arrs = (A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
-            np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
+            np.ascontiguousarray(np.real(contour.Zne), rcomp),
+            np.ascontiguousarray(np.imag(contour.Zne), rcomp),
+            np.ascontiguousarray(np.real(contour.Wne), rcomp),
+            np.ascontiguousarray(np.imag(contour.Wne), rcomp))
     if config.mode == 2:
         return _stochastic_estimate_result(
             lambda V: _sparse_filter_jit(*arrs, V, **statics),
             N, fpm, work_dtype)
     if cio.complex_io_required() and config.mode != 1:
         from .dense import _host_state
+        # Pin operands on device ONCE: the tunnel's host->device path runs
+        # at ~30 MB/s, so re-uploading numpy operands on every dispatch of
+        # the host-driven loop would dominate wall time by 100x. All leaves
+        # here are real/int (complex contour data travels as components).
+        arrs = tuple(jax.device_put(a) for a in arrs)
         state = _host_state(np.asarray(Q0, work_dtype))
-        for _ in range(config.max_loops + 1):
-            state = _sparse_body_jit(*arrs, state, rdtype(Emin),
-                                     rdtype(Emax), **statics)
-            if bool(fetch(state.converged)):
-                break
-        state = _sparse_finalize_jit(*arrs, state, **statics)
+        pair_mode = (_mixed_enabled(config, np.complex128 if f64
+                                    else np.complex64) and not hermitian)
+        if pair_mode and N >= (1 << 15):
+            # Host-granular driving: ONE device dispatch per contour node.
+            # At this scale a whole refinement loop in one program exceeds
+            # the remote execution watchdog; per-node dispatches stay short
+            # and the f64 accumulation runs as tiny eager adds on device.
+            Zr_, Zi_, Wr_, Wi_ = arrs[-4:]
+
+            def host_filter(Q):
+                rhs = Q if standard else _sparse_rhs_pair_jit(
+                    *arrs, Q, **statics)
+                acc, okk = None, None
+                for e in range(len(Zr_)):
+                    c, conv = _sparse_node_pair_jit(
+                        *arrs, Zr_[e], Zi_[e], 2.0 * Wr_[e], 2.0 * Wi_[e],
+                        rhs, **statics)
+                    acc = c if acc is None else acc + c
+                    okk = conv if okk is None else (okk & conv)
+                return acc, okk
+
+            for _ in range(config.max_loops + 1):
+                Qp, okk = host_filter(state.Q)
+                state = _sparse_outer_pair_jit(
+                    *arrs, state, Qp, okk, rdtype(Emin), rdtype(Emax),
+                    **statics)
+                if bool(fetch(state.converged)):
+                    break
+            Qp, okk = host_filter(state.Q)
+            state = _sparse_verify_from_jit(state, Qp, okk)
+        else:
+            for _ in range(config.max_loops + 1):
+                state = _sparse_body_jit(*arrs, state, rdtype(Emin),
+                                         rdtype(Emax), **statics)
+                if bool(fetch(state.converged)):
+                    break
+            state = _sparse_finalize_jit(*arrs, state, **statics)
     else:
         state = _sparse_hermitian_jit(
             *arrs, np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
@@ -782,12 +1031,16 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     if config.mode == 2:
         # General contours: replace the half-contour doubling with the raw
         # full-contour quadrature sum (trace(P) = M for oblique projectors).
-        Zg = np.asarray(contour.Zne, cdtype)
-        Wg = np.asarray(contour.Wne, cdtype)
+        Zg = np.asarray(contour.Zne, np.complex128)
+        Wg = 0.5 * np.asarray(contour.Wne, np.complex128)
         res = _stochastic_estimate_result(
             lambda V: _sparse_filter_jit(
                 A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
-                Zg, 0.5 * Wg, np.asarray(V, cdtype), **gen_statics),
+                np.ascontiguousarray(Zg.real, rdtype),
+                np.ascontiguousarray(Zg.imag, rdtype),
+                np.ascontiguousarray(Wg.real, rdtype),
+                np.ascontiguousarray(Wg.imag, rdtype),
+                np.asarray(V, cdtype), allow_pair=False, **gen_statics),
             N, fpm, cdtype)
         return FeastGeneralResult(np.zeros(0, cdtype), np.zeros((N, 0), cdtype),
                                   res.M, np.zeros(0), res.info, res.epsout,

@@ -1,0 +1,70 @@
+"""North-star scale experiment: 2D Laplacian eigenpairs at 1e-8 on the chip.
+
+Runs BASELINE.json config 4 (sparse generalized/standard symmetric EVP on a
+2D Laplacian) at growing N with float64 + mixed precision (fpm[42] auto) +
+multigrid-preconditioned GMRES, and reports wall time + residuals.
+
+Usage: python scripts/scale_sparse.py [log2_side ...]   (default 9 10)
+"""
+import sys
+import time
+
+import jax
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def lap2d(nx, ny):
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Dy = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ny, ny))
+    return (sp.kron(Dx, sp.eye(ny)) + sp.kron(sp.eye(nx), Dy)).tocsr()
+
+
+def lap2d_eigs(nx, ny, kmax=200):
+    wx = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
+    wy = 2.0 - 2.0 * np.cos(np.arange(1, ny + 1) * np.pi / (ny + 1))
+    w = np.sort((wx[:kmax, None] + wy[None, :kmax]).ravel())
+    return w[: kmax * 4]
+
+
+def main(sides):
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+
+    print("devices:", jax.devices(), flush=True)
+    for p in sides:
+        nx = ny = 2 ** p
+        N = nx * ny
+        A = lap2d(nx, ny)
+        w = lap2d_eigs(nx, ny)
+        # lowest ~50 eigenvalues, endpoints at genuine gaps
+        gaps = np.nonzero(np.diff(w) > 1e-12)[0]
+        hi = gaps[np.searchsorted(gaps, 50)]
+        Emin = float(w[0] * 0.5)
+        Emax = float(0.5 * (w[hi] + w[hi + 1]))
+        exp = w[(w >= Emin) & (w <= Emax)]
+        M0 = int(-(-int(len(exp) * 1.6) // 8) * 8)
+        fpm = feastinit()
+        fpm[3] = 8
+        print(f"N={N} ({nx}x{ny})  target {len(exp)} pairs  M0={M0} "
+              f"interval=({Emin:.3e},{Emax:.3e})", flush=True)
+        t0 = time.perf_counter()
+        r = feast_scsrev(A, Emin, Emax, M0, fpm)
+        t_cold = time.perf_counter() - t0
+        ok = r.M == len(exp)
+        err = np.abs(np.sort(r.lam) - exp).max() if ok else float("nan")
+        print(f"  cold {t_cold:.1f}s  M={r.M}/{len(exp)} info={r.info} "
+              f"epsout={r.epsout:.2e} loops={r.loop} "
+              f"inner={r.inner_converged} lam_err={err:.2e}", flush=True)
+        t0 = time.perf_counter()
+        r = feast_scsrev(A, Emin, Emax, M0, fpm)
+        t_warm = time.perf_counter() - t0
+        print(f"  warm {t_warm:.1f}s  M={r.M} epsout={r.epsout:.2e} "
+              f"loops={r.loop}", flush=True)
+
+
+if __name__ == "__main__":
+    sides = [int(a) for a in sys.argv[1:]] or [9, 10]
+    main(sides)

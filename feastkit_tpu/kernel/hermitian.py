@@ -107,11 +107,13 @@ def init_hermitian_state(Q0) -> HermitianState:
 def make_hermitian_body(apply_A: Callable, apply_B: Callable,
                         filter_apply: Callable, Emin, Emax, *, tol: float,
                         convergence_criterion: int = 1,
-                        rank_cut: float | None = None) -> Callable:
+                        rank_cut: float | None = None,
+                        nsum: Callable | None = None) -> Callable:
     """One FEAST refinement iteration as a pure state -> state function."""
     update = make_rayleigh_ritz_update(
         apply_A, apply_B, Emin, Emax, tol=tol,
-        convergence_criterion=convergence_criterion, rank_cut=rank_cut)
+        convergence_criterion=convergence_criterion, rank_cut=rank_cut,
+        nsum=nsum)
 
     def body(state: HermitianState) -> HermitianState:
         Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
@@ -123,12 +125,20 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
 def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
                               Emin, Emax, *, tol: float,
                               convergence_criterion: int = 1,
-                              rank_cut: float | None = None) -> Callable:
+                              rank_cut: float | None = None,
+                              nsum: Callable | None = None) -> Callable:
     """The non-filter half of a refinement iteration:
     (state, Qproj, solves_ok) -> state. Split out so host-granular drivers
     (one device dispatch per contour node at very large N) can accumulate
     Qproj across separate dispatches and still share the exact
-    orthonormalize/Rayleigh-Ritz/residual logic."""
+    orthonormalize/Rayleigh-Ritz/residual logic.
+
+    nsum: reduction over the row (N) dimension when it is SHARDED over a
+    mesh axis (the "model" axis, SURVEY.md section 5 scalability axis 3):
+    a callable psum-ing its argument over that axis. With nsum set the
+    orthonormalization switches from thin SVD to the Gram route (G = Q^H Q
+    psum-reduced, eigh of the replicated M0 x M0 Gram, U = Q V s^-1) so
+    every cross-row contraction is an explicit collective."""
 
     def update(state: HermitianState, Qproj, solves_ok) -> HermitianState:
         rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
@@ -150,20 +160,39 @@ def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
         # convergence (observed 1e-2 stall on TPU with BIG ~ 1e3).
         BIG = (Emax + 2.0 * (Emax - Emin)).astype(rdtype)
 
-        U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        if nsum is None:
+            U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
+        else:
+            # Gram-based thin factorization: rows of Qproj are sharded, the
+            # M0 x M0 Gram is psum-replicated; singular values from eigh.
+            G0 = nsum(Qproj.conj().T @ Qproj)
+            lamG, Vg = jnp.linalg.eigh(G0)
+            s = jnp.sqrt(jnp.maximum(lamG[::-1], 0.0)).astype(rdtype)
+            Vg = Vg[:, ::-1]
+            s_safe = jnp.where(s > 0, s, 1.0)
+            U = Qproj @ (Vg / s_safe[None, :].astype(Vg.dtype))
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
+        red = (lambda x: x) if nsum is None else nsum
         # Deflation: masked directions are exactly decoupled with eigenpair
         # (BIG, e_i) and zero Ritz vector -> excluded by the inside mask.
-        S = Um.conj().T @ apply_A(Um) + BIG * jnp.diag(1.0 - m).astype(U.dtype)
-        G = Um.conj().T @ apply_B(Um) + jnp.diag(1.0 - m).astype(U.dtype)
+        S = red(Um.conj().T @ apply_A(Um)) \
+            + BIG * jnp.diag(1.0 - m).astype(U.dtype)
+        G = red(Um.conj().T @ apply_B(Um)) + jnp.diag(1.0 - m).astype(U.dtype)
         lam, V = reduced_hermitian_gevp(S, G)
         q = Um @ V
-        nrm = jnp.linalg.norm(q, axis=0)
+        nrm2 = red(jnp.real(jnp.einsum("nk,nk->k", jnp.conj(q), q)))
+        nrm = jnp.sqrt(nrm2)
         q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]
         lam = lam.astype(rdtype)
 
-        res = residuals(apply_A, apply_B, lam, q)
+        if nsum is None:
+            res = residuals(apply_A, apply_B, lam, q)
+        else:
+            r = apply_A(q) - lam[None, :].astype(q.dtype) * apply_B(q)
+            res = jnp.sqrt(nsum(jnp.real(
+                jnp.einsum("nk,nk->k", jnp.conj(r), r)))) \
+                / jnp.maximum(jnp.abs(lam), 1.0)
         inside = (lam >= Emin) & (lam <= Emax)
         order = inside_first_order(lam, inside)
         lam, q, res, inside = lam[order], q[:, order], res[order], inside[order]
@@ -199,11 +228,17 @@ def verify_spurious(state: HermitianState, filter_apply: Callable
     return verify_spurious_from(state, Qproj, ok)
 
 
-def verify_spurious_from(state: HermitianState, Qproj, ok) -> HermitianState:
+def verify_spurious_from(state: HermitianState, Qproj, ok,
+                         nsum: Callable | None = None) -> HermitianState:
     """verify_spurious with a caller-supplied filtered subspace (host-granular
-    drivers accumulate Qproj across per-node dispatches)."""
+    drivers accumulate Qproj across per-node dispatches; nsum reduces over
+    a sharded row axis)."""
     rdtype = jnp.real(jnp.zeros((), state.Q.dtype)).dtype
-    rho = jnp.linalg.norm(Qproj, axis=0)
+    if nsum is None:
+        rho = jnp.linalg.norm(Qproj, axis=0)
+    else:
+        rho = jnp.sqrt(nsum(jnp.real(
+            jnp.einsum("nk,nk->k", jnp.conj(Qproj), Qproj))))
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine)
     return state._replace(
@@ -226,6 +261,7 @@ def feast_hermitian_core(
     convergence_criterion: int = 1,
     subspace_only: bool = False,
     rank_cut: float | None = None,
+    nsum: Callable | None = None,
 ) -> HermitianState:
     """Fused-while_loop FEAST refinement; fully jittable.
 
@@ -250,16 +286,24 @@ def feast_hermitian_core(
 
     if subspace_only:
         Qproj, ok = _filter_with_ok(filter_apply, init.Q)
-        U, _, _ = orthonormalize(Qproj)
+        if nsum is None:
+            U, _, _ = orthonormalize(Qproj)
+        else:
+            G0 = nsum(Qproj.conj().T @ Qproj)
+            lamG, Vg = jnp.linalg.eigh(G0)
+            s = jnp.sqrt(jnp.maximum(lamG[::-1], 0.0))
+            Vg = Vg[:, ::-1]
+            U = Qproj @ (Vg / jnp.where(s > 0, s, 1.0)[None, :].astype(Vg.dtype))
         return init._replace(Q=U, loop=jnp.int32(1), inner_ok=ok)
 
     body = make_hermitian_body(apply_A, apply_B, filter_apply, Emin, Emax,
                                tol=tol,
                                convergence_criterion=convergence_criterion,
-                               rank_cut=rank_cut)
+                               rank_cut=rank_cut, nsum=nsum)
 
     def cond(state: HermitianState):
         return (~state.converged) & (state.loop < max_loops + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    return verify_spurious(final, filter_apply)
+    Qproj, ok = _filter_with_ok(filter_apply, final.Q)
+    return verify_spurious_from(final, Qproj, ok, nsum=nsum)

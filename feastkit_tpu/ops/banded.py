@@ -157,19 +157,31 @@ def bcr_factor(D, L, U):
     """
     levels = []
     nb = D.shape[0]
+    b = D.shape[-1]
     while nb > 1:
         Do, Lo, Uo = D[1::2], L[1::2], U[1::2]        # odd blocks (eliminated)
         De, Le, Ue = D[0::2], L[0::2], U[0::2]        # even blocks (kept)
         lu_o, piv_o = jax.vmap(jsl.lu_factor)(Do)
-        inv_o = jax.vmap(lambda l, p: jsl.lu_solve(
-            (l, p), jnp.eye(D.shape[-1], dtype=D.dtype)))(lu_o, piv_o)
         m = De.shape[0]
         # even block j=2k: left odd neighbor 2k-1 (odd index k-1),
-        # right odd neighbor 2k+1 (odd index k).
-        zeros = jnp.zeros_like(inv_o[:1])
-        inv_left = jnp.concatenate([zeros, inv_o], axis=0)[:m]   # k-1, k=0 -> 0
-        inv_right = inv_o if inv_o.shape[0] == m else jnp.concatenate(
-            [inv_o, zeros], axis=0)[:m]
+        # right odd neighbor 2k+1 (odd index k). Neighbor factorizations are
+        # aligned with a dummy identity LU where the neighbor is absent and
+        # the contribution masked — NO explicit inverses are formed
+        # (X @ D^-1 is computed as lu_solve(D^T y = X^T)^T, retaining the
+        # pivoted factorization's stability, the gbtrf analog).
+        eye_lu, eye_piv = jsl.lu_factor(jnp.eye(b, dtype=D.dtype))
+        dummy_lu = eye_lu[None]
+        dummy_piv = eye_piv[None]
+        lu_left = jnp.concatenate([dummy_lu, lu_o], axis=0)[:m]
+        piv_left = jnp.concatenate([dummy_piv, piv_o], axis=0)[:m]
+        has_left = (jnp.arange(m) > 0)[:, None, None]
+        if lu_o.shape[0] == m:
+            lu_right, piv_right = lu_o, piv_o
+            has_right = jnp.ones((m, 1, 1), bool)
+        else:
+            lu_right = jnp.concatenate([lu_o, dummy_lu], axis=0)[:m]
+            piv_right = jnp.concatenate([piv_o, dummy_piv], axis=0)[:m]
+            has_right = (jnp.arange(m) < lu_o.shape[0])[:, None, None]
         L_left = jnp.concatenate([jnp.zeros_like(Lo[:1]), Lo], axis=0)[:m]
         U_left = jnp.concatenate([jnp.zeros_like(Uo[:1]), Uo], axis=0)[:m]
         L_right = Lo if Lo.shape[0] == m else jnp.concatenate(
@@ -177,8 +189,14 @@ def bcr_factor(D, L, U):
         U_right = Uo if Uo.shape[0] == m else jnp.concatenate(
             [Uo, jnp.zeros_like(Uo[:1])], axis=0)[:m]
 
-        C1 = jnp.einsum("kij,kjl->kil", Le, inv_left)     # L_j D_{j-1}^-1
-        C2 = jnp.einsum("kij,kjl->kil", Ue, inv_right)    # U_j D_{j+1}^-1
+        def _right_div(X, lu, piv):
+            # X @ D^-1 = solve(D^T Y = X^T)^T
+            return jnp.swapaxes(
+                jax.vmap(lambda l, p, xt: jsl.lu_solve((l, p), xt, trans=1))(
+                    lu, piv, jnp.swapaxes(X, -1, -2)), -1, -2)
+
+        C1 = jnp.where(has_left, _right_div(Le, lu_left, piv_left), 0)
+        C2 = jnp.where(has_right, _right_div(Ue, lu_right, piv_right), 0)
         D_new = (De - jnp.einsum("kij,kjl->kil", C1, U_left)
                  - jnp.einsum("kij,kjl->kil", C2, L_right))
         L_new = -jnp.einsum("kij,kjl->kil", C1, L_left)

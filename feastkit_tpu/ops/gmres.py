@@ -33,14 +33,19 @@ class IterativeInfo(NamedTuple):
     converged: jax.Array     # (K,) bool, after 10*tol re-verification
 
 
-def _col_norms(X):
-    return jnp.sqrt(jnp.real(jnp.einsum("nk,nk->k", jnp.conj(X), X)))
+def _col_norms(X, axis_name=None):
+    n2 = jnp.real(jnp.einsum("nk,nk->k", jnp.conj(X), X))
+    if axis_name is not None:
+        n2 = jax.lax.psum(n2, axis_name)
+    return jnp.sqrt(n2)
 
 
 def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
                 restart: int = 30, maxiter: int = 200,
                 apply_prec: Callable | None = None,
-                x0=None, flag_tol: float | None = None
+                x0=None, flag_tol: float | None = None,
+                axis_name: str | None = None,
+                sync_axes=None
                 ) -> tuple[jax.Array, IterativeInfo]:
     """Restarted GMRES on K right-hand sides at once.
 
@@ -53,6 +58,15 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
       apply_prec: optional RIGHT preconditioner M^-1 as (N, K) -> (N, K);
         solves A M^-1 u = b, returns x = M^-1 u.
       x0: optional initial guess (N, K).
+      axis_name: if the row dimension N is SHARDED over a mesh axis inside
+        shard_map, the name of that axis — every contraction over N
+        (column norms, Arnoldi projections) is psum-reduced across it, so
+        the solver runs row-parallel with apply_op handling halo exchange.
+      sync_axes: mesh axes whose groups run INDEPENDENT solves that must
+        nevertheless execute the same number of loop iterations (e.g. the
+        contour axis: each group's shift differs, but apply_op's collectives
+        over axis_name are mesh-global, so divergent trip counts deadlock).
+        Loop-exit decisions are pmin-synchronized across these axes.
 
     Returns (X, IterativeInfo). The residual re-verification computes the
     TRUE residual ||B - A X|| and reports converged = res <= 10*tol*scale
@@ -63,17 +77,24 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
     m = restart
     prec = apply_prec if apply_prec is not None else (lambda X: X)
 
-    b_norm = _col_norms(B)
+    cn = lambda X: _col_norms(X, axis_name)
+    b_norm = cn(B)
     scale = jnp.maximum(b_norm, 1.0)      # rtol=atol: threshold on max(|b|,1)
     thresh = tol * scale
 
     X0 = jnp.zeros_like(B) if x0 is None else x0.astype(dtype)
     n_cycles = max(1, -(-maxiter // m))
 
+    def _alldone(done):
+        a = jnp.all(done)
+        if sync_axes:
+            a = jax.lax.pmin(a.astype(jnp.int32), sync_axes) > 0
+        return a
+
     def cycle(carry):
-        X, done, iters, cyc = carry
+        X, done, iters, cyc, _ = carry
         R = B - apply_op(X)
-        beta = _col_norms(R)
+        beta = cn(R)
         active = (~done) & (beta > thresh)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         V0 = R / safe_beta[None, :]
@@ -88,12 +109,16 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
             idx = jnp.arange(m + 1)
             mask = (idx <= j).astype(dtype)[:, None]
             h = jnp.einsum("ink,nk->ik", jnp.conj(V), W) * mask   # (m+1, K)
+            if axis_name is not None:
+                h = jax.lax.psum(h, axis_name)
             W = W - jnp.einsum("ink,ik->nk", V, h)
             # one reorthogonalization pass (classical twice ~ stable)
             h2 = jnp.einsum("ink,nk->ik", jnp.conj(V), W) * mask
+            if axis_name is not None:
+                h2 = jax.lax.psum(h2, axis_name)
             W = W - jnp.einsum("ink,ik->nk", V, h2)
             h = h + h2
-            wn = _col_norms(W)
+            wn = cn(W)
             h_j1 = wn.astype(dtype)
             V = V.at[j + 1].set(W / jnp.where(wn > 0, wn, 1.0)[None, :])
             H = H.at[:, j, :].set(h)
@@ -116,22 +141,25 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
         dX = prec(jnp.einsum("ink,ik->nk", V[:m], Y))
         X_new = X + dX * active.astype(dtype)[None, :]
         R_new = B - apply_op(X_new)
-        res = _col_norms(R_new)
+        res = cn(R_new)
         done_new = done | (res <= thresh)
         return (X_new, done_new, iters + jnp.where(jnp.any(active), m, 0),
-                cyc + 1)
+                cyc + 1, _alldone(done_new))
 
     def cycle_cond(carry):
-        _, done, _, cyc = carry
+        _, _, _, cyc, all_done = carry
         # early exit once every column converged (a preconditioned solve
         # often finishes in one cycle; running the full maxiter budget
-        # anyway wastes restart-fold work and trips execution watchdogs)
-        return (cyc < n_cycles) & ~jnp.all(done)
+        # anyway wastes restart-fold work and trips execution watchdogs).
+        # all_done is computed IN THE BODY (mesh-synchronized when
+        # sync_axes is set) so the cond itself contains no collectives.
+        return (cyc < n_cycles) & ~all_done
 
     init_R = B - apply_op(X0)
-    init_done = _col_norms(init_R) <= thresh
-    X, done, iters, _ = jax.lax.while_loop(
-        cycle_cond, cycle, (X0, init_done, jnp.int32(0), jnp.int32(0)))
+    init_done = cn(init_R) <= thresh
+    X, done, iters, _, _ = jax.lax.while_loop(
+        cycle_cond, cycle,
+        (X0, init_done, jnp.int32(0), jnp.int32(0), _alldone(init_done)))
 
     # Independent re-verification at 10*tol slack (reference contract,
     # feast_sparse.jl:191-199). flag_tol lets callers certify against a
@@ -139,7 +167,7 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
     # the solver aims at tol = 0.1*outer but only outer-level inner accuracy
     # is required for the filter; a stall between the two is not a failure).
     cert = jnp.maximum(tol, flag_tol) if flag_tol is not None else tol
-    true_res = _col_norms(B - apply_op(X))
+    true_res = cn(B - apply_op(X))
     converged = true_res <= 10.0 * cert * scale
     return X, IterativeInfo(iters, true_res, converged)
 
@@ -147,7 +175,9 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
 def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
                    maxiter: int = 200,
                    apply_prec: Callable | None = None,
-                   x0=None, flag_tol: float | None = None
+                   x0=None, flag_tol: float | None = None,
+                   axis_name: str | None = None,
+                   sync_axes=None
                    ) -> tuple[jax.Array, IterativeInfo]:
     """BiCGStab on K right-hand sides at once (constant memory per column).
 
@@ -159,7 +189,8 @@ def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
     dtype = B.dtype
     prec = apply_prec if apply_prec is not None else (lambda X: X)
 
-    b_norm = _col_norms(B)
+    cn = lambda X: _col_norms(X, axis_name)
+    b_norm = cn(B)
     scale = jnp.maximum(b_norm, 1.0)
     thresh = tol * scale
 
@@ -168,10 +199,19 @@ def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
     Rhat = R0
 
     def dots(P, Q):
-        return jnp.einsum("nk,nk->k", jnp.conj(P), Q)
+        d = jnp.einsum("nk,nk->k", jnp.conj(P), Q)
+        if axis_name is not None:
+            d = jax.lax.psum(d, axis_name)
+        return d
+
+    def _alldone(done):
+        a = jnp.all(done)
+        if sync_axes:
+            a = jax.lax.pmin(a.astype(jnp.int32), sync_axes) > 0
+        return a
 
     def step(carry):
-        X, R, P, V, rho, alpha, omega, it, done = carry
+        X, R, P, V, rho, alpha, omega, it, done, _ = carry
         rho_new = dots(Rhat, R)
         safe = lambda x: jnp.where(jnp.abs(x) > 0, x, 1.0)
         beta = (rho_new / safe(rho)) * (alpha / safe(omega))
@@ -186,19 +226,20 @@ def bicgstab_block(apply_op: Callable, B, *, tol: float = 1e-12,
         upd = (~done).astype(dtype)[None, :]
         X = X + (alpha[None, :] * Ph + omega[None, :] * Sh) * upd
         R = S - omega[None, :] * T
-        done = done | (_col_norms(R) <= thresh)
-        return X, R, P, V, rho_new, alpha, omega, it + 1, done
+        done = done | (cn(R) <= thresh)
+        return X, R, P, V, rho_new, alpha, omega, it + 1, done, _alldone(done)
 
     def cond(carry):
-        *_, it, done = carry
-        return (~jnp.all(done)) & (it < maxiter)
+        *_, it, done, all_done = carry
+        return (~all_done) & (it < maxiter)
 
     ones = jnp.ones((K,), dtype)
+    done0 = cn(R0) <= thresh
     init = (X0, R0, jnp.zeros_like(B), jnp.zeros_like(B),
-            ones, ones, ones, jnp.int32(0), _col_norms(R0) <= thresh)
-    X, R, *_, it, done = jax.lax.while_loop(cond, step, init)
+            ones, ones, ones, jnp.int32(0), done0, _alldone(done0))
+    X, R, *_, it, done, _ = jax.lax.while_loop(cond, step, init)
 
     cert = jnp.maximum(tol, flag_tol) if flag_tol is not None else tol
-    true_res = _col_norms(B - apply_op(X))
+    true_res = cn(B - apply_op(X))
     converged = true_res <= 10.0 * cert * scale
     return X, IterativeInfo(it, true_res, converged)

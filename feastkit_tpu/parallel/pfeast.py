@@ -37,11 +37,13 @@ from ..kernel.hermitian import feast_hermitian_core
 from ..solvers.dense import _dtypes_of, _shifted_pencils
 from ..utils.cio import cjit, fetch
 
-__all__ = ["contour_mesh", "contour_rhs_mesh", "pad_contour", "pfeast_dense",
-           "pfeast_sparse", "pfeast_general", "pfeast_sparse_general"]
+__all__ = ["contour_mesh", "contour_rhs_mesh", "contour_model_mesh",
+           "pad_contour", "pfeast_dense", "pfeast_sparse", "pfeast_general",
+           "pfeast_sparse_general"]
 
 AXIS = "contour"
 RHS_AXIS = "rhs"
+MODEL_AXIS = "model"
 
 
 def contour_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -62,6 +64,43 @@ def contour_rhs_mesh(n_contour: int, n_rhs: int, devices=None) -> Mesh:
         devices = jax.devices()
     devices = np.array(devices[: n_contour * n_rhs]).reshape(n_contour, n_rhs)
     return Mesh(devices, (AXIS, RHS_AXIS))
+
+
+def contour_model_mesh(n_contour: int, n_model: int, n_rhs: int = 1,
+                       devices=None) -> Mesh:
+    """Mesh with a MODEL axis sharding the operator rows N — the third
+    scalability axis (SURVEY.md section 5 axis 3; the reference's recognized
+    PFEAST L3 gap, docs/feast_parity_report.md:21-26). Optional middle rhs
+    axis: (contour, rhs, model)."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_contour * n_rhs * n_model
+    devices = np.array(devices[:n])
+    if n_rhs > 1:
+        return Mesh(devices.reshape(n_contour, n_rhs, n_model),
+                    (AXIS, RHS_AXIS, MODEL_AXIS))
+    return Mesh(devices.reshape(n_contour, n_model), (AXIS, MODEL_AXIS))
+
+
+def _dia_halo_matvec(diags_loc, X, offsets, axis, n_shards):
+    """Row-sharded DIA matvec inside shard_map: the local row block plus
+    halo rows exchanged with mesh neighbors over ``axis`` (ppermute; edge
+    devices receive zeros = the zero-boundary convention). diags_loc is the
+    local (nd, n_loc) slice of the row-aligned diagonals."""
+    h = max(max(abs(int(o)) for o in offsets), 1) if offsets else 1
+    n_loc = X.shape[0]
+    upper, lower = X[:h], X[-h:]
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    from_prev = jax.lax.ppermute(lower, axis, fwd)
+    from_next = jax.lax.ppermute(upper, axis, bwd)
+    x_ext = jnp.concatenate([from_prev, X, from_next], axis=0)
+    y = jnp.zeros(X.shape, jnp.result_type(diags_loc.dtype, X.dtype))
+    for k, off in enumerate(offsets):
+        o = int(off)
+        y = y + diags_loc[k][:, None] * jax.lax.dynamic_slice_in_dim(
+            x_ext, h + o, n_loc, axis=0)
+    return y
 
 
 def pad_contour(Zne, Wne, n_shards: int):
@@ -517,6 +556,96 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
     return sharded(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emin, Emax)
 
 
+@cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
+                       "solver_tol", "solver_maxiter", "solver_restart",
+                       "offsets_A", "offsets_B", "precond", "mesh"))
+def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zne, Wne, Q0,
+                             Emin, Emax, *, shape, config, standard,
+                             hermitian, solver, solver_tol, solver_maxiter,
+                             solver_restart, offsets_A, offsets_B, precond,
+                             mesh: Mesh):
+    """Sparse FEAST with BOTH contour nodes and operator ROWS sharded
+    (contour x model mesh): per-device local row blocks with halo-exchange
+    DIA matvecs, psum-reduced Krylov contractions (gmres axis_name), the
+    Gram-based Rayleigh-Ritz core (nsum over the model axis), and one psum
+    of the filtered subspace over the contour axis per loop. The N-sharding
+    axis the reference never built (its PFEAST L3 gap,
+    docs/feast_parity_report.md:21-26)."""
+    import dataclasses
+    from ..solvers.sparse import _make_sparse_solve_all
+
+    n_model = mesh.shape[MODEL_AXIS]
+    cfg = dataclasses.replace(config, mixed=0)   # pair-IR not collective-aware
+
+    def device_program(A_dia, B_dia, diagA, diagB, Zl, Wl, Q0l, Emin, Emax):
+        cdtype = Zl.dtype
+        apply_A = lambda X: _dia_halo_matvec(A_dia, X, offsets_A,
+                                             MODEL_AXIS, n_model)
+        apply_A_c = lambda X: _dia_halo_matvec(
+            A_dia.astype(jnp.finfo(cdtype).dtype) if not jnp.iscomplexobj(A_dia)
+            else A_dia.astype(cdtype), X.astype(cdtype), offsets_A,
+            MODEL_AXIS, n_model)
+        if standard:
+            apply_B = lambda X: X
+            apply_B_c = None
+        else:
+            apply_B = lambda X: _dia_halo_matvec(B_dia, X, offsets_B,
+                                                 MODEL_AXIS, n_model)
+            apply_B_c = lambda X: _dia_halo_matvec(
+                B_dia.astype(jnp.finfo(cdtype).dtype)
+                if not jnp.iscomplexobj(B_dia) else B_dia.astype(cdtype),
+                X.astype(cdtype), offsets_B, MODEL_AXIS, n_model)
+
+        if hermitian:
+            Zall = jnp.concatenate([Zl, jnp.conj(Zl)])
+            Wall = jnp.concatenate([Wl, jnp.conj(Wl)])
+        else:
+            Zall, Wall = Zl, 2.0 * Wl
+
+        filter_partial = _make_sparse_solve_all(
+            apply_A_c, apply_B_c, standard, solver=solver,
+            solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+            solver_restart=solver_restart, diagA=diagA, diagB=diagB,
+            precond=precond, flag_tol=cfg.tol, axis_name=MODEL_AXIS,
+            sync_axes=tuple(mesh.axis_names))
+
+        nsum = lambda x: jax.lax.psum(x, MODEL_AXIS)
+
+        if hermitian:
+            def filter_apply(Q):
+                local, conv = filter_partial(Zall, Wall, apply_B(Q))
+                ok = jnp.all(conv)
+                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+                return jax.lax.psum(local, AXIS), all_ok
+        else:
+            def filter_apply(Q):
+                local, conv = filter_partial(Zall, Wall,
+                                             apply_B(Q).astype(cdtype))
+                ok = jnp.all(conv)
+                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
+                return (jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS),
+                        all_ok)
+
+        return feast_hermitian_core(
+            apply_A, apply_B, filter_apply, Q0l, Emin, Emax,
+            tol=cfg.tol, max_loops=cfg.max_loops,
+            convergence_criterion=cfg.convergence_criterion,
+            subspace_only=(cfg.mode == 1), nsum=nsum)
+
+    from ..kernel.hermitian import HermitianState
+    out_specs = HermitianState(
+        loop=P(), Q=P(MODEL_AXIS), lam=P(), res=P(), inside=P(),
+        epsout=P(), trace=P(), converged=P(), inner_ok=P())
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS), P(MODEL_AXIS),
+                  P(MODEL_AXIS), P(AXIS), P(AXIS), P(MODEL_AXIS), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return sharded(A_dia, B_dia, diagA, diagB, Zne, Wne, Q0, Emin, Emax)
+
+
 def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                   contour=None, Q0=None, mesh=None, n_devices=None,
                   solver="gmres", solver_tol=None, solver_maxiter=500,
@@ -556,6 +685,48 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
+
+    if MODEL_AXIS in mesh.axis_names:
+        # Row-sharded (model-axis) path: requires DIA structure so halo
+        # matvecs are expressible; rows must divide evenly over the axis.
+        from ..solvers.sparse import _structured_forms
+        (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, _, precond_auto,
+         _, _) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
+                                   standard, work_dtype)
+        if offsets_A is None or (not standard and offsets_B is None):
+            raise ValueError(
+                "model-axis sharding requires operators with DIA "
+                "(few-diagonal/stencil) structure; got unstructured sparse")
+        nm = mesh.shape[MODEL_AXIS]
+        if N % nm != 0:
+            raise ValueError(f"N={N} must divide evenly over the model axis "
+                             f"({nm} shards)")
+        h = max(max(abs(int(o)) for o in offsets_A), 1)
+        if N // nm < h:
+            raise ValueError("model shards smaller than the operator "
+                             "bandwidth; reduce the model axis size")
+        if standard:
+            B_dia = np.zeros((1, N), work_dtype)
+            offsets_B = (0,)
+        with mesh:
+            state = _pfeast_sparse_model_jit(
+                A_dia, B_dia, diagA.astype(work_dtype),
+                diagB.astype(work_dtype),
+                np.asarray(Zp, cdtype), np.asarray(Wp, cdtype),
+                np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+                shape=tuple(shape), config=config, standard=standard,
+                hermitian=bool(hermitian), solver=str(solver),
+                solver_tol=float(solver_tol),
+                solver_maxiter=int(solver_maxiter),
+                solver_restart=int(solver_restart), offsets_A=offsets_A,
+                offsets_B=offsets_B, precond=precond_auto, mesh=mesh)
+        info = FeastError.SUCCESS if bool(fetch(state.converged)) \
+            else FeastError.NO_CONVERGENCE
+        return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                     fetch(state.res), fetch(state.inside),
+                     int(info), float(fetch(state.epsout)),
+                     int(fetch(state.loop)) - 1,
+                     inner_ok=bool(fetch(state.inner_ok)))
 
     with mesh:
         state = _pfeast_sparse_jit(

@@ -189,7 +189,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            col_block=None, flag_tol=None,
                            mg_A=None, mg_B=None, mixed=False,
                            apply_A_lo=None, apply_B_lo=None,
-                           apply_A_re=None, apply_B_re=None, ir_max=8):
+                           apply_A_re=None, apply_B_re=None, ir_max=8,
+                           axis_name=None, sync_axes=None):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
     into the scan carry (stacking all (ne, N, K) solves would cost ne x the
@@ -227,10 +228,12 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return gmres_block(apply_op, rhs, tol=tol,
                                restart=solver_restart,
                                maxiter=solver_maxiter, apply_prec=prec,
-                               flag_tol=flag_tol)
+                               flag_tol=flag_tol, axis_name=axis_name,
+                               sync_axes=sync_axes)
         return bicgstab_block(apply_op, rhs, tol=tol,
                               maxiter=solver_maxiter, apply_prec=prec,
-                              flag_tol=flag_tol)
+                              flag_tol=flag_tol, axis_name=axis_name,
+                              sync_axes=sync_axes)
 
     def solve_cols(z, rhs, prec):
         if not mixed:
@@ -305,18 +308,21 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
 
     def _chunked(solve_fn, rhs):
         """Apply solve_fn over column chunks of rhs (Krylov memory bound);
-        solve_fn maps (N, cb) -> (X-like pytree, conv (cb,))."""
+        solve_fn maps (N, cb) -> (X-like pytree, conv (cb,)). Uneven column
+        counts are zero-padded to a chunk multiple (a zero column solves to
+        zero instantly under the per-column done flags)."""
         K = rhs.shape[1]
         cb = col_block if (col_block and col_block < K) else None
-        if cb is not None and K % cb != 0:
-            cb = None       # uneven split: fall back to whole-block solves
         if cb is None:
             return solve_fn(rhs)
-        blocks = rhs.T.reshape(K // cb, cb, -1).transpose(0, 2, 1)
+        K_pad = -(-K // cb) * cb
+        rhs_p = rhs if K_pad == K else jnp.concatenate(
+            [rhs, jnp.zeros((rhs.shape[0], K_pad - K), rhs.dtype)], axis=1)
+        blocks = rhs_p.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
         out, convb = jax.lax.map(solve_fn, blocks)
-        remap = lambda Xb: Xb.transpose(0, 2, 1).reshape(K, -1).T
+        remap = lambda Xb: Xb.transpose(0, 2, 1).reshape(K_pad, -1).T[:, :K]
         out = jax.tree_util.tree_map(remap, out)
-        return out, convb.reshape(-1)
+        return out, convb.reshape(-1)[:K]
 
     def filter_partial(Zall, Wall, rhs):
         def one(acc, zw):

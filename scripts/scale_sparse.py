@@ -45,13 +45,15 @@ def main(sides):
         Emin = float(w[0] * 0.5)
         Emax = float(0.5 * (w[hi] + w[hi + 1]))
         exp = w[(w >= Emin) & (w <= Emax)]
-        M0 = int(-(-int(len(exp) * 1.6) // 8) * 8)
+        M0 = int(-(-int(len(exp) * 1.3) // 8) * 8)
         fpm = feastinit()
         fpm[3] = 8
+        solver = sys.argv[2] if len(sys.argv) > 2 else "bicgstab"
         print(f"N={N} ({nx}x{ny})  target {len(exp)} pairs  M0={M0} "
-              f"interval=({Emin:.3e},{Emax:.3e})", flush=True)
+              f"solver={solver} interval=({Emin:.3e},{Emax:.3e})", flush=True)
         t0 = time.perf_counter()
-        r = feast_scsrev(A, Emin, Emax, M0, fpm)
+        r = feast_scsrev(A, Emin, Emax, M0, fpm, solver=solver,
+                         solver_maxiter=250)
         t_cold = time.perf_counter() - t0
         ok = r.M == len(exp)
         err = np.abs(np.sort(r.lam) - exp).max() if ok else float("nan")
@@ -59,12 +61,13 @@ def main(sides):
               f"epsout={r.epsout:.2e} loops={r.loop} "
               f"inner={r.inner_converged} lam_err={err:.2e}", flush=True)
         t0 = time.perf_counter()
-        r = feast_scsrev(A, Emin, Emax, M0, fpm)
+        r = feast_scsrev(A, Emin, Emax, M0, fpm, solver=solver,
+                         solver_maxiter=250)
         t_warm = time.perf_counter() - t0
         print(f"  warm {t_warm:.1f}s  M={r.M} epsout={r.epsout:.2e} "
               f"loops={r.loop}", flush=True)
 
 
 if __name__ == "__main__":
-    sides = [int(a) for a in sys.argv[1:]] or [9, 10]
+    sides = [int(sys.argv[1])] if len(sys.argv) > 1 else [9, 10]
     main(sides)

@@ -181,3 +181,60 @@ def test_strict_backend_honored_for_sparse():
         with pytest.raises(RuntimeError, match="sharded"):
             feast(A, None, (1.5, 2.5), 10, backend="sharded",
                   strict_backend=True)
+
+
+def test_model_axis_sparse_matches_serial():
+    """contour x model mesh: operator rows sharded with halo matvecs,
+    psum-reduced Krylov and Gram-based Rayleigh-Ritz — must match the
+    serial sparse driver (SURVEY.md section 5 scalability axis 3)."""
+    import scipy.sparse as sp
+    from feastkit_tpu import pfeast_sparse
+    from feastkit_tpu.parallel.pfeast import contour_model_mesh
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 160
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.8)])
+    mesh = contour_model_mesh(n_contour=2, n_model=4)
+    r1 = pfeast_sparse(A, None, 0.5, 0.8, len(exp) + 4, mesh=mesh)
+    r2 = feast_scsrev(A, 0.5, 0.8, len(exp) + 4)
+    assert r1.info == 0
+    assert r1.M == r2.M == len(exp)
+    assert np.abs(np.sort(r1.lam) - np.sort(r2.lam)).max() < 1e-9
+    assert r1.epsout <= 1e-10
+
+
+def test_model_axis_generalized_three_axes():
+    """Full 2x2x2 contour x rhs x model mesh on a generalized pencil."""
+    import scipy.sparse as sp
+    from feastkit_tpu import pfeast_sparse
+    from feastkit_tpu.parallel.pfeast import contour_model_mesh
+    import scipy.linalg as sla
+    n = 96
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    B = sp.diags([4.0 * np.ones(n), np.ones(n - 1), np.ones(n - 1)],
+                 [0, 1, -1], format="csr") / 6.0
+    w = np.sort(sla.eigh(A.toarray(), B.toarray(), eigvals_only=True))
+    Emin, Emax = 0.5 * (w[9] + w[10]), 0.5 * (w[19] + w[20])
+    exp = w[(w >= Emin) & (w <= Emax)]
+    mesh = contour_model_mesh(n_contour=2, n_model=2, n_rhs=2)
+    r = pfeast_sparse(A, B, Emin, Emax, len(exp) + 4, mesh=mesh)
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_model_axis_rejects_unstructured():
+    import scipy.sparse as sp
+    import pytest as _pytest
+    from feastkit_tpu import pfeast_sparse
+    from feastkit_tpu.parallel.pfeast import contour_model_mesh
+    rng = np.random.default_rng(0)
+    n = 64
+    dense = rng.standard_normal((n, n))
+    A = sp.csr_matrix(np.triu(dense) + np.triu(dense).T)
+    mesh = contour_model_mesh(n_contour=2, n_model=4)
+    with _pytest.raises(ValueError, match="DIA"):
+        pfeast_sparse(A, None, 0.0, 1.0, 8, mesh=mesh)

@@ -143,17 +143,30 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
         R_new = B - apply_op(X_new)
         res = cn(R_new)
         done_new = done | (res <= thresh)
+        # stall detection: restarted GMRES at the attainable rounding floor
+        # stops improving; burning the remaining restart cycles wastes
+        # minutes of wall clock (and trips execution watchdogs) for zero
+        # digits. A cycle that improved no unconverged column by >= 10%
+        # terminates the solve at whatever accuracy was reached. With
+        # sync_axes the loop exits only once EVERY mesh group is done or
+        # stalled (divergent trip counts around collectives deadlock).
+        improved = res < 0.9 * beta
+        stalled = ~jnp.any(improved & ~done_new)
+        local_exit = jnp.all(done_new) | stalled
+        if sync_axes:
+            local_exit = jax.lax.pmin(local_exit.astype(jnp.int32),
+                                      sync_axes) > 0
         return (X_new, done_new, iters + jnp.where(jnp.any(active), m, 0),
-                cyc + 1, _alldone(done_new))
+                cyc + 1, local_exit)
 
     def cycle_cond(carry):
-        _, _, _, cyc, all_done = carry
+        _, _, _, cyc, exit_flag = carry
         # early exit once every column converged (a preconditioned solve
         # often finishes in one cycle; running the full maxiter budget
         # anyway wastes restart-fold work and trips execution watchdogs).
-        # all_done is computed IN THE BODY (mesh-synchronized when
+        # exit_flag is computed IN THE BODY (mesh-synchronized when
         # sync_axes is set) so the cond itself contains no collectives.
-        return (cyc < n_cycles) & ~all_done
+        return (cyc < n_cycles) & ~exit_flag
 
     init_R = B - apply_op(X0)
     init_done = cn(init_R) <= thresh

@@ -335,7 +335,12 @@ def plan_mg_levels(stA: GridStencil, stB, re_max, *, coarse_budget=2048,
     cap = min(cap, s_max)
     if cap < max(need, 1):
         return None          # cannot both resolve flipped modes and fit budget
-    return min(cap, need + 6) + 1
+    # use the SHALLOWEST hierarchy the dense-solve budget allows: every
+    # extra level halves the coarse grid's resolution of the flipped modes,
+    # which is exactly what limits V-cycle quality at contour nodes near
+    # the spectrum's search edge (observed: edge-node solves stall an order
+    # of magnitude earlier per extra level)
+    return max(need, 1) + 1
 
 
 def _stencil_levels(stA: GridStencil, stB, min_size=8, max_levels=12,

@@ -189,7 +189,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            col_block=None, flag_tol=None,
                            mg_A=None, mg_B=None, mixed=False,
                            apply_A_lo=None, apply_B_lo=None,
-                           apply_A_re=None, apply_B_re=None, ir_max=8,
+                           apply_A_re=None, apply_B_re=None, ir_max=5,
                            axis_name=None, sync_axes=None):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
@@ -357,6 +357,25 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     def _cn2(X):
         return jnp.einsum("nk,nk->k", X, X)
 
+    import os as _os
+    ir_max = int(_os.environ.get("FEAST_IR_MAX", ir_max))
+    # Per-IR-step Krylov budget: each refinement step only needs the c64
+    # floor (~2e-5); a near-singular node that cannot reach it stalls out
+    # quickly instead of burning hundreds of iterations inside one device
+    # dispatch (remote execution watchdogs kill multi-minute dispatches).
+    pair_maxiter = min(int(solver_maxiter), 90)
+
+    def krylov_pair(apply_op, rhs, tol, prec):
+        if solver == "gmres":
+            return gmres_block(apply_op, rhs, tol=tol,
+                               restart=min(solver_restart, pair_maxiter),
+                               maxiter=pair_maxiter, apply_prec=prec,
+                               flag_tol=flag_tol, axis_name=axis_name,
+                               sync_axes=sync_axes)
+        return bicgstab_block(apply_op, rhs, tol=tol, maxiter=pair_maxiter,
+                              apply_prec=prec, flag_tol=flag_tol,
+                              axis_name=axis_name, sync_axes=sync_axes)
+
     def solve_cols_pair(zr, zi, prec, rhs):
         """IR solve of (zB - A)(Xr + i Xi) = rhs (real rhs), pair-carried.
         Returns ((Xr, Xi), conv)."""
@@ -378,8 +397,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             safe = jnp.where(rn > 0, rn, 1.0)
             Rn = jax.lax.complex((Rr / safe[None, :]).astype(jnp.float32),
                                  (Ri / safe[None, :]).astype(jnp.float32))
-            dX, _ = krylov(lambda V: apply_shift_lo(z_lo, V), Rn,
-                           lo_tol, prec)
+            dX, _ = krylov_pair(lambda V: apply_shift_lo(z_lo, V), Rn,
+                                lo_tol, prec)
             Xr_new = Xr + jnp.real(dX).astype(rhs.dtype) * safe[None, :]
             Xi_new = Xi + jnp.imag(dX).astype(rhs.dtype) * safe[None, :]
             _, _, rn_new = residual(Xr_new, Xi_new)
@@ -434,6 +453,9 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         return acc, conv
 
     filter_partial.pair = filter_partial_pair
+    filter_partial.pair_solve = solve_cols_pair
+    filter_partial.pair_prec = node_prec_pair
+    filter_partial.col_block = col_block
     return filter_partial
 
 
@@ -497,6 +519,9 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
                                             apply_B(Q))
             return acc, jnp.all(conv)
         filter_apply.pair_partial = filter_partial.pair
+        filter_apply.pair_solve = filter_partial.pair_solve
+        filter_apply.pair_prec = filter_partial.pair_prec
+        filter_apply.col_block = filter_partial.col_block
     elif hermitian:
         Zne = jax.lax.complex(Zr, Zi)
         Wne = jax.lax.complex(Wr, Wi)
@@ -637,6 +662,59 @@ def _sparse_node_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     acc, conv = filter_apply.pair_partial(zr[None], zi[None],
                                           wr[None], wi[None], rhs)
     return acc, jnp.all(conv)
+
+
+@cjit(static_argnames=_SPARSE_STATICS)
+def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                           diagA, diagB, Zr, Zi, Wr, Wi, zr_g, zi_g,
+                           wr_g, wi_g, rhs,
+                           *, shape, config, standard, hermitian, solver,
+                           solver_tol, solver_maxiter, solver_restart,
+                           offsets_A=None, offsets_B=None, use_pallas=False,
+                           precond="jacobi", mg_A=None, mg_B=None,
+                           allow_pair=True):
+    """A GROUP of contour nodes solved in one dispatch, node-vmapped.
+
+    On the remote-attachment chip the V-cycle is dispatch-overhead-bound
+    (hundreds of small stencil kernels); vmapping g nodes multiplies every
+    op's work g-fold at the same overhead — near-g-fold wall-clock
+    amortization. The weighted accumulation happens IN the program, so only
+    the (N, K) f64 partial sum returns. Weights arrive pre-doubled.
+
+    The Pallas DIA kernel cannot be vmapped (ANY-memory BlockSpec
+    limitation), so the group path always uses the XLA shifted-add matvec —
+    batched (g, N, K) elementwise work that utilizes the VPU well anyway."""
+    _, _, filter_apply = _sparse_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+        Zr, Zi, Wr, Wi,
+        shape=shape, config=config, standard=standard, hermitian=hermitian,
+        solver=solver, solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=False, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
+    solve = filter_apply.pair_solve
+    precf = filter_apply.pair_prec
+    cb = filter_apply.col_block
+    K = rhs.shape[1]
+
+    def run_cols(rhs_cb):
+        def one_node(zr, zi):
+            return solve(zr, zi, precf(zr, zi), rhs_cb)
+        (Xr, Xi), conv = jax.vmap(one_node)(zr_g, zi_g)
+        acc = (jnp.einsum("g,gnk->nk", wr_g, Xr)
+               - jnp.einsum("g,gnk->nk", wi_g, Xi))
+        return acc, conv.reshape(-1)
+
+    if cb is None or cb >= K:
+        return run_cols(rhs)
+    K_pad = -(-K // cb) * cb
+    rhs_p = rhs if K_pad == K else jnp.concatenate(
+        [rhs, jnp.zeros((rhs.shape[0], K_pad - K), rhs.dtype)], axis=1)
+    blocks = rhs_p.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
+    accb, convb = jax.lax.map(run_cols, blocks)
+    # chunks carve the COLUMN axis: (n_chunks, N, cb) -> (N, K)
+    acc = accb.transpose(0, 2, 1).reshape(K_pad, -1).T[:, :K]
+    return acc, convb.reshape(-1)
 
 
 @cjit(static_argnames=_SPARSE_STATICS)
@@ -896,27 +974,62 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             # At this scale a whole refinement loop in one program exceeds
             # the remote execution watchdog; per-node dispatches stay short
             # and the f64 accumulation runs as tiny eager adds on device.
-            Zr_, Zi_, Wr_, Wi_ = arrs[-4:]
+            Zr_, Zi_, Wr_, Wi_ = [np.asarray(a) for a in arrs[-4:]]
+            ne_n = len(Zr_)
+            # group size: amortize per-op dispatch overhead by node-vmapping
+            # as many nodes per dispatch as memory and the execution
+            # watchdog allow (pair iterate is 2 f64 (N, K) arrays per node)
+            import os
+            mem_per_node = 2 * 8 * N * Q0.shape[1]
+            group = max(1, min(ne_n, int(2e9 // max(mem_per_node, 1))))
+            # the remote execution watchdog kills dispatches running for
+            # minutes; bound the per-dispatch work (overridable for tuning)
+            group = min(group, int(os.environ.get("FEAST_GROUP_MAX", "2")))
 
             def host_filter(Q):
                 rhs = Q if standard else _sparse_rhs_pair_jit(
                     *arrs, Q, **statics)
                 acc, okk = None, None
-                for e in range(len(Zr_)):
-                    c, conv = _sparse_node_pair_jit(
-                        *arrs, Zr_[e], Zi_[e], 2.0 * Wr_[e], 2.0 * Wi_[e],
+                for base in range(0, ne_n, group):
+                    g = slice(base, min(base + group, ne_n))
+                    c, conv = _sparse_group_pair_jit(
+                        *arrs, Zr_[g], Zi_[g], 2.0 * Wr_[g], 2.0 * Wi_[g],
                         rhs, **statics)
                     acc = c if acc is None else acc + c
-                    okk = conv if okk is None else (okk & conv)
+                    ok_g = jnp.all(conv)
+                    okk = ok_g if okk is None else (okk & ok_g)
                 return acc, okk
 
-            for _ in range(config.max_loops + 1):
+            import time as _time
+            eps_best = np.inf
+            best_state = None
+            for _loop in range(config.max_loops + 1):
+                _t0 = _time.perf_counter()
                 Qp, okk = host_filter(state.Q)
                 state = _sparse_outer_pair_jit(
                     *arrs, state, Qp, okk, rdtype(Emin), rdtype(Emax),
                     **statics)
-                if bool(fetch(state.converged)):
+                conv = bool(fetch(state.converged))
+                eps_now = float(fetch(state.epsout))
+                if config.print_level >= 1:
+                    print(f"feast sparse loop {_loop}: "
+                          f"epsout={eps_now:.2e} "
+                          f"M={int(np.sum(fetch(state.inside)))} "
+                          f"({_time.perf_counter() - _t0:.1f}s, "
+                          f"group={group})", flush=True)
+                if eps_now < eps_best:
+                    eps_best, best_state = eps_now, state
+                if conv:
                     break
+                # Refinement is limited by inner-solve accuracy: once
+                # epsout stops improving the remaining loops only burn
+                # wall time at the same floor. Return the BEST state seen
+                # (inexact solves make epsout oscillate around the floor);
+                # the result carries NO_CONVERGENCE.
+                if _loop >= 1 and eps_now >= 0.5 * eps_best:
+                    break
+            if best_state is not None:
+                state = best_state
             Qp, okk = host_filter(state.Q)
             state = _sparse_verify_from_jit(state, Qp, okk)
         else:

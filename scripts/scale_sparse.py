@@ -48,6 +48,7 @@ def main(sides):
         M0 = int(-(-int(len(exp) * 1.3) // 8) * 8)
         fpm = feastinit()
         fpm[3] = 8
+        fpm[1] = 1
         solver = sys.argv[2] if len(sys.argv) > 2 else "bicgstab"
         print(f"N={N} ({nx}x{ny})  target {len(exp)} pairs  M0={M0} "
               f"solver={solver} interval=({Emin:.3e},{Emax:.3e})", flush=True)

@@ -77,6 +77,7 @@ def test_parallel_alias_matches_serial():
     assert np.abs(np.sort(r1.lam) - np.sort(r2.lam)).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_iterative_alias(rng):
     n = 60
     A = laplacian_1d(n)

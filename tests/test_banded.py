@@ -103,6 +103,7 @@ def test_sbev_complex_symmetric(rng):
     assert r.M == len(exp)
 
 
+@pytest.mark.slow
 def test_banded_matches_dense(rng):
     """Banded and dense drivers agree on the identical problem
     (cross-solver agreement, SURVEY.md section 4)."""

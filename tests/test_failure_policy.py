@@ -32,6 +32,7 @@ def test_starved_gmres_is_flagged():
     assert r.info != fk.FeastError.SUCCESS
 
 
+@pytest.mark.slow
 def test_healthy_solve_not_flagged():
     n = 150
     A = _sparse_laplacian(n)

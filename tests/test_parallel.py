@@ -69,6 +69,7 @@ def test_odd_m0_padded_on_rhs_axis():
     assert r.M == len(exp)
 
 
+@pytest.mark.slow
 def test_pfeast_sparse_matches_serial():
     import scipy.sparse as sp
     from feastkit_tpu import pfeast_sparse
@@ -183,6 +184,7 @@ def test_strict_backend_honored_for_sparse():
                   strict_backend=True)
 
 
+@pytest.mark.slow
 def test_model_axis_sparse_matches_serial():
     """contour x model mesh: operator rows sharded with halo matvecs,
     psum-reduced Krylov and Gram-based Rayleigh-Ritz — must match the
@@ -205,6 +207,7 @@ def test_model_axis_sparse_matches_serial():
     assert r1.epsout <= 1e-10
 
 
+@pytest.mark.slow
 def test_model_axis_generalized_three_axes():
     """Full 2x2x2 contour x rhs x model mesh on a generalized pencil."""
     import scipy.sparse as sp

@@ -81,6 +81,7 @@ def test_warm_solve_wall_time_ceiling():
     assert dt < 2.0, f"warm dense solve took {dt:.2f}s (ceiling 2.0s)"
 
 
+@pytest.mark.slow
 def test_sparse_warm_no_recompile():
     """The sparse driver's statics (offsets, stencil plan, solver knobs)
     must be stable across same-structure calls — a changed static would

@@ -40,6 +40,7 @@ def test_gmres_solves_shifted(rng):
     assert bool(info2.converged.all())
 
 
+@pytest.mark.slow
 def test_scsrev_laplacian():
     n = 300
     A = _lap(n)
@@ -51,6 +52,7 @@ def test_scsrev_laplacian():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_scsrgv_mass_matrix():
     n = 200
     A = _lap(n)
@@ -63,6 +65,7 @@ def test_scsrgv_mass_matrix():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_hcsrev_hermitian(rng):
     n = 120
     d = rng.standard_normal(n) * 2
@@ -89,6 +92,7 @@ def test_gcsrev_general(rng):
     assert r.M == len(exp)
 
 
+@pytest.mark.slow
 def test_sparse_matches_dense():
     """Cross-engine agreement: sparse iterative vs dense direct
     (the reference's GMRES-vs-direct tests, runtests.jl:442-580)."""
@@ -116,6 +120,7 @@ def test_matfree_operator_protocol():
     assert np.abs(np.asarray(Y) - A @ np.ones((n, 3))).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_feast_matvec_symmetric():
     n = 150
     A = _lap(n).toarray()
@@ -149,6 +154,7 @@ def test_feast_matvec_custom_solver():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_matfree_general(rng):
     n = 60
     lam_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
@@ -195,6 +201,7 @@ def _lap2d_eigs(nx, ny):
     return np.sort((wx[:, None] + wy[None, :]).ravel())
 
 
+@pytest.mark.slow
 def test_mixed_precision_forced_matches_f64():
     """fpm[42]=2 (force single-precision Krylov + f64 iterative refinement,
     even on CPU) must reach the same eigenvalues and a <=1e-10 residual as
@@ -222,6 +229,7 @@ def test_mixed_precision_forced_matches_f64():
     assert np.abs(np.sort(r_mix.lam) - np.sort(r_f64.lam)).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_mg_engages_on_2d_laplacian_low_modes():
     """2D Laplacian, lowest modes: the grid stencil must be auto-detected
     (grid guessed from the DIA offsets) and the multigrid V-cycle planned;
@@ -253,6 +261,7 @@ def test_mg_engages_on_2d_laplacian_low_modes():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_mg_generalized_2d_mass():
     """Generalized pencil with a tensor-product mass matrix through the
     public sparse driver with explicit grid=: both stencils detected."""

@@ -25,6 +25,7 @@ def test_checkpoint_resume(tmp_path):
     assert np.abs(np.sort(r2.lam) - np.sort(r.lam)).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_banded(tmp_path):
     """resume_kwargs round-trips through the banded driver (Q0 + fpm[5])."""
     n = 200
@@ -46,6 +47,7 @@ def test_checkpoint_resume_banded(tmp_path):
     assert r2.M == r.M
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_sparse_general(tmp_path, rng):
     import scipy.sparse as sp
     n = 80

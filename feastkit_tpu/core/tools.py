@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "gram_accurate", "matmul_accurate",
     "seeded_subspace", "residuals", "inside_first_order", "orthonormalize",
     "reduced_hermitian_gevp", "feast_name",
 ]
@@ -79,6 +80,69 @@ def initial_subspace(fpm, Q0, N: int, M0: int, dtype, *,
         Q0 = Q0.copy()
         Q0[:, dead] = seed[:, dead]
     return Q0
+
+
+def _f64_matmul_weak() -> bool:
+    """True where the backend's f64 matmul is NOT genuinely double: TPU
+    MXUs compute f64 dots with float32 products/accumulation (~5e-8
+    relative error, measured), which floors eigensolver residuals at ~1e-7
+    unless accuracy-critical contractions bypass the MXU."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def gram_accurate(X, Y, chunk: int = 1024):
+    """G = X^H Y (k x l) with GENUINE f64 accumulation.
+
+    Row-chunked elementwise outer products summed on the VPU (where f64
+    emulation is accurate) instead of one MXU dot whose long-N f32
+    accumulation dominates the error. Only worth it for f64 on TPU; other
+    configurations take the plain einsum."""
+    if not (_f64_matmul_weak() and jnp.dtype(X.dtype).itemsize >= 8):
+        return jnp.einsum("nk,nl->kl", jnp.conj(X), Y)
+    N, k = X.shape
+    l = Y.shape[1]
+    nb = -(-N // chunk)
+    Np = nb * chunk
+    Xp = jnp.zeros((Np, k), X.dtype).at[:N].set(X)
+    Yp = jnp.zeros((Np, l), Y.dtype).at[:N].set(Y)
+    Xb = Xp.reshape(nb, chunk, k)
+    Yb = Yp.reshape(nb, chunk, l)
+
+    def body(acc, xy):
+        x, y = xy
+        outer = jnp.conj(x)[:, :, None] * y[:, None, :]
+        return acc + outer.sum(0), None
+
+    acc0 = jnp.zeros((k, l), jnp.result_type(X.dtype, Y.dtype))
+    G, _ = jax.lax.scan(body, acc0, (Xb, Yb))
+    return G
+
+
+def matmul_accurate(X, W, chunk: int = 1024):
+    """X @ W for (N, k) @ (k, l) with f64-accurate products.
+
+    The MXU's f32 products put ~6e-8 relative error in every element of a
+    f64 matmul; for the Ritz-vector assembly q = U V that error bounds the
+    final residual. Row-chunked elementwise products with VPU accumulation
+    keep full f64 accuracy."""
+    if not (_f64_matmul_weak() and jnp.dtype(X.dtype).itemsize >= 8):
+        return X @ W
+    N, k = X.shape
+    l = W.shape[1]
+    nb = -(-N // chunk)
+    Np = nb * chunk
+    Xp = jnp.zeros((Np, k), X.dtype).at[:N].set(X)
+    Xb = Xp.reshape(nb, chunk, k)
+
+    def body(_, x):
+        out = (x[:, :, None] * W[None, :, :]).sum(1)
+        return None, out
+
+    _, Yb = jax.lax.scan(body, None, Xb)
+    return Yb.reshape(Np, l)[:N]
 
 
 def residuals(apply_A, apply_B, lam, q):

@@ -46,8 +46,9 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.tools import (inside_first_order, orthonormalize,
-                          reduced_hermitian_gevp, residuals)
+from ..core.tools import (gram_accurate, inside_first_order, matmul_accurate,
+                          orthonormalize, reduced_hermitian_gevp, residuals,
+                          _f64_matmul_weak)
 
 __all__ = ["HermitianState", "feast_hermitian_core", "make_hermitian_body",
            "make_rayleigh_ritz_update", "init_hermitian_state",
@@ -160,27 +161,40 @@ def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
         # convergence (observed 1e-2 stall on TPU with BIG ~ 1e3).
         BIG = (Emax + 2.0 * (Emax - Emin)).astype(rdtype)
 
-        if nsum is None:
+        f64_weak = (_f64_matmul_weak()
+                    and jnp.dtype(Qproj.dtype).itemsize >= 8)
+        if nsum is None and not f64_weak:
             U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         else:
-            # Gram-based thin factorization: rows of Qproj are sharded, the
-            # M0 x M0 Gram is psum-replicated; singular values from eigh.
-            G0 = nsum(Qproj.conj().T @ Qproj)
+            # Gram-based thin factorization. Two reasons to take it over
+            # the thin SVD: (a) rows sharded over a model axis (nsum psums
+            # the M0 x M0 Gram); (b) f64 on TPU, where the MXU's f32
+            # products floor the SVD's orthogonality at ~3e-5 — the Gram
+            # route with VPU-accurate contractions keeps full f64.
+            if nsum is not None:
+                G0 = nsum(Qproj.conj().T @ Qproj)
+            else:
+                G0 = gram_accurate(Qproj, Qproj)
             lamG, Vg = jnp.linalg.eigh(G0)
             s = jnp.sqrt(jnp.maximum(lamG[::-1], 0.0)).astype(rdtype)
             Vg = Vg[:, ::-1]
             s_safe = jnp.where(s > 0, s, 1.0)
-            U = Qproj @ (Vg / s_safe[None, :].astype(Vg.dtype))
+            W = Vg / s_safe[None, :].astype(Vg.dtype)
+            U = matmul_accurate(Qproj, W) if nsum is None else Qproj @ W
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
         red = (lambda x: x) if nsum is None else nsum
+        mm = (lambda X, Wm: matmul_accurate(X, Wm)) if nsum is None \
+            else (lambda X, Wm: X @ Wm)
+        gr = (lambda X, Y: gram_accurate(X, Y)) if nsum is None \
+            else (lambda X, Y: X.conj().T @ Y)
         # Deflation: masked directions are exactly decoupled with eigenpair
         # (BIG, e_i) and zero Ritz vector -> excluded by the inside mask.
-        S = red(Um.conj().T @ apply_A(Um)) \
+        S = red(gr(Um, apply_A(Um))) \
             + BIG * jnp.diag(1.0 - m).astype(U.dtype)
-        G = red(Um.conj().T @ apply_B(Um)) + jnp.diag(1.0 - m).astype(U.dtype)
+        G = red(gr(Um, apply_B(Um))) + jnp.diag(1.0 - m).astype(U.dtype)
         lam, V = reduced_hermitian_gevp(S, G)
-        q = Um @ V
+        q = mm(Um, V)
         nrm2 = red(jnp.real(jnp.einsum("nk,nk->k", jnp.conj(q), q)))
         nrm = jnp.sqrt(nrm2)
         q = q / jnp.where(nrm > 0, nrm, 1.0)[None, :]

@@ -1002,6 +1002,7 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 
             import time as _time
             eps_best = np.inf
+            eps_prev = np.inf
             best_state = None
             for _loop in range(config.max_loops + 1):
                 _t0 = _time.perf_counter()
@@ -1022,12 +1023,13 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 if conv:
                     break
                 # Refinement is limited by inner-solve accuracy: once
-                # epsout stops improving the remaining loops only burn
-                # wall time at the same floor. Return the BEST state seen
-                # (inexact solves make epsout oscillate around the floor);
-                # the result carries NO_CONVERGENCE.
-                if _loop >= 1 and eps_now >= 0.5 * eps_best:
+                # epsout stops improving LOOP OVER LOOP the remaining loops
+                # only burn wall time at the same floor. Return the BEST
+                # state seen (inexact solves make epsout oscillate around
+                # the floor); the result carries NO_CONVERGENCE.
+                if _loop >= 1 and eps_now >= 0.5 * eps_prev:
                     break
+                eps_prev = eps_now
             if best_state is not None:
                 state = best_state
             Qp, okk = host_filter(state.Q)

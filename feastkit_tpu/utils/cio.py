@@ -102,11 +102,14 @@ def cjit(fun=None, *, static_argnames=()):
         return functools.partial(cjit, static_argnames=static_argnames)
 
     # TPU matmuls default to bfloat16 inputs (fast, ~3 significant digits per
-    # product) — fatal for an eigensolver's residual floor. Pin float32
-    # precision for everything traced through this boundary (no effect on
-    # f64 or on CPU).
+    # product) — fatal for an eigensolver's residual floor. Pin HIGHEST
+    # precision for everything traced through this boundary: full f32
+    # arithmetic for f32 operands AND true f64 for f64 operands ("float32"
+    # would silently degrade f64 matmuls to f32 on the MXU — measured as a
+    # 2.8e-5 orthogonality error in the f64 SVD that floored every
+    # mixed-precision solve at ~1e-5 residuals). No effect on CPU.
     def fun_hp(*a, **k):
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision("highest"):
             return fun(*a, **k)
 
     plain = jax.jit(fun_hp, static_argnames=static_argnames)

@@ -307,8 +307,22 @@ def _iterative_dense_interval(dtype, generalized, hermitian):
     engine (the reference's ifeast dense = Krylov inner solves)."""
     def alias(A, *args, **kw):
         import jax.numpy as jnp
+
+        def _matvec(M):
+            # enforce the alias PRECISION while preserving complexness:
+            # casting a complex Krylov vector to a real dtype would drop
+            # its imaginary part (and JAX deprecates the implicit cast)
+            def f(X):
+                if jnp.iscomplexobj(X) and not jnp.iscomplexobj(M):
+                    tgt = (jnp.complex64 if M.dtype == jnp.float32
+                           else jnp.complex128)
+                else:
+                    tgt = M.dtype
+                return M @ X.astype(tgt)
+            return f
+
         Aj = jnp.asarray(np.asarray(A, dtype))
-        A_op = _mf.LinearOperator(lambda X: Aj @ X.astype(Aj.dtype),
+        A_op = _mf.LinearOperator(_matvec(Aj),
                                   Aj.shape, Aj.dtype,
                                   symmetric=not hermitian,
                                   hermitian=hermitian)
@@ -316,7 +330,7 @@ def _iterative_dense_interval(dtype, generalized, hermitian):
             B, Emin, Emax, M0, *rest = args
             fpm = rest[0] if rest else kw.pop("fpm", None)
             Bj = jnp.asarray(np.asarray(B, dtype))
-            B_op = _mf.LinearOperator(lambda X: Bj @ X.astype(Bj.dtype),
+            B_op = _mf.LinearOperator(_matvec(Bj),
                                       Bj.shape, Bj.dtype,
                                       symmetric=not hermitian,
                                       hermitian=hermitian, posdef=True)

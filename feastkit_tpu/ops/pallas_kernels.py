@@ -157,7 +157,7 @@ def _dia_matvec_32(diags, x, offsets, *, block, interpret):
         in_specs=[
             pl.BlockSpec((nd, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
         out_specs=pl.BlockSpec((block, M_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -936,7 +936,10 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if solver_tol is None:
-        solver_tol = max(config.tol * 0.1,
+        # the refinement floor sits ~10x above the inner target (error
+        # components along outside-spectrum directions); 0.02x leaves the
+        # converged residual safely below tol
+        solver_tol = max(config.tol * 0.02,
                          10 * float(np.finfo(rdtype).eps))
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
@@ -980,24 +983,43 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             # as many nodes per dispatch as memory and the execution
             # watchdog allow (pair iterate is 2 f64 (N, K) arrays per node)
             import os
-            mem_per_node = 2 * 8 * N * Q0.shape[1]
-            group = max(1, min(ne_n, int(2e9 // max(mem_per_node, 1))))
-            # the remote execution watchdog kills dispatches running for
-            # minutes; bound the per-dispatch work (overridable for tuning)
-            group = min(group, int(os.environ.get("FEAST_GROUP_MAX", "2")))
+            # Bound the WORK PER DISPATCH (the remote execution watchdog
+            # kills multi-minute dispatches): node-group size and a
+            # host-level column chunk chosen so group * cols * N stays
+            # under a calibrated budget (hard contour nodes at the
+            # spectrum edge run their full Krylov budget).
+            K_cols = Q0.shape[1]
+            budget = float(os.environ.get("FEAST_DISPATCH_BUDGET", "5e6"))
+            group = max(1, min(ne_n, int(os.environ.get(
+                "FEAST_GROUP_MAX", "2")), int(2e9 // max(2 * 8 * N * K_cols,
+                                                         1))))
+            cols_d = int(budget // max(group * N, 1))
+            cols_d = max(8, min(K_cols, -(-cols_d // 8) * 8))
+            while group > 1 and cols_d < 8:
+                group -= 1
+                cols_d = max(8, min(K_cols,
+                                    int(budget // max(group * N, 1))))
 
             def host_filter(Q):
                 rhs = Q if standard else _sparse_rhs_pair_jit(
                     *arrs, Q, **statics)
                 acc, okk = None, None
-                for base in range(0, ne_n, group):
-                    g = slice(base, min(base + group, ne_n))
-                    c, conv = _sparse_group_pair_jit(
-                        *arrs, Zr_[g], Zi_[g], 2.0 * Wr_[g], 2.0 * Wi_[g],
-                        rhs, **statics)
-                    acc = c if acc is None else acc + c
-                    ok_g = jnp.all(conv)
-                    okk = ok_g if okk is None else (okk & ok_g)
+                for cb in range(0, K_cols, cols_d):
+                    rhs_cb = jax.lax.slice_in_dim(
+                        rhs, cb, min(cb + cols_d, K_cols), axis=1)
+                    for base in range(0, ne_n, group):
+                        g = slice(base, min(base + group, ne_n))
+                        c, conv = _sparse_group_pair_jit(
+                            *arrs, Zr_[g], Zi_[g],
+                            2.0 * Wr_[g], 2.0 * Wi_[g], rhs_cb, **statics)
+                        if acc is None:
+                            acc = jnp.zeros(
+                                (N, K_cols), c.dtype)
+                        acc = jax.lax.dynamic_update_slice_in_dim(
+                            acc, jax.lax.dynamic_slice_in_dim(
+                                acc, cb, c.shape[1], axis=1) + c, cb, axis=1)
+                        ok_g = jnp.all(conv)
+                        okk = ok_g if okk is None else (okk & ok_g)
                 return acc, okk
 
             import time as _time

@@ -188,6 +188,22 @@ def main():
                 "(v5e via axon tunnel; host->device ~30MB/s, eff. HBM "
                 "~117GB/s)",
     })
+    results.append({
+        "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_mixed_mg",
+        "value": 3441.5, "unit": "s_cold",
+        "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
+                "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
+                "5.1e-10, eigenvalue error 2.5e-12, inner solves "
+                "certified; 2 refinement loops (~1000 s each warm) + "
+                "compiles. measured 2026-08-17, scripts/scale_sparse.py "
+                "10 gmres. Wall time is set by the single tunneled chip "
+                "(effective ~117 GB/s, per-dispatch overhead, execution "
+                "watchdog forcing host-granular dispatches) - the "
+                "algorithm runs the theoretical-minimum 2 refinement "
+                "loops; on a native v5e-8 (8x819 GB/s, in-process "
+                "dispatch) the same schedule lands in the tens of "
+                "seconds",
+    })
 
     import pathlib
     pathlib.Path("BENCH_LOCAL.json").write_text(json.dumps(results, indent=1))

@@ -133,6 +133,99 @@ def _banded_hermitian_jit(A_bands, B_bands, Zne, Wne, Q0, Emin, Emax, *,
         subspace_only=(config.mode == 1))
 
 
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "hermitian"))
+def _banded_factor_jit(A_bands, B_bands, Zne, Wne, *, kl, ku, klb, kub,
+                       config: FeastConfig, hermitian: bool):
+    """Factor the BCR hierarchies once (host-driven mode): returns the
+    pytree of per-node elimination operators, reused by every refinement
+    dispatch — the fpm[10] factor-cache contract across host-level calls."""
+    cdtype = Zne.dtype
+    A_bands = jnp.asarray(A_bands)
+    Bb = None if B_bands is None else jnp.asarray(B_bands)
+    if hermitian:
+        Zfull = jnp.concatenate([Zne, jnp.conj(Zne)])
+    else:
+        Zfull = Zne
+    N = A_bands.shape[1]
+    standard = Bb is None
+    KL = max(kl, 0 if standard else klb)
+    KU = max(ku, 0 if standard else kub)
+    Ac = _common_layout(A_bands, kl, ku, KL, KU, N, cdtype)
+    Bc = identity_bands(N, KL, KU, cdtype) if standard else \
+        _common_layout(Bb, klb, kub, KL, KU, N, cdtype)
+    shifted = Zfull[:, None, None] * Bc[None] - Ac[None]
+
+    def factor_one(bands_e):
+        D, L, U, b, _ = banded_to_blocktridiag(bands_e, KL, KU)
+        return bcr_factor(D, L, U)
+
+    return jax.vmap(factor_one)(shifted)
+
+
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "hermitian",
+                       "final"))
+def _banded_body_jit(A_bands, B_bands, Zne, Wne, hier, state, Emin, Emax, *,
+                     kl, ku, klb, kub, config: FeastConfig, hermitian: bool,
+                     final: bool = False):
+    """One refinement iteration from a PRE-FACTORED hierarchy (host-driven
+    loop for remote-attachment runtimes whose compile budget / execution
+    watchdog rejects the fused whole-refinement program)."""
+    from ..kernel.hermitian import (make_hermitian_body,
+                                    verify_spurious_from, _filter_with_ok)
+    cdtype = Zne.dtype
+    work_dtype = state.Q.dtype
+    A_bands = jnp.asarray(A_bands)
+    Bb = None if B_bands is None else jnp.asarray(B_bands)
+    if hermitian:
+        Wfull = jnp.concatenate([Wne, jnp.conj(Wne)])
+    else:
+        Wfull = 2.0 * Wne
+    N = A_bands.shape[1]
+    standard = Bb is None
+    KL = max(kl, 0 if standard else klb)
+    KU = max(ku, 0 if standard else kub)
+    A_work = _common_layout(A_bands, kl, ku, KL, KU, N, work_dtype)
+    B_work = (None if standard
+              else _common_layout(Bb, klb, kub, KL, KU, N, work_dtype))
+    apply_A = lambda X: banded_matvec(A_work, X, KL, KU)
+    apply_B = (lambda X: X) if standard else \
+        (lambda X: banded_matvec(B_work, X, KL, KU))
+    # padded length from re-deriving one node's block structure (static)
+    dummy = jnp.zeros((KL + KU + 1, N), cdtype)
+    D0, _, _, b, _ = banded_to_blocktridiag(dummy, KL, KU)
+    Npad = D0.shape[0] * b
+
+    def solve_all(rhs):
+        M = rhs.shape[1]
+        rhs_p = jnp.zeros((Npad, M), cdtype).at[:N].set(rhs.astype(cdtype))
+        blocks = rhs_p.reshape(Npad // b, b, M)
+
+        def one(levels_root):
+            levels, rlu, rpiv = levels_root
+            x = bcr_solve(levels, rlu, rpiv, blocks)
+            return x.reshape(Npad, M)[:N]
+
+        return jax.vmap(one)(hier)
+
+    if hermitian:
+        def filter_apply(Q):
+            X = solve_all(apply_B(Q))
+            return jnp.einsum("e,enm->nm", Wfull.astype(cdtype), X)
+    else:
+        def filter_apply(Q):
+            X = solve_all(apply_B(Q).astype(cdtype))
+            return jnp.real(jnp.einsum("e,enm->nm", Wfull.astype(cdtype),
+                                       X)).astype(Q.dtype)
+
+    if final:
+        Qp, ok = _filter_with_ok(filter_apply, state.Q)
+        return verify_spurious_from(state, Qp, ok)
+    body = make_hermitian_body(
+        apply_A, apply_B, filter_apply, Emin, Emax, tol=config.tol,
+        convergence_criterion=config.convergence_criterion)
+    return body(state)
+
+
 @cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "bilinear",
       "eig_method"))
 def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
@@ -211,14 +304,30 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                 hermitian=bool(hermitian)),
             N, fpm, work_dtype)
     from ..core.tools import initial_subspace
+    from ..utils import cio
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
-    state = _banded_hermitian_jit(
-        A_bands.astype(work_dtype),
-        None if B_bands is None else np.asarray(B_bands, work_dtype),
-        np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype),
-        Q0, rdtype(Emin), rdtype(Emax),
-        kl=kl, ku=ku, klb=klb, kub=kub, config=config,
-        hermitian=bool(hermitian))
+    args = (A_bands.astype(work_dtype),
+            None if B_bands is None else np.asarray(B_bands, work_dtype),
+            np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
+    statics = dict(kl=kl, ku=ku, klb=klb, kub=kub, config=config,
+                   hermitian=bool(hermitian))
+    if cio.complex_io_required() and config.mode != 1:
+        # Host-driven loop (remote-attachment compile budget / execution
+        # watchdog): factor the BCR hierarchies ONCE, then one bounded
+        # dispatch per refinement iteration.
+        from .dense import _host_state
+        hier = _banded_factor_jit(*args, **statics)
+        state = _host_state(np.asarray(Q0, work_dtype))
+        for _ in range(config.max_loops + 1):
+            state = _banded_body_jit(*args, hier, state, rdtype(Emin),
+                                     rdtype(Emax), **statics)
+            if bool(fetch(state.converged)):
+                break
+        state = _banded_body_jit(*args, hier, state, rdtype(Emin),
+                                 rdtype(Emax), final=True, **statics)
+    else:
+        state = _banded_hermitian_jit(
+            *args, Q0, rdtype(Emin), rdtype(Emax), **statics)
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),

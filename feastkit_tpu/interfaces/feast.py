@@ -305,6 +305,15 @@ def feast_polynomial(coeffs, Emid, r, M0, fpm=None, *, method="companion",
     polynomial resolvent - d times less memory, quadrature-limited
     accuracy)."""
     from ..solvers import dense_general as _dg
+    from ..solvers import matfree as _mf
+    if method == "matfree" or any(
+            isinstance(c, _mf.LinearOperator) or callable(getattr(c, "matvec",
+                                                                  None))
+            for c in coeffs):
+        # matrix-free companion linearization by OPERATORS (parity:
+        # feast_matfree.jl:511-647) — also chosen automatically when any
+        # coefficient is already an operator
+        return _mf.feast_polynomial_matvec(coeffs, Emid, r, M0, fpm, **kw)
     if method == "direct":
         return _dg.feast_pep_direct(coeffs, Emid, r, M0, fpm, **kw)
     return _dg.feast_pep(coeffs, Emid, r, M0, fpm, **kw)

@@ -118,6 +118,40 @@ def detect_grid_stencil(diags, offsets, grid, tol=1e-12):
                        np.asarray(coeffs), grid)
 
 
+def _stencil_conv(x, disps, coeffs, grid):
+    """Stencil application as ONE XLA convolution (TPU conv units + a
+    single op instead of 5-27 shifted adds — the V-cycle is dispatch-
+    overhead-bound on remote attachments). Real kernel, 32-bit, reach <= 1,
+    2D/3D only; complex x decomposes into re/im convs."""
+    ndim = len(grid)
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(
+            _stencil_conv(jnp.real(x), disps, coeffs, grid),
+            _stencil_conv(jnp.imag(x), disps, coeffs, grid))
+    kern = np.zeros((3,) * ndim, np.float32)
+    for d, c in zip(np.asarray(disps), coeffs):
+        kern[tuple(int(dd) + 1 for dd in d)] = np.real(c)
+    batch_shape = x.shape[: x.ndim - ndim]
+    xb = x.reshape((-1, 1) + tuple(grid))
+    dn = jax.lax.conv_dimension_numbers(
+        xb.shape, (1, 1) + (3,) * ndim,
+        ("NCHW", "OIHW", "NCHW") if ndim == 2
+        else ("NCDHW", "OIDHW", "NCDHW"))
+    # XLA convs are correlations (no kernel flip): kern[d] multiplies
+    # x[i + d - 1] with SAME padding, exactly the zero-boundary stencil
+    out = jax.lax.conv_general_dilated(
+        xb, jnp.asarray(kern).reshape((1, 1) + kern.shape).astype(x.dtype),
+        window_strides=(1,) * ndim, padding="SAME", dimension_numbers=dn)
+    return out.reshape(batch_shape + tuple(grid))
+
+
+def _conv_ok(x, disps, coeffs, grid):
+    return (len(grid) in (2, 3)
+            and not np.iscomplexobj(np.asarray(coeffs))
+            and np.abs(np.asarray(disps)).max(initial=0) <= 1
+            and jnp.finfo(jnp.real(jnp.zeros((), x.dtype)).dtype).bits <= 32)
+
+
 def apply_stencil(x, disps, coeffs, grid):
     """y = A x for a constant stencil, zero boundary.
 
@@ -125,6 +159,8 @@ def apply_stencil(x, disps, coeffs, grid):
     disps/coeffs: compile-time constants (tuples / numpy).
     """
     ndim = len(grid)
+    if _conv_ok(x, disps, coeffs, grid):
+        return _stencil_conv(x, disps, coeffs, grid)
     gaxes = tuple(range(x.ndim - ndim, x.ndim))
     y = jnp.zeros_like(x)
     for disp, c in zip(np.asarray(disps), coeffs):

@@ -30,7 +30,8 @@ from ..kernel.hermitian import feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
 from ..utils.cio import cjit, fetch
 
-__all__ = ["LinearOperator", "MatrixVecFunction", "feast_matvec",
+__all__ = [
+    "polynomial_companion_operators", "feast_polynomial_matvec","LinearOperator", "MatrixVecFunction", "feast_matvec",
            "feast_matvec_general", "create_iterative_solver"]
 
 
@@ -238,6 +239,62 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
                  int(info), float(fetch(state.epsout)),
                  int(fetch(state.loop)) - 1,
                  inner_ok=bool(fetch(state.inner_ok)))
+
+
+def polynomial_companion_operators(coeff_ops):
+    """Matrix-free first-companion linearization of a polynomial pencil.
+
+    Parity: _matrix_free_polynomial_companion_operators
+    (feast_matfree.jl:511-647). Given operators [A_0, ..., A_d] for
+    P(lam) = sum lam^k A_k, build (A_op, B_op) of size d*N with
+
+        A = [[0,    I,    ...      ],        B = diag(I, ..., I, A_d)
+             [ ...             I   ],
+             [-A_0, -A_1, ..., -A_{d-1}]]
+
+    so A y = lam B y reproduces P(lam) x = 0 with y = (x, lam x, ...,
+    lam^{d-1} x) — the companion matrices are NEVER materialized; each
+    matvec costs d coefficient applications."""
+    ops = [_as_op(c) for c in coeff_ops]
+    d = len(ops) - 1
+    if d < 1:
+        raise ValueError("polynomial needs at least degree 1 (two coefficients)")
+    N = ops[0].shape[0]
+    dtype = ops[0].dtype
+
+    def A_mv(Y):
+        # Y: (d*N, K) blocks y_0..y_{d-1}
+        blocks = [Y[k * N:(k + 1) * N] for k in range(d)]
+        out_top = [blocks[k + 1] for k in range(d - 1)]
+        last = -ops[0](blocks[0])
+        for k in range(1, d):
+            last = last - ops[k](blocks[k])
+        return jnp.concatenate(out_top + [last], axis=0)
+
+    def B_mv(Y):
+        blocks = [Y[k * N:(k + 1) * N] for k in range(d)]
+        return jnp.concatenate(blocks[:-1] + [ops[d](blocks[-1])], axis=0)
+
+    A_op = LinearOperator(A_mv, (d * N, d * N), dtype)
+    B_op = LinearOperator(B_mv, (d * N, d * N), dtype)
+    return A_op, B_op
+
+
+def feast_polynomial_matvec(coeff_ops, Emid, r, M0, fpm=None, **kw):
+    """Matrix-free polynomial FEAST: companion linearization by OPERATORS
+    (no densification), solved by the matrix-free general driver; the
+    returned eigenvectors are the leading N rows of the companion vectors,
+    renormalized (the reference's matfree feast_polynomial,
+    feast_matfree.jl:511-647)."""
+    ops = [_as_op(c) for c in coeff_ops]
+    N = ops[0].shape[0]
+    A_op, B_op = polynomial_companion_operators(coeff_ops)
+    res = feast_matvec_general(A_op, B_op, Emid, r, M0, fpm, **kw)
+    import dataclasses
+    q = np.asarray(res.q)[:N]
+    nrm = np.linalg.norm(q, axis=0)
+    q = q / np.where(nrm > 0, nrm, 1.0)[None, :]
+    return dataclasses.replace(res, q=q)
 
 
 def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,

@@ -169,3 +169,35 @@ def test_vcycle_3d():
     assert bool(jnp.all(info.converged))
     X_true = np.linalg.solve(z * np.eye(N) - A.toarray(), np.asarray(Rhs))
     assert np.allclose(np.asarray(X), X_true, atol=1e-6)
+
+
+def test_conv_stencil_matches_adds():
+    """The fused conv realization of apply_stencil must match the shifted-
+    add reference for 32-bit dtypes (2D and 3D, real and complex x)."""
+    import jax.numpy as jnp
+    from feastkit_tpu.ops.multigrid import (_stencil_conv, apply_stencil,
+                                            detect_grid_stencil)
+    rng = np.random.default_rng(11)
+    for grid in [(16, 12), (8, 10, 6)]:
+        nd = len(grid)
+        if nd == 2:
+            A = lap2d(*grid)
+        else:
+            D = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(grid[0],) * 2)
+            A = (sp.kron(sp.kron(sp.diags([-1.,2.,-1.],[-1,0,1],shape=(grid[0],grid[0])), sp.eye(grid[1])), sp.eye(grid[2]))
+                 + sp.kron(sp.kron(sp.eye(grid[0]), sp.diags([-1.,2.,-1.],[-1,0,1],shape=(grid[1],grid[1]))), sp.eye(grid[2]))
+                 + sp.kron(sp.kron(sp.eye(grid[0]), sp.eye(grid[1])), sp.diags([-1.,2.,-1.],[-1,0,1],shape=(grid[2],grid[2])))).tocoo()
+        st = detect_grid_stencil(*_to_dia(A.tocoo(), int(np.prod(grid))), grid)
+        assert st is not None
+        for dt in (jnp.float32, jnp.complex64):
+            x = rng.standard_normal((3,) + grid)
+            if dt == jnp.complex64:
+                x = x + 1j * rng.standard_normal((3,) + grid)
+            xj = jnp.asarray(x, dt)
+            y_conv = _stencil_conv(xj, st.disps, st.coeffs, grid)
+            # force the shifted-add path by lying about the dtype gate:
+            # call with float64 input and downcast for comparison
+            y_ref = apply_stencil(jnp.asarray(x), st.disps, st.coeffs, grid)
+            assert np.abs(np.asarray(y_conv)
+                          - np.asarray(y_ref).astype(np.asarray(y_conv).dtype)
+                          ).max() < 1e-5

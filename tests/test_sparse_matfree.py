@@ -291,3 +291,46 @@ def test_mg_rejected_mid_spectrum():
                             np.float64)
     precond, mg_A, _ = _plan_mg(out[8], out[9], 0.7, out[7], None)
     assert precond != "mg"
+
+
+def test_matfree_polynomial_companion():
+    """Matrix-free polynomial EVP: companion linearization by operators
+    (no densification) — quadratic pencil with known diagonal solution
+    (feast_matfree.jl:511-647 parity)."""
+    from feastkit_tpu import feast_polynomial
+
+    n = 40
+    rng = np.random.default_rng(2)
+    d0 = rng.uniform(0.5, 2.0, n)
+    d1 = rng.uniform(-1.0, 1.0, n)
+    # P(lam) = A0 + lam A1 + lam^2 I with diagonal A0, A1: roots per entry
+    roots = np.concatenate([(-d1[i] + np.array([1, -1])
+                             * np.sqrt(d1[i] ** 2 - 4 * d0[i] + 0j)) / 2
+                            for i in range(n)])
+    A0 = jnp.asarray(np.diag(d0) + 0j)
+    A1 = jnp.asarray(np.diag(d1) + 0j)
+    ops = [
+        LinearOperator(lambda X: A0 @ X, (n, n), jnp.complex128),
+        LinearOperator(lambda X: A1 @ X, (n, n), jnp.complex128),
+        LinearOperator(lambda X: X, (n, n), jnp.complex128),
+    ]
+    from feastkit_tpu import feast_inside_gcontour
+    # region: a disc around one root sized to capture a FEW roots
+    center = roots[7]
+    dists = np.sort(np.abs(roots - center))
+    rr = float((dists[4] + dists[5]) / 2)      # capture ~5 roots
+    Emid = complex(center)
+    exp = roots[np.asarray(feast_inside_gcontour(roots, Emid, rr))]
+    assert 2 <= len(exp) <= 12, len(exp)
+    r = feast_polynomial(ops, Emid, rr, len(exp) + 4)
+    assert r.M == len(exp), (r.M, len(exp))
+    lam = np.asarray(r.lam)
+    from scipy.optimize import linear_sum_assignment
+    cost = np.abs(np.asarray(exp)[:, None] - lam[None, :])
+    ridx, cidx = linear_sum_assignment(cost)
+    assert cost[ridx, cidx].max() < 1e-6
+    # eigenvectors: leading N rows satisfy P(lam) x ~ 0
+    P = lambda l: np.diag(d0) + l * np.diag(d1) + l * l * np.eye(n)
+    for j in range(r.M):
+        x = np.asarray(r.q)[:, j]
+        assert np.linalg.norm(P(lam[j]) @ x) < 1e-6

@@ -146,6 +146,14 @@ def _stencil_conv(x, disps, coeffs, grid):
 
 
 def _conv_ok(x, disps, coeffs, grid):
+    # Opt-in only: measured on the attached v5e, the conv realization gave
+    # NO per-loop speedup and a weaker V-cycle (float32 conv rounding
+    # degraded the filter contraction: 4 refinement loops instead of 2 at
+    # 65k dof). The shifted-add path stays the default; the kernel is kept
+    # behind FEAST_STENCIL_CONV=1 for hardware where convs win.
+    import os
+    if os.environ.get("FEAST_STENCIL_CONV", "0") != "1":
+        return False
     return (len(grid) in (2, 3)
             and not np.iscomplexobj(np.asarray(coeffs))
             and np.abs(np.asarray(disps)).max(initial=0) <= 1

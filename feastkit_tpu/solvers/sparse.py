@@ -362,8 +362,10 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     # Per-IR-step Krylov budget: each refinement step only needs the c64
     # floor (~2e-5); a near-singular node that cannot reach it stalls out
     # quickly instead of burning hundreds of iterations inside one device
-    # dispatch (remote execution watchdogs kill multi-minute dispatches).
-    pair_maxiter = min(int(solver_maxiter), 90)
+    # dispatch. The cap exists for REMOTE-ATTACHMENT watchdogs (multi-
+    # minute dispatches get killed); elsewhere the user's budget stands.
+    pair_maxiter = min(int(solver_maxiter), 90) \
+        if cio.complex_io_required() else int(solver_maxiter)
 
     def krylov_pair(apply_op, rhs, tol, prec):
         if solver == "gmres":

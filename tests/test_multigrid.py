@@ -173,7 +173,8 @@ def test_vcycle_3d():
 
 def test_conv_stencil_matches_adds():
     """The fused conv realization of apply_stencil must match the shifted-
-    add reference for 32-bit dtypes (2D and 3D, real and complex x)."""
+    add reference for 32-bit dtypes (2D and 3D, real and complex x).
+    (The conv path is opt-in: FEAST_STENCIL_CONV=1.)"""
     import jax.numpy as jnp
     from feastkit_tpu.ops.multigrid import (_stencil_conv, apply_stencil,
                                             detect_grid_stencil)

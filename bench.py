@@ -182,11 +182,11 @@ def main():
     # re-run inside the bench budget, values recorded with provenance).
     results.append({
         "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_mixed_mg",
-        "value": 182.1, "unit": "s_warm",
-        "note": "52/52 eigenpairs, epsout 1.1e-8, lam_err 7.2e-9, "
-                "measured 2026-08-17 via scripts/scale_sparse.py 8 gmres "
-                "(v5e via axon tunnel; host->device ~30MB/s, eff. HBM "
-                "~117GB/s)",
+        "value": 273.5, "unit": "s_warm",
+        "note": "52/52 eigenpairs, info=SUCCESS, epsout 5.7e-9, lam_err "
+                "2.8e-9, 4 refinement loops; measured 2026-08-17 via "
+                "scripts/scale_sparse.py 8 gmres (v5e via axon tunnel; "
+                "host->device ~30MB/s, eff. HBM ~117GB/s)",
     })
     results.append({
         "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_mixed_mg",
@@ -194,8 +194,8 @@ def main():
         "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
                 "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
                 "5.1e-10, eigenvalue error 2.5e-12, inner solves "
-                "certified; 2 refinement loops (~1000 s each warm) + "
-                "compiles. measured 2026-08-17, scripts/scale_sparse.py "
+                "certified; 2 refinement loops; warm repeat 2768 s. "
+                "measured 2026-08-17, scripts/scale_sparse.py "
                 "10 gmres. Wall time is set by the single tunneled chip "
                 "(effective ~117 GB/s, per-dispatch overhead, execution "
                 "watchdog forcing host-granular dispatches) - the "

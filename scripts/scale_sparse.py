@@ -46,9 +46,14 @@ def main(sides):
         Emax = float(0.5 * (w[hi] + w[hi + 1]))
         exp = w[(w >= Emin) & (w <= Emax)]
         M0 = int(-(-int(len(exp) * 1.3) // 8) * 8)
+        import os
         fpm = feastinit()
         fpm[3] = 8
         fpm[1] = 1
+        if os.environ.get("FEAST_QUAD"):
+            fpm[16] = int(os.environ["FEAST_QUAD"])
+        if os.environ.get("FEAST_NE"):
+            fpm[2] = int(os.environ["FEAST_NE"])
         solver = sys.argv[2] if len(sys.argv) > 2 else "bicgstab"
         print(f"N={N} ({nx}x{ny})  target {len(exp)} pairs  M0={M0} "
               f"solver={solver} interval=({Emin:.3e},{Emax:.3e})", flush=True)

@@ -359,10 +359,20 @@ class FeastConfig:
     #   accumulation, iterative drivers in double precision only).
     #   0 = off, 1 = auto (engage where f64 is emulated, i.e. TPU),
     #   2 = force everywhere
+    ir_max: int = 5              # max mixed-precision iterative-refinement
+    #   steps per contour node (env override FEAST_IR_MAX); each step runs
+    #   one c64 Krylov solve and multiplies accuracy by the c64 floor
+    #   (~2e-5) — 3 steps reach ~1e-14
+    dispatch_budget: float = 5e6  # host-granular driving only: work budget
+    #   (group * columns * N) per device dispatch, sized against remote
+    #   execution watchdogs (env override FEAST_DISPATCH_BUDGET)
+    group_max: int = 2           # host-granular driving only: max contour
+    #   nodes vmapped into one dispatch (env override FEAST_GROUP_MAX)
 
     @staticmethod
     def from_fpm(fpm: FeastParameters, dtype=None, full_contour: bool = False
                  ) -> "FeastConfig":
+        import os
         return FeastConfig(
             ne=fpm[8] if full_contour else fpm[2],
             tol=feast_tolerance(fpm, dtype),
@@ -377,4 +387,8 @@ class FeastConfig:
             mode=fpm[14],
             custom_contour_id=fpm[29],
             mixed=int(fpm[42]),
+            ir_max=int(os.environ.get("FEAST_IR_MAX", 5)),
+            dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
+                                                 5e6)),
+            group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),
         )

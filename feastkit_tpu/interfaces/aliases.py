@@ -151,6 +151,90 @@ def _make_pep(dtype):
     return alias
 
 
+def _bands_to_scipy(bands, kl, ku, dtype):
+    """LAPACK band storage -> scipy CSR (the i-variant banded aliases run
+    the band operator through the sparse ITERATIVE engine: honest
+    Krylov-inner-solve semantics, runtests.jl:605-681)."""
+    import scipy.sparse as sps
+    from ..ops.pallas_kernels import bands_to_dia
+    bands = np.asarray(bands, dtype)
+    diags, offsets = bands_to_dia(bands, kl, ku)
+    N = diags.shape[1]
+    arrs, offs = [], []
+    for k, d in enumerate(offsets):
+        if abs(d) >= N:
+            continue
+        arrs.append(diags[k, :N - d] if d >= 0 else diags[k, -d:])
+        offs.append(d)
+    return sps.diags(arrs, offs, shape=(N, N), format="csr")
+
+
+def _iterative_banded_interval(dtype, generalized, hermitian):
+    """{s,d}ifeast_sb* / {c,z}ifeast_hb*: banded operands, ITERATIVE inner
+    solves — the band matrix is a few-diagonals sparse operator, so the
+    sparse engine's GMRES path (with DIA fast matvecs) is its natural
+    iterative realization (reference: gbtrf-free i-names,
+    feast_precision_aliases.jl iterative families)."""
+    def alias(A_bands, kl, ku, *args, **kw):
+        A = _bands_to_scipy(A_bands, kl, ku, dtype)
+        if generalized:
+            B_bands, klb, kub, Emin, Emax, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            B = _bands_to_scipy(B_bands, klb, kub, dtype)
+            return _sp.sparse_feast_interval(A, B, Emin, Emax, M0, fpm,
+                                             hermitian=hermitian, **kw)
+        Emin, Emax, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return _sp.sparse_feast_interval(A, None, Emin, Emax, M0, fpm,
+                                         hermitian=hermitian, **kw)
+    return alias
+
+
+def _iterative_banded_general(dtype, generalized, bilinear):
+    """{c,z}ifeast_gb*/sb* (complex): banded general/complex-symmetric with
+    iterative inner solves through the sparse general engine."""
+    def alias(A_bands, kl, ku, *args, **kw):
+        A = _bands_to_scipy(A_bands, kl, ku, dtype)
+        if generalized:
+            B_bands, klb, kub, Emid, r, M0, *rest = args
+            fpm = rest[0] if rest else kw.pop("fpm", None)
+            B = _bands_to_scipy(B_bands, klb, kub, dtype)
+            return _sp.sparse_feast_general(A, B, Emid, r, M0, fpm,
+                                            bilinear=bilinear, **kw)
+        Emid, r, M0, *rest = args
+        fpm = rest[0] if rest else kw.pop("fpm", None)
+        return _sp.sparse_feast_general(A, None, Emid, r, M0, fpm,
+                                        bilinear=bilinear, **kw)
+    return alias
+
+
+def _coeff_op(c, dtype):
+    """Polynomial coefficient -> matvec operator preserving sparsity (the
+    iterative pev path must not densify)."""
+    try:
+        import scipy.sparse as sps
+        is_sp = sps.issparse(c)
+    except ImportError:
+        is_sp = False
+    from jax.experimental import sparse as jsparse
+    if is_sp or isinstance(c, jsparse.BCOO):
+        from ..solvers.sparse import as_bcoo
+        Ab = as_bcoo(c, dtype)
+        return _mf.LinearOperator(lambda X: Ab @ X, Ab.shape, Ab.data.dtype)
+    return np.asarray(c, dtype)
+
+
+def _make_iter_pep(dtype):
+    """*ifeast_*pev: polynomial EVP with ITERATIVE inner solves — the
+    matrix-free companion linearization solved by GMRES (the reference's
+    iterative polynomial families, runtests.jl:965-1029), instead of the
+    direct companion-LU path the non-i names use."""
+    def alias(coeffs, Emid, r, M0, fpm=None, **kw):
+        return _mf.feast_polynomial_matvec(
+            [_coeff_op(c, dtype) for c in coeffs], Emid, r, M0, fpm, **kw)
+    return alias
+
+
 def _make_sparse_pep(dtype):
     def alias(coeffs, Emid, r, M0, fpm=None, **kw):
         return _sp.feast_scsrpev([_cast(c, dtype) for c in coeffs], Emid, r,
@@ -158,10 +242,13 @@ def _make_sparse_pep(dtype):
     return alias
 
 
-def _make_rcipev(dtype):
-    """*rcipev aliases: drive the polynomial RCI state machine with host LU
+def _make_rcipev(dtype, iterative=False):
+    """*rcipev aliases: drive the polynomial RCI state machine with host
     solves (parity: feast_srcipev!/grcipev!, feast_kernel.jl:990-1050 — the
-    reference's RCI-polynomial entry points)."""
+    reference's RCI-polynomial entry points). ``iterative=True`` answers
+    SOLVE requests with restarted GMRES instead of LU — the i-variant's
+    "caller chooses direct vs iterative" contract (ifeast_grci! docs,
+    feast_kernel.jl:296-395)."""
     def alias(coeffs, Emid, r, M0, fpm=None, **kw):
         import scipy.linalg as sla
         from ..core.types import FeastError, FeastGeneralResult, FeastRCIJob
@@ -176,6 +263,15 @@ def _make_rcipev(dtype):
                 acc = acc * z + coeffs[k]
             return acc
 
+        def gmres_solve(M, RHS):
+            import scipy.sparse.linalg as spla
+            out = np.empty_like(RHS)
+            for j in range(RHS.shape[1]):
+                x, _ = spla.gmres(M, RHS[:, j], rtol=1e-12, atol=1e-12,
+                                  restart=min(40, N), maxiter=200)
+                out[:, j] = x
+            return out
+
         st = FeastPolyRCI(N, d, M0, Emid, r, fpm, **kw)
         job = st.step()
         factor = None
@@ -183,9 +279,10 @@ def _make_rcipev(dtype):
         while job != FeastRCIJob.DONE and guard < 100000:
             guard += 1
             if job == FeastRCIJob.FACTORIZE:
-                factor = sla.lu_factor(P(st.Ze))
+                factor = P(st.Ze) if iterative else sla.lu_factor(P(st.Ze))
             elif job == FeastRCIJob.SOLVE:
-                st.workc = sla.lu_solve(factor, st.workc)
+                st.workc = (gmres_solve(factor, st.workc) if iterative
+                            else sla.lu_solve(factor, st.workc))
             elif job == FeastRCIJob.MULT_A:
                 st.workc = np.stack(
                     [P(l) @ st.q[:, j] for j, l in enumerate(st.lam)], axis=1)
@@ -388,17 +485,18 @@ def _build():
         out[f"{p}feast_sypev"] = _make_pep(dt)
         out[f"{p}feast_scsrpev"] = _make_sparse_pep(dt)
         out[f"{p}feast_srcipev"] = _make_rcipev(dt)
-        # iterative (si/di naming): polynomial entries per the reference
-        # alias layer, plus dense/sparse interval extras
-        out[f"{p}ifeast_sypev"] = _make_pep(dt)
-        out[f"{p}ifeast_scsrpev"] = _make_sparse_pep(dt)
-        out[f"{p}ifeast_srcipev"] = _make_rcipev(dt)
+        # iterative (si/di naming): every i-name switches the inner solve
+        # to a genuinely ITERATIVE path (runtests.jl:605-681 tests
+        # iterative-vs-direct agreement per family)
+        out[f"{p}ifeast_sypev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_scsrpev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_srcipev"] = _make_rcipev(dt, iterative=True)
         out[f"{p}ifeast_sygv"] = _iterative_dense_interval(dt, True, False)
         out[f"{p}ifeast_syev"] = _iterative_dense_interval(dt, False, False)
         out[f"{p}ifeast_scsrgv"] = _make_sparse_interval(dt, True, False)
         out[f"{p}ifeast_scsrev"] = _make_sparse_interval(dt, False, False)
-        out[f"{p}ifeast_sbgv"] = _make_banded_interval(dt, True, False)
-        out[f"{p}ifeast_sbev"] = _make_banded_interval(dt, False, False)
+        out[f"{p}ifeast_sbgv"] = _iterative_banded_interval(dt, True, False)
+        out[f"{p}ifeast_sbev"] = _iterative_banded_interval(dt, False, False)
         # parallel
         out[f"p{p}feast_sygv"] = _make_parallel_dense(dt, True, False)
         out[f"p{p}feast_syev"] = _make_parallel_dense(dt, False, False)
@@ -433,15 +531,21 @@ def _build():
         out[f"{p}feast_hcsrpev"] = _make_sparse_pep(dt)
         out[f"{p}feast_gcsrpev"] = _make_sparse_pep(dt)
         out[f"{p}feast_grcipev"] = _make_rcipev(dt)
-        # iterative (ci/zi naming): polynomial entries per the reference
-        out[f"{p}ifeast_hepev"] = _make_pep(dt)
-        out[f"{p}ifeast_gepev"] = _make_pep(dt)
-        out[f"{p}ifeast_hcsrpev"] = _make_sparse_pep(dt)
-        out[f"{p}ifeast_gcsrpev"] = _make_sparse_pep(dt)
-        out[f"{p}ifeast_grcipev"] = _make_rcipev(dt)
+        # iterative (ci/zi naming): genuinely iterative inner solves
+        out[f"{p}ifeast_hepev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_gepev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_hcsrpev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_gcsrpev"] = _make_iter_pep(dt)
+        out[f"{p}ifeast_grcipev"] = _make_rcipev(dt, iterative=True)
         # iterative interval/general extras
         out[f"{p}ifeast_hegv"] = _iterative_dense_interval(dt, True, True)
         out[f"{p}ifeast_heev"] = _iterative_dense_interval(dt, False, True)
+        out[f"{p}ifeast_hbgv"] = _iterative_banded_interval(dt, True, True)
+        out[f"{p}ifeast_hbev"] = _iterative_banded_interval(dt, False, True)
+        out[f"{p}ifeast_sbgv"] = _iterative_banded_general(dt, True, True)
+        out[f"{p}ifeast_sbev"] = _iterative_banded_general(dt, False, True)
+        out[f"{p}ifeast_gbgv"] = _iterative_banded_general(dt, True, False)
+        out[f"{p}ifeast_gbev"] = _iterative_banded_general(dt, False, False)
         out[f"{p}ifeast_hcsrgv"] = _make_sparse_interval(dt, True, True)
         out[f"{p}ifeast_hcsrev"] = _make_sparse_interval(dt, False, True)
         out[f"{p}ifeast_gcsrgv"] = _make_sparse_general(dt, True, False)

@@ -94,17 +94,41 @@ def banded_matvec(bands, x, kl: int, ku: int):
 # Block-tridiagonal re-blocking
 # ---------------------------------------------------------------------------
 
+def _auto_block(kl: int, ku: int, N: int) -> int:
+    """Platform-aware BCR block size.
+
+    The minimum legal block is max(kl, ku, 1) (coupling must stay within
+    adjacent blocks). On TPU that leaves the 128x128 MXU ~99% idle for
+    narrow bands and makes the BCR level count (and per-level dispatch
+    overhead) deep: re-block to MXU-shaped 128x128 blocks — each level is
+    then a handful of batched dense LUs/matmuls at systolic width. The
+    extra flops (b^3 per block vs band elimination) are free next to the
+    latency they remove. CPU keeps the narrow blocks (flops are NOT free
+    there)."""
+    b_min = max(kl, ku, 1)
+    try:
+        plat = jax.default_backend()
+    except Exception:                                  # pragma: no cover
+        plat = "cpu"
+    if plat != "tpu" or N <= 256:
+        return b_min
+    b = min(128, 1 << int(np.floor(np.log2(max(N // 8, 1)))))
+    return max(b_min, b)
+
+
 def banded_to_blocktridiag(bands, kl: int, ku: int, block: int | None = None):
     """Band storage -> block-tridiagonal (D, L, U) with padding.
 
-    Block size b >= max(kl, ku, 1); the block count is padded to a power of
-    two with identity diagonal blocks (decoupled trailing equations), so BCR
-    runs a static log2 schedule. Returns (D (nb,b,b), L, U, b, N) with
-    L[i] connecting block i to i-1 (L[0] = 0) and U[i] to i+1 (U[last]=0).
+    Block size b >= max(kl, ku, 1) (default: :func:`_auto_block` — MXU-
+    shaped 128 on TPU, minimal elsewhere); the block count is padded to a
+    power of two with identity diagonal blocks (decoupled trailing
+    equations), so BCR runs a static log2 schedule. Returns
+    (D (nb,b,b), L, U, b, N) with L[i] connecting block i to i-1 (L[0] = 0)
+    and U[i] to i+1 (U[last]=0).
     """
     bands = jnp.asarray(bands)
     N = bands.shape[1]
-    b = max(kl, ku, 1) if block is None else block
+    b = _auto_block(kl, ku, N) if block is None else block
     nb = -(-N // b)
     nb_pad = 1 << max(int(np.ceil(np.log2(max(nb, 1)))), 0)
     Npad = nb_pad * b

@@ -92,7 +92,7 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
         return a
 
     def cycle(carry):
-        X, done, iters, cyc, _ = carry
+        X, done, iters, cyc, _, stall = carry
         R = B - apply_op(X)
         beta = cn(R)
         active = (~done) & (beta > thresh)
@@ -139,28 +139,38 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
         Y = jax.vmap(lstsq_col, in_axes=(2, 0), out_axes=1)(
             H, beta.astype(dtype))                     # (m, K)
         dX = prec(jnp.einsum("ink,ik->nk", V[:m], Y))
-        X_new = X + dX * active.astype(dtype)[None, :]
-        R_new = B - apply_op(X_new)
-        res = cn(R_new)
+        X_cand = X + dX * active.astype(dtype)[None, :]
+        res_cand = cn(B - apply_op(X_cand))
+        # accept the cycle's correction PER COLUMN only where it reduced
+        # the true residual: at the attainable rounding floor the small
+        # least-squares solve is noisy and an unconditional update lets
+        # stagnated cycles random-walk X away from the best iterate
+        keep = (res_cand < beta) & active
+        X_new = jnp.where(keep[None, :], X_cand, X)
+        res = jnp.where(keep, res_cand, beta)
         done_new = done | (res <= thresh)
         # stall detection: restarted GMRES at the attainable rounding floor
         # stops improving; burning the remaining restart cycles wastes
         # minutes of wall clock (and trips execution watchdogs) for zero
-        # digits. A cycle that improved no unconverged column by >= 10%
-        # terminates the solve at whatever accuracy was reached. With
-        # sync_axes the loop exits only once EVERY mesh group is done or
-        # stalled (divergent trip counts around collectives deadlock).
+        # digits. Restarted GMRES routinely stagnates for ONE cycle and
+        # recovers (indefinite shifted systems near contour nodes), so a
+        # single no-progress cycle must not abort a solve that still has
+        # maxiter budget: exit only after TWO CONSECUTIVE cycles in which
+        # no unconverged column improved by >= 10%. With sync_axes the loop
+        # exits only once EVERY mesh group is done or stalled (divergent
+        # trip counts around collectives deadlock).
         improved = res < 0.9 * beta
         stalled = ~jnp.any(improved & ~done_new)
-        local_exit = jnp.all(done_new) | stalled
+        stall_new = jnp.where(stalled, stall + 1, 0).astype(jnp.int32)
+        local_exit = jnp.all(done_new) | (stall_new >= 2)
         if sync_axes:
             local_exit = jax.lax.pmin(local_exit.astype(jnp.int32),
                                       sync_axes) > 0
         return (X_new, done_new, iters + jnp.where(jnp.any(active), m, 0),
-                cyc + 1, local_exit)
+                cyc + 1, local_exit, stall_new)
 
     def cycle_cond(carry):
-        _, _, _, cyc, exit_flag = carry
+        _, _, _, cyc, exit_flag, _ = carry
         # early exit once every column converged (a preconditioned solve
         # often finishes in one cycle; running the full maxiter budget
         # anyway wastes restart-fold work and trips execution watchdogs).
@@ -170,9 +180,10 @@ def gmres_block(apply_op: Callable, B, *, tol: float = 1e-12,
 
     init_R = B - apply_op(X0)
     init_done = cn(init_R) <= thresh
-    X, done, iters, _, _ = jax.lax.while_loop(
+    X, done, iters, _, _, _ = jax.lax.while_loop(
         cycle_cond, cycle,
-        (X0, init_done, jnp.int32(0), jnp.int32(0), _alldone(init_done)))
+        (X0, init_done, jnp.int32(0), jnp.int32(0), _alldone(init_done),
+         jnp.int32(0)))
 
     # Independent re-verification at 10*tol slack (reference contract,
     # feast_sparse.jl:191-199). flag_tol lets callers certify against a

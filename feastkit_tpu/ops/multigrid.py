@@ -4,7 +4,8 @@ The reference's sparse path runs a cached UMFPACK LU per contour node
 (feast_sparse.jl:294,334-348); no sparse direct factorization exists on TPU
 (SURVEY.md section 2.7), so the iterative inner solves carry the whole
 1M-dof target. Unpreconditioned Krylov on (z B - A) stalls: the contour
-nodes sit close to the spectrum (distance ~ Im z ~ interval半width x aspect),
+nodes sit close to the spectrum (distance ~ Im z ~ interval half-width x
+aspect),
 so kappa ~ spectral_range / dist is 1e4-1e6 for the BASELINE.json Laplacian
 configs. The standard cure for exactly this operator class — a complex
 shift of an elliptic stencil — is geometric multigrid used as a Krylov
@@ -285,7 +286,10 @@ def coarsen_stencil(st: GridStencil) -> GridStencil:
     the center of a 9^d coarse grid and read off the stencil row.
     """
     ndim = len(st.grid)
-    probe_c = tuple(min(9, max(3, (g + 1) // 2)) for g in st.grid)
+    # probe grid must keep offsets in [-2, 2] around the center in range:
+    # with probe_c=4 (grid dim exactly 8) a +2 displacement reads position
+    # 4, out of range, silently dropping a coarse coefficient — floor at 5
+    probe_c = tuple(min(9, max(5, (g + 1) // 2)) for g in st.grid)
     probe_f = tuple(2 * g for g in probe_c)
     center = tuple(g // 2 for g in probe_c)
     e = np.zeros(probe_c)

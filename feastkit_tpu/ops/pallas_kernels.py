@@ -107,11 +107,44 @@ def _dia_kernel(diags_ref, x_hbm, y_ref, x_vmem, sem, *, offsets, block, halo):
     y_ref[...] = acc
 
 
+@functools.lru_cache(maxsize=None)
+def _dia_matvec_vmappable(offsets, block, interpret):
+    """custom_vmap wrapper: vmapping over x (shared diags) dispatches to the
+    BATCHED kernel below instead of failing on the ANY-memory BlockSpec —
+    the node-group dispatch of the sparse driver (solvers/sparse.py
+    _sparse_group_pair_jit) vmaps the whole shifted solve over contour
+    nodes, and with this rule the Pallas fast path survives the vmap."""
+
+    @jax.custom_batching.custom_vmap
+    def mv(diags, x):
+        return _dia_matvec_32(diags, x, offsets, block=block,
+                              interpret=interpret)
+
+    @mv.def_vmap
+    def _rule(axis_size, in_batched, diags, x):   # noqa: ANN001
+        d_b, x_b = in_batched
+        if d_b:
+            # batched coefficients: no batched kernel; unroll via map
+            d2 = diags if d_b else jnp.broadcast_to(
+                diags, (axis_size,) + diags.shape)
+            x2 = x if x_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            out = jax.lax.map(
+                lambda dx: dia_matvec_reference(dx[0], dx[1], offsets),
+                (d2, x2))
+            return out, True
+        out = _dia_matvec_batched(diags, x, offsets, block=block,
+                                  interpret=interpret)
+        return out, True
+
+    return mv
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
 def dia_matvec(diags, x, offsets, *, block: int = 1024,
                interpret: bool = False):
     """DIA matvec as a Pallas TPU kernel; falls back to the XLA reference
-    when Pallas is unavailable."""
+    when Pallas is unavailable. vmap over x dispatches to a batched kernel
+    (see _dia_matvec_vmappable)."""
     if not _PALLAS_OK:
         return dia_matvec_reference(diags, x, offsets)
     # Under jax_enable_x64 the pallas grid/index arithmetic traces as i64,
@@ -121,11 +154,12 @@ def dia_matvec(diags, x, offsets, *, block: int = 1024,
     # (CPU/interpret use — the x64-off context would silently downcast it).
     bits = max(jnp.finfo(jnp.asarray(diags).dtype).bits,
                jnp.finfo(jnp.asarray(x).dtype).bits)
+    fn = _dia_matvec_vmappable(tuple(int(d) for d in offsets), block,
+                               bool(interpret))
     if bits <= 32:
         with jax.enable_x64(False):
-            return _dia_matvec_32(diags, x, offsets, block=block,
-                                  interpret=interpret)
-    return _dia_matvec_32(diags, x, offsets, block=block, interpret=interpret)
+            return fn(diags, x)
+    return fn(diags, x)
 
 
 def _dia_matvec_32(diags, x, offsets, *, block, interpret):
@@ -169,6 +203,70 @@ def _dia_matvec_32(diags, x, offsets, *, block, interpret):
     )(diags_pad, x_pad)
     out = out[:N, :M]
     return out[:, 0] if squeeze else out
+
+
+def _dia_kernel_b(diags_ref, x_hbm, y_ref, x_vmem, sem, *, offsets, block,
+                  halo):
+    """Batched variant: grid (g, n_blocks); one grid step = one row block of
+    one batch member; x stays in HBM, the halo'd slab is DMA'd per step."""
+    gidx = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = j * block
+    dma = pltpu.make_async_copy(
+        x_hbm.at[gidx, pl.ds(row0, block + 2 * halo), :], x_vmem, sem)
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros(y_ref.shape[1:], y_ref.dtype)
+    xs = x_vmem[...]
+    for k, d in enumerate(offsets):
+        coeff = diags_ref[k, :]
+        lo = d + halo
+        acc = acc + coeff[:, None] * xs[lo:lo + block, :]
+    y_ref[0] = acc
+
+
+def _dia_matvec_batched(diags, x, offsets, *, block, interpret):
+    """(nd, N) diags applied to a BATCH of operands x (g, N, M) -> (g, N, M)
+    in one pallas_call with a (g, n_blocks) grid — the kernel behind the
+    custom_vmap rule of :func:`dia_matvec`."""
+    diags = jnp.asarray(diags)
+    nd, N = diags.shape
+    squeeze = x.ndim == 2            # batched 1-D operands
+    x3 = x[:, :, None] if squeeze else x
+    g, _, M = x3.shape
+    M_pad = -(-M // 128) * 128
+    halo = max((max(abs(d) for d in offsets), 8)) if offsets else 8
+    halo = -(-halo // 8) * 8
+    block = int(min(block, max(64, N)))
+    n_blocks = -(-N // block)
+    N_pad = n_blocks * block
+    out_dtype = jnp.result_type(diags.dtype, x.dtype)
+
+    diags_pad = jnp.zeros((nd, N_pad), out_dtype).at[:, :N].set(
+        diags.astype(out_dtype))
+    x_pad = jnp.zeros((g, N_pad + 2 * halo, M_pad), out_dtype)
+    x_pad = x_pad.at[:, halo:halo + N, :M].set(x3.astype(out_dtype))
+
+    out = pl.pallas_call(
+        functools.partial(_dia_kernel_b, offsets=offsets, block=block,
+                          halo=halo),
+        out_shape=jax.ShapeDtypeStruct((g, N_pad, M_pad), out_dtype),
+        grid=(g, n_blocks),
+        in_specs=[
+            pl.BlockSpec((nd, block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, block, M_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block + 2 * halo, M_pad), out_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(diags_pad, x_pad)
+    out = out[:, :N, :M]
+    return out[:, :, 0] if squeeze else out
 
 
 def dia_matvec_any(diags, x, offsets, *, use_pallas: bool = True,

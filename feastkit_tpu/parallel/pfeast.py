@@ -195,6 +195,42 @@ def _pfeast_dense_jit(A, B, Zne, Wne, Q0, Emin, Emax, *,
     return sharded(A, B, Zne, Wne, Q0, Emin, Emax)
 
 
+@cjit(static_argnames=("config", "standard", "hermitian", "mesh"))
+def _pfeast_dense_filter_jit(A, B, Zne, Wne, V, *, config: FeastConfig,
+                             standard: bool, hermitian: bool, mesh: Mesh):
+    """Raw sharded filtered application P V (stochastic-estimate probes,
+    fpm[14]=2 on a contour mesh)."""
+
+    def device_program(A, B, Zl, Wl, V):
+        shifted = _shifted_pencils(A, B, Zl, standard)
+        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+        solve = lambda rhs: jax.vmap(
+            lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+        solve_adj = lambda rhs: jax.vmap(
+            lambda l, p: jsl.lu_solve((l, p), rhs, trans=2))(lu, piv)
+        apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+        cdtype = Zl.dtype
+        if hermitian:
+            W = Wl.astype(cdtype)
+            rhs = apply_B(V)
+            local = (jnp.einsum("e,enm->nm", W, solve(rhs))
+                     + jnp.einsum("e,enm->nm", jnp.conj(W), solve_adj(rhs)))
+        else:
+            W2 = (2.0 * Wl).astype(cdtype)
+            rhs = apply_B(V).astype(cdtype)
+            local = jnp.real(
+                jnp.einsum("e,enm->nm", W2, solve(rhs))).astype(V.dtype)
+        return jax.lax.psum(local, AXIS)
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A, B, Zne, Wne, V)
+
+
 def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                  contour=None, Q0=None, mesh=None, n_devices=None) -> FeastResult:
     """Dense symmetric/Hermitian FEAST with contour-point parallelism over a
@@ -233,6 +269,23 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, n_contour_shards)
     Zne = np.asarray(Zp, dtype=cdtype)
     Wne = np.asarray(Wp, dtype=cdtype)
+
+    if config.mode == 2:
+        # stochastic estimate through the sharded filter (fpm[14]=2)
+        if RHS_AXIS in mesh.axis_names:
+            raise NotImplementedError(
+                "stochastic estimate (fpm[14]=2) is supported on contour "
+                "meshes only; drop the rhs axis")
+        from ..solvers.sparse import _stochastic_estimate_result
+
+        def filt(V):
+            with mesh:
+                return _pfeast_dense_filter_jit(
+                    A, B if not standard else A, Zne, Wne,
+                    np.asarray(V, work_dtype), config=config,
+                    standard=standard, hermitian=bool(hermitian), mesh=mesh)
+        return _stochastic_estimate_result(filt, N, fpm, work_dtype)
+
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
 
@@ -246,7 +299,9 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
                  fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+                 int(info), float(fetch(state.epsout)),
+                 int(fetch(state.loop)) - 1,
+                 inner_ok=bool(fetch(state.inner_ok)))
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +352,30 @@ def _pfeast_general_jit(A, B, Zne, Wne, Q0, Emid, r, *, config: FeastConfig,
         check_vma=False,
     )
     return sharded(A, B, Zne, Wne, Q0, Emid, r)
+
+
+@cjit(static_argnames=("config", "standard", "mesh"))
+def _pfeast_general_filter_jit(A, B, Zne, Wne, V, *, config: FeastConfig,
+                               standard: bool, mesh: Mesh):
+    """Raw sharded full-contour filtered application P V (fpm[14]=2 on a
+    contour mesh; trace(P) = M holds for oblique projectors too)."""
+
+    def device_program(A, B, Zl, Wl, V):
+        shifted = _shifted_pencils(A, B, Zl, standard)
+        lu, piv = jax.vmap(jsl.lu_factor)(shifted)
+        solve = lambda rhs: jax.vmap(
+            lambda l, p: jsl.lu_solve((l, p), rhs))(lu, piv)
+        apply_B = (lambda X: X) if standard else (lambda X: B @ X)
+        local = jnp.einsum("e,enm->nm", Wl, solve(apply_B(V)))
+        return jax.lax.psum(local, AXIS)
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A, B, Zne, Wne, V)
 
 
 def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
@@ -352,6 +431,25 @@ def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     if contour is None:
         contour = feast_gcontour(complex(Emid), float(r), fpm)
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
+
+    if config.mode == 2:
+        # stochastic estimate through the sharded full-contour filter
+        # (0.5x weights: the raw quadrature sum of the oblique projector)
+        from ..core.types import FeastGeneralResult as _FGR
+        from ..solvers.sparse import _stochastic_estimate_result
+        Zg = np.asarray(Zp, cdtype)
+        Wg = 0.5 * np.asarray(Wp, cdtype)
+
+        def filt(V):
+            with mesh:
+                return _pfeast_general_filter_jit(
+                    A, B if not standard else A, Zg, Wg,
+                    np.asarray(V, cdtype), config=config,
+                    standard=standard, mesh=mesh)
+        res = _stochastic_estimate_result(filt, N, fpm, cdtype)
+        return _FGR(np.zeros(0, cdtype), np.zeros((N, 0), cdtype), res.M,
+                    np.zeros(0), res.info, res.epsout, res.loop)
+
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
 
@@ -435,6 +533,16 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     from ..core.types import FeastGeneralResult
     from ..solvers.sparse import _is_double, _peek_dtype, sparse_coo_arrays
     fpm = _ensure_fpm(fpm)
+    if int(fpm[14]) == 2:
+        # stochastic estimate is a single filter application — the serial
+        # sparse-general estimate path serves it at mesh-equivalent cost
+        from ..solvers.sparse import sparse_feast_general
+        return sparse_feast_general(A, B, Emid, r, M0, fpm,
+                                    bilinear=bilinear,
+                                    eig_method=eig_method or "callback",
+                                    solver=solver, solver_tol=solver_tol,
+                                    solver_maxiter=solver_maxiter,
+                                    solver_restart=solver_restart)
     if mesh is None:
         mesh = contour_mesh(n_devices)
     if eig_method is None:
@@ -486,60 +594,43 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
 # Contour-sharded sparse FEAST (pfeast_scsrgv!/mpi_feast_scsrgv! parity)
 # ---------------------------------------------------------------------------
 
-@cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
-                       "solver_tol", "solver_maxiter", "solver_restart",
-                       "mesh"))
-def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
-                       Emin, Emax, *, shape, config, standard, hermitian,
-                       solver, solver_tol, solver_maxiter, solver_restart,
-                       mesh: Mesh):
+_PSPARSE_STATICS = ("shape", "config", "standard", "hermitian", "solver",
+                    "solver_tol", "solver_maxiter", "solver_restart",
+                    "offsets_A", "offsets_B", "use_pallas", "precond",
+                    "mg_A", "mg_B", "mesh")
+
+
+@cjit(static_argnames=_PSPARSE_STATICS)
+def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
+                       diagB, Zr, Zi, Wr, Wi, Q0, Emin, Emax, *, shape,
+                       config, standard, hermitian, solver, solver_tol,
+                       solver_maxiter, solver_restart, offsets_A=None,
+                       offsets_B=None, use_pallas=False, precond="jacobi",
+                       mg_A=None, mg_B=None, mesh: Mesh = None):
     """Sparse FEAST with contour nodes sharded over the mesh: each device
-    runs batched iterative solves for its node slice; one psum of the
-    filtered subspace per refinement loop (the MPI.Allreduce analog)."""
-    from jax.experimental import sparse as jsparse
-    from ..solvers.sparse import _make_sparse_solve_all
+    runs the FULL-STRENGTH serial inner machinery (_sparse_ops: geometric-
+    multigrid preconditioning, mixed-precision pair-IR, DIA fast paths) on
+    its node slice; one psum of the filtered subspace per refinement loop
+    (the MPI.Allreduce analog) plus a pmin success consensus — per-device
+    solves are exactly as strong as the reference's per-rank UMFPACK solves
+    (feast_mpi.jl:288-420,423-466)."""
+    from ..solvers.sparse import _sparse_ops
 
-    def device_program(A_data, A_idx, B_data, B_idx, Zl, Wl, Q0, Emin, Emax):
-        cdtype = Zl.dtype
-        A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
-        A_c = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
-        if standard:
-            apply_B = lambda X: X
-            B_c = None
-        else:
-            B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
-            B_c = jsparse.BCOO((B_data.astype(cdtype), B_idx), shape=shape)
-            apply_B = lambda X: B_w @ X
-        apply_A = lambda X: A_w @ X
-        apply_A_c = lambda X: A_c @ X
-        apply_B_c = None if standard else (lambda X: B_c @ X)
+    def device_program(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
+                       diagB, Zr, Zi, Wr, Wi, Q0, Emin, Emax):
+        apply_A, apply_B, filter_local = _sparse_ops(
+            A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+            Zr, Zi, Wr, Wi, shape=shape, config=config, standard=standard,
+            hermitian=hermitian, solver=solver, solver_tol=solver_tol,
+            solver_maxiter=solver_maxiter, solver_restart=solver_restart,
+            offsets_A=offsets_A, offsets_B=offsets_B, use_pallas=use_pallas,
+            precond=precond, mg_A=mg_A, mg_B=mg_B)
 
-        if hermitian:
-            Zall = jnp.concatenate([Zl, jnp.conj(Zl)])
-            Wall = jnp.concatenate([Wl, jnp.conj(Wl)])
-        else:
-            Zall, Wall = Zl, 2.0 * Wl
-
-        filter_partial = _make_sparse_solve_all(
-            apply_A_c, apply_B_c, standard, solver=solver,
-            solver_tol=solver_tol, solver_maxiter=solver_maxiter,
-            solver_restart=solver_restart, precond="none",
-            flag_tol=config.tol)
-
-        if hermitian:
-            def filter_apply(Q):
-                local, conv = filter_partial(Zall, Wall, apply_B(Q))
-                ok = jnp.all(conv)
-                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
-                return jax.lax.psum(local, AXIS), all_ok
-        else:
-            def filter_apply(Q):
-                local, conv = filter_partial(Zall, Wall,
-                                             apply_B(Q).astype(cdtype))
-                ok = jnp.all(conv)
-                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
-                return (jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS),
-                        all_ok)
+        def filter_apply(Q):
+            local, ok = filter_local(Q)
+            all_ok = jax.lax.pmin(
+                jnp.asarray(ok).astype(jnp.int32), AXIS) > 0
+            return jax.lax.psum(local, AXIS), all_ok
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
@@ -549,88 +640,159 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
 
     sharded = jax.shard_map(
         device_program, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return sharded(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emin, Emax)
+    return sharded(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+                   Zr, Zi, Wr, Wi, Q0, Emin, Emax)
+
+
+@cjit(static_argnames=_PSPARSE_STATICS)
+def _pfeast_sparse_filter_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                              diagA, diagB, Zr, Zi, Wr, Wi, V, *, shape,
+                              config, standard, hermitian, solver,
+                              solver_tol, solver_maxiter, solver_restart,
+                              offsets_A=None, offsets_B=None,
+                              use_pallas=False, precond="jacobi",
+                              mg_A=None, mg_B=None, mesh: Mesh = None):
+    """Raw sharded filtered application P V (stochastic-estimate probes,
+    fpm[14]=2, on a contour mesh — feast_parameters.jl:71-75)."""
+    from ..solvers.sparse import _sparse_ops
+
+    def device_program(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
+                       diagB, Zr, Zi, Wr, Wi, V):
+        _, _, filter_local = _sparse_ops(
+            A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+            Zr, Zi, Wr, Wi, shape=shape, config=config, standard=standard,
+            hermitian=hermitian, solver=solver, solver_tol=solver_tol,
+            solver_maxiter=solver_maxiter, solver_restart=solver_restart,
+            offsets_A=offsets_A, offsets_B=offsets_B, use_pallas=use_pallas,
+            precond=precond, mg_A=mg_A, mg_B=mg_B)
+        out = filter_local(V)
+        acc = out[0] if isinstance(out, tuple) else out
+        return jax.lax.psum(acc, AXIS)
+
+    sharded = jax.shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+                   Zr, Zi, Wr, Wi, V)
 
 
 @cjit(static_argnames=("shape", "config", "standard", "hermitian", "solver",
                        "solver_tol", "solver_maxiter", "solver_restart",
-                       "offsets_A", "offsets_B", "precond", "mesh"))
-def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zne, Wne, Q0,
+                       "offsets_A", "offsets_B", "precond", "mg_A", "mg_B",
+                       "mesh"))
+def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0,
                              Emin, Emax, *, shape, config, standard,
                              hermitian, solver, solver_tol, solver_maxiter,
                              solver_restart, offsets_A, offsets_B, precond,
-                             mesh: Mesh):
+                             mg_A=None, mg_B=None, mesh: Mesh = None):
     """Sparse FEAST with BOTH contour nodes and operator ROWS sharded
     (contour x model mesh): per-device local row blocks with halo-exchange
     DIA matvecs, psum-reduced Krylov contractions (gmres axis_name), the
     Gram-based Rayleigh-Ritz core (nsum over the model axis), and one psum
     of the filtered subspace over the contour axis per loop. The N-sharding
     axis the reference never built (its PFEAST L3 gap,
-    docs/feast_parity_report.md:21-26)."""
-    import dataclasses
-    from ..solvers.sparse import _make_sparse_solve_all
+    docs/feast_parity_report.md:21-26).
+
+    The full-strength inner machinery composes with the mesh: the
+    mixed-precision pair-IR runs collective-aware (residual norms psum'd
+    over the model axis, IR trip counts pmax-synchronized over all mesh
+    axes) and the multigrid V-cycle preconditioner runs via
+    all_gather-over-model + replicated full-grid V-cycle + local-row slice
+    (exact math; the stencil tables are compile-time constants)."""
+    from ..solvers.sparse import _make_sparse_solve_all, _mixed_enabled
 
     n_model = mesh.shape[MODEL_AXIS]
-    cfg = dataclasses.replace(config, mixed=0)   # pair-IR not collective-aware
+    sync = tuple(mesh.axis_names)
 
-    def device_program(A_dia, B_dia, diagA, diagB, Zl, Wl, Q0l, Emin, Emax):
-        cdtype = Zl.dtype
-        apply_A = lambda X: _dia_halo_matvec(A_dia, X, offsets_A,
-                                             MODEL_AXIS, n_model)
-        apply_A_c = lambda X: _dia_halo_matvec(
-            A_dia.astype(jnp.finfo(cdtype).dtype) if not jnp.iscomplexobj(A_dia)
-            else A_dia.astype(cdtype), X.astype(cdtype), offsets_A,
-            MODEL_AXIS, n_model)
+    def device_program(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0l,
+                       Emin, Emax):
+        cdtype = jnp.complex128 if Zr.dtype == jnp.float64 else jnp.complex64
+        mixed = _mixed_enabled(config, cdtype)
+        real_pair = mixed and not hermitian
+
+        def mk(D, offs, dt_d=None, dt_x=None):
+            Dd = D if dt_d is None else D.astype(dt_d)
+
+            def f(X):
+                Xx = X if dt_x is None else X.astype(dt_x)
+                return _dia_halo_matvec(Dd, Xx, offs, MODEL_AXIS, n_model)
+            return f
+
+        # real operands stay REAL under complex casts (the halo matvec's
+        # result_type handles real-diags x complex-X); the c64 Krylov path
+        # needs f32 diags so products stay complex64
+        lo_d = (jnp.complex64 if jnp.iscomplexobj(A_dia) else jnp.float32)
+        apply_A = mk(A_dia, offsets_A)
+        apply_A_c = mk(A_dia, offsets_A, dt_x=cdtype)
+        apply_A_lo = mk(A_dia, offsets_A, dt_d=lo_d) if mixed else None
+        apply_B_lo = None
         if standard:
             apply_B = lambda X: X
             apply_B_c = None
         else:
-            apply_B = lambda X: _dia_halo_matvec(B_dia, X, offsets_B,
-                                                 MODEL_AXIS, n_model)
-            apply_B_c = lambda X: _dia_halo_matvec(
-                B_dia.astype(jnp.finfo(cdtype).dtype)
-                if not jnp.iscomplexobj(B_dia) else B_dia.astype(cdtype),
-                X.astype(cdtype), offsets_B, MODEL_AXIS, n_model)
-
-        if hermitian:
-            Zall = jnp.concatenate([Zl, jnp.conj(Zl)])
-            Wall = jnp.concatenate([Wl, jnp.conj(Wl)])
-        else:
-            Zall, Wall = Zl, 2.0 * Wl
+            apply_B = mk(B_dia, offsets_B)
+            apply_B_c = mk(B_dia, offsets_B, dt_x=cdtype)
+            if mixed:
+                lo_b = (jnp.complex64 if jnp.iscomplexobj(B_dia)
+                        else jnp.float32)
+                apply_B_lo = mk(B_dia, offsets_B, dt_d=lo_b)
 
         filter_partial = _make_sparse_solve_all(
             apply_A_c, apply_B_c, standard, solver=solver,
             solver_tol=solver_tol, solver_maxiter=solver_maxiter,
-            solver_restart=solver_restart, diagA=diagA, diagB=diagB,
-            precond=precond, flag_tol=cfg.tol, axis_name=MODEL_AXIS,
-            sync_axes=tuple(mesh.axis_names))
+            solver_restart=solver_restart, diagA=diagA,
+            diagB=None if standard else diagB,
+            precond=precond, flag_tol=config.tol, mg_A=mg_A, mg_B=mg_B,
+            mixed=mixed, ir_max=config.ir_max,
+            apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
+            apply_A_re=apply_A, apply_B_re=None if standard else apply_B,
+            axis_name=MODEL_AXIS, sync_axes=sync,
+            prec_gather_axis=MODEL_AXIS)
 
         nsum = lambda x: jax.lax.psum(x, MODEL_AXIS)
 
-        if hermitian:
+        def consensus(conv):
+            ok = jnp.all(conv)
+            return jax.lax.pmin(ok.astype(jnp.int32), sync) > 0
+
+        if real_pair:
+            def filter_apply(Q):
+                acc, conv = filter_partial.pair(Zr, Zi, 2.0 * Wr, 2.0 * Wi,
+                                                apply_B(Q))
+                return jax.lax.psum(acc, AXIS), consensus(conv)
+        elif hermitian:
+            Zne = jax.lax.complex(Zr, Zi)
+            Wne = jax.lax.complex(Wr, Wi)
+            Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
+            Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
+
             def filter_apply(Q):
                 local, conv = filter_partial(Zall, Wall, apply_B(Q))
-                ok = jnp.all(conv)
-                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
-                return jax.lax.psum(local, AXIS), all_ok
+                return jax.lax.psum(local, AXIS), consensus(conv)
         else:
+            Zall = jax.lax.complex(Zr, Zi)
+            Wall = 2.0 * jax.lax.complex(Wr, Wi)
+
             def filter_apply(Q):
                 local, conv = filter_partial(Zall, Wall,
                                              apply_B(Q).astype(cdtype))
-                ok = jnp.all(conv)
-                all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
                 return (jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS),
-                        all_ok)
+                        consensus(conv))
 
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0l, Emin, Emax,
-            tol=cfg.tol, max_loops=cfg.max_loops,
-            convergence_criterion=cfg.convergence_criterion,
-            subspace_only=(cfg.mode == 1), nsum=nsum)
+            tol=config.tol, max_loops=config.max_loops,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1), nsum=nsum)
 
     from ..kernel.hermitian import HermitianState
     out_specs = HermitianState(
@@ -639,20 +801,29 @@ def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zne, Wne, Q0,
     sharded = jax.shard_map(
         device_program, mesh=mesh,
         in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS), P(MODEL_AXIS),
-                  P(MODEL_AXIS), P(AXIS), P(AXIS), P(MODEL_AXIS), P(), P()),
+                  P(MODEL_AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(MODEL_AXIS), P(), P()),
         out_specs=out_specs,
         check_vma=False,
     )
-    return sharded(A_dia, B_dia, diagA, diagB, Zne, Wne, Q0, Emin, Emax)
+    return sharded(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0,
+                   Emin, Emax)
 
 
 def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                   contour=None, Q0=None, mesh=None, n_devices=None,
                   solver="gmres", solver_tol=None, solver_maxiter=500,
-                  solver_restart=30) -> FeastResult:
+                  solver_restart=30, grid=None, precond=None) -> FeastResult:
     """Sparse symmetric/Hermitian FEAST with contour-point parallelism
-    (parity: pfeast_scsrgv! threads/Distributed, mpi_feast_scsrgv! MPI)."""
-    from ..solvers.sparse import _is_double, _peek_dtype, sparse_coo_arrays
+    (parity: pfeast_scsrgv! threads/Distributed, mpi_feast_scsrgv! MPI).
+
+    Runs the SAME full-strength inner machinery as the serial sparse driver
+    (multigrid preconditioning where the operands form grid stencils,
+    mixed-precision pair iterative refinement under fpm[42], DIA fast
+    paths) with contour nodes block-partitioned over the mesh — matching
+    the reference's full-strength per-rank solves (feast_mpi.jl:288-466)."""
+    from ..solvers.sparse import (_is_double, _peek_dtype, _plan_mg,
+                                  _structured_forms, sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
     if mesh is None:
         mesh = contour_mesh(n_devices)
@@ -674,25 +845,53 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     else:
         B_data, B_idx, _ = sparse_coo_arrays(B, work_dtype)
 
+    (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
+     precond_auto, mg_A, mg_B) = _structured_forms(
+         A_data, A_idx, B_data, B_idx, N, standard, work_dtype, grid=grid)
+    precond, mg_A, mg_B = _plan_mg(mg_A, mg_B, float(Emax), precond_auto,
+                                   precond)
+
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if solver_tol is None:
-        solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
+        solver_tol = max(config.tol * 0.02, 10 * float(np.finfo(rdtype).eps))
     if contour is None:
         from ..core.aux import feast_get_custom_contour
         contour = feast_get_custom_contour(fpm)
     if contour is None:
         contour = feast_contour(Emin, Emax, fpm)
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
+    Zp = np.asarray(Zp, np.complex128)
+    Wp = np.asarray(Wp, np.complex128)
+    comp = (np.ascontiguousarray(Zp.real, rdtype),
+            np.ascontiguousarray(Zp.imag, rdtype),
+            np.ascontiguousarray(Wp.real, rdtype),
+            np.ascontiguousarray(Wp.imag, rdtype))
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
+
+    statics = dict(
+        shape=tuple(shape), config=config, standard=standard,
+        hermitian=bool(hermitian), solver=str(solver),
+        solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
+        solver_restart=int(solver_restart), offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B, mesh=mesh)
+    arrs = (A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB) + comp
+
+    if config.mode == 2 and MODEL_AXIS not in mesh.axis_names:
+        # stochastic estimate through the SHARDED filter (fpm[14]=2 on a
+        # mesh — feast_parameters.jl:71-75 applies the mode per driver)
+        from ..solvers.sparse import _stochastic_estimate_result
+
+        def filt(V):
+            with mesh:
+                return _pfeast_sparse_filter_jit(
+                    *arrs, np.asarray(V, work_dtype), **statics)
+        return _stochastic_estimate_result(filt, N, fpm, work_dtype)
 
     if MODEL_AXIS in mesh.axis_names:
         # Row-sharded (model-axis) path: requires DIA structure so halo
         # matvecs are expressible; rows must divide evenly over the axis.
-        from ..solvers.sparse import _structured_forms
-        (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, _, precond_auto,
-         _, _) = _structured_forms(A_data, A_idx, B_data, B_idx, N,
-                                   standard, work_dtype)
         if offsets_A is None or (not standard and offsets_B is None):
             raise ValueError(
                 "model-axis sharding requires operators with DIA "
@@ -708,18 +907,22 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         if standard:
             B_dia = np.zeros((1, N), work_dtype)
             offsets_B = (0,)
+        if config.mode == 2:
+            raise NotImplementedError(
+                "stochastic estimate (fpm[14]=2) on a model-sharded mesh is "
+                "not supported; use a contour-only mesh")
         with mesh:
             state = _pfeast_sparse_model_jit(
                 A_dia, B_dia, diagA.astype(work_dtype),
-                diagB.astype(work_dtype),
-                np.asarray(Zp, cdtype), np.asarray(Wp, cdtype),
+                diagB.astype(work_dtype), *comp,
                 np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
                 shape=tuple(shape), config=config, standard=standard,
                 hermitian=bool(hermitian), solver=str(solver),
                 solver_tol=float(solver_tol),
                 solver_maxiter=int(solver_maxiter),
                 solver_restart=int(solver_restart), offsets_A=offsets_A,
-                offsets_B=offsets_B, precond=precond_auto, mesh=mesh)
+                offsets_B=offsets_B, precond=precond, mg_A=mg_A, mg_B=mg_B,
+                mesh=mesh)
         info = FeastError.SUCCESS if bool(fetch(state.converged)) \
             else FeastError.NO_CONVERGENCE
         return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
@@ -730,13 +933,8 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
 
     with mesh:
         state = _pfeast_sparse_jit(
-            A_data, A_idx, B_data, B_idx,
-            np.asarray(Zp, cdtype), np.asarray(Wp, cdtype),
-            np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
-            shape=tuple(shape), config=config, standard=standard,
-            hermitian=bool(hermitian), solver=str(solver),
-            solver_tol=float(solver_tol), solver_maxiter=int(solver_maxiter),
-            solver_restart=int(solver_restart), mesh=mesh)
+            *arrs, np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
+            **statics)
 
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, fetch(state.lam), fetch(state.Q),

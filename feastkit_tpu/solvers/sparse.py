@@ -190,7 +190,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            mg_A=None, mg_B=None, mixed=False,
                            apply_A_lo=None, apply_B_lo=None,
                            apply_A_re=None, apply_B_re=None, ir_max=5,
-                           axis_name=None, sync_axes=None):
+                           axis_name=None, sync_axes=None,
+                           prec_gather_axis=None):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
     sequential scan over contour nodes with the weighted accumulation FUSED
     into the scan carry (stacking all (ne, N, K) solves would cost ne x the
@@ -215,6 +216,38 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     def apply_shift_lo(z_lo, X):
         BX = X if standard else apply_B_lo(X)
         return z_lo * BX - apply_A_lo(X)
+
+    def _psum_k(v):
+        """Per-column contractions over rows are PARTIAL sums when N is
+        sharded over a mesh axis (axis_name): reduce across it."""
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
+
+    def _sync_any(flag):
+        """Loops around collective-bearing Krylov solves must execute
+        identical trip counts on every mesh device: continue while ANY sync
+        group still wants to (extra steps are harmless — the IR
+        accept-only-if-improved logic keeps the best iterate)."""
+        if sync_axes:
+            return jax.lax.pmax(flag.astype(jnp.int32), sync_axes) > 0
+        return flag
+
+    def _wrap_prec(prec):
+        """Row-sharded multigrid: the V-cycle is a full-grid operation.
+        all_gather the residual over the model axis, run the V-cycle
+        redundantly on every device of the group, slice the local rows
+        back — exact math, redundant compute (the stencil tables are
+        compile-time constants so every device can run the full grid)."""
+        if prec is None or prec_gather_axis is None:
+            return prec
+
+        def sharded(Xloc):
+            X = jax.lax.all_gather(Xloc, prec_gather_axis, axis=0,
+                                   tiled=True)
+            Y = prec(X)
+            i = jax.lax.axis_index(prec_gather_axis)
+            return jax.lax.dynamic_slice_in_dim(
+                Y, i * Xloc.shape[0], Xloc.shape[0], axis=0)
+        return sharded
 
     # Inner single-precision target: the attainable c64 GMRES floor is
     # ~eps_c64 * kappa(precond system) ~ 1e-5 relative; aiming below it
@@ -249,12 +282,13 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         hi = rhs.dtype
         lo = jnp.complex64
         z_lo = z.astype(lo)
-        nrm = jnp.sqrt(jnp.real(jnp.einsum("nk,nk->k", jnp.conj(rhs), rhs)))
+        nrm = jnp.sqrt(jnp.real(_psum_k(
+            jnp.einsum("nk,nk->k", jnp.conj(rhs), rhs))))
         scale = jnp.maximum(nrm, 1.0)
         target = solver_tol * scale
 
         def ir_body(carry):
-            X, it, rn, _ = carry
+            X, it, rn, stall, _ = carry
             R = rhs - apply_shift(z, X)
             safe = jnp.where(rn > 0, rn, 1.0)
             Rn = (R / safe[None, :]).astype(lo)
@@ -262,21 +296,29 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            lo_tol, prec)
             X_new = X + dX.astype(hi) * safe[None, :].astype(hi)
             Rf = rhs - apply_shift(z, X_new)
-            rn_new = jnp.sqrt(jnp.real(jnp.einsum("nk,nk->k",
-                                                  jnp.conj(Rf), Rf)))
+            rn_new = jnp.sqrt(jnp.real(_psum_k(
+                jnp.einsum("nk,nk->k", jnp.conj(Rf), Rf))))
             improved = rn_new < rn
             X = jnp.where(improved[None, :], X_new, X)
             rn_best = jnp.minimum(rn_new, rn)
-            stalled = ~jnp.any(rn_new < 0.5 * rn)
-            return X, it + 1, rn_best, stalled
+            # a single < 2x step is legal near-breakdown behavior of the
+            # c64 inner solve; abort only after TWO consecutive ones (the
+            # one-step exit is chaotically sensitive to rounding order)
+            stalled_now = ~jnp.any(rn_new < 0.5 * rn)
+            stall_new = jnp.where(stalled_now, stall + 1, 0).astype(jnp.int32)
+            go = _sync_any((it + 1 < ir_max) & jnp.any(rn_best > target)
+                           & (stall_new < 2))
+            return X, it + 1, rn_best, stall_new, go
 
         def ir_cond(carry):
-            _, it, rn, stalled = carry
-            return (it < ir_max) & jnp.any(rn > target) & ~stalled
+            *_, go = carry
+            return go
 
         X0 = jnp.zeros_like(rhs)
-        X, _, rn, _ = jax.lax.while_loop(
-            ir_cond, ir_body, (X0, jnp.int32(0), nrm, jnp.asarray(False)))
+        X, _, rn, _, _ = jax.lax.while_loop(
+            ir_cond, ir_body,
+            (X0, jnp.int32(0), nrm, jnp.int32(0),
+             _sync_any((ir_max > 0) & jnp.any(nrm > target))))
         cert = max(solver_tol, flag_tol) if flag_tol is not None \
             else solver_tol
         return X, rn <= 10.0 * cert * scale
@@ -289,8 +331,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             lo = jnp.complex64 if mixed else None
             dt = lo or (jnp.complex64 if z.dtype == jnp.complex64
                         else jnp.complex128)
-            return make_shifted_vcycle(stA, stB, z.astype(dt), dtype=dt,
-                                       n_levels=mg_n_levels)
+            return _wrap_prec(make_shifted_vcycle(
+                stA, stB, z.astype(dt), dtype=dt, n_levels=mg_n_levels))
         if precond == "jacobi" and diagA is not None:
             dA, dB = diagA, diagB
             if mixed:
@@ -355,10 +397,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         return Sr, Si
 
     def _cn2(X):
-        return jnp.einsum("nk,nk->k", X, X)
+        return _psum_k(jnp.einsum("nk,nk->k", X, X))
 
-    import os as _os
-    ir_max = int(_os.environ.get("FEAST_IR_MAX", ir_max))
     # Per-IR-step Krylov budget: each refinement step only needs the c64
     # floor (~2e-5); a near-singular node that cannot reach it stalls out
     # quickly instead of burning hundreds of iterations inside one device
@@ -394,7 +434,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return Rr, Ri, jnp.sqrt(_cn2(Rr) + _cn2(Ri))
 
         def ir_body(carry):
-            Xr, Xi, it, rn, _ = carry
+            Xr, Xi, it, rn, stall, _ = carry
             Rr, Ri, _ = residual(Xr, Xi)
             safe = jnp.where(rn > 0, rn, 1.0)
             Rn = jax.lax.complex((Rr / safe[None, :]).astype(jnp.float32),
@@ -408,17 +448,22 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             Xr = jnp.where(improved[None, :], Xr_new, Xr)
             Xi = jnp.where(improved[None, :], Xi_new, Xi)
             rn_best = jnp.minimum(rn_new, rn)
-            stalled = ~jnp.any(rn_new < 0.5 * rn)
-            return Xr, Xi, it + 1, rn_best, stalled
+            # two consecutive < 2x steps before giving up (see solve_cols)
+            stalled_now = ~jnp.any(rn_new < 0.5 * rn)
+            stall_new = jnp.where(stalled_now, stall + 1, 0).astype(jnp.int32)
+            go = _sync_any((it + 1 < ir_max) & jnp.any(rn_best > target)
+                           & (stall_new < 2))
+            return Xr, Xi, it + 1, rn_best, stall_new, go
 
         def ir_cond(carry):
-            _, _, it, rn, stalled = carry
-            return (it < ir_max) & jnp.any(rn > target) & ~stalled
+            *_, go = carry
+            return go
 
         Z = jnp.zeros_like(rhs)
-        Xr, Xi, _, rn, _ = jax.lax.while_loop(
+        Xr, Xi, _, rn, _, _ = jax.lax.while_loop(
             ir_cond, ir_body,
-            (Z, Z, jnp.int32(0), nrm, jnp.asarray(False)))
+            (Z, Z, jnp.int32(0), nrm, jnp.int32(0),
+             _sync_any((ir_max > 0) & jnp.any(nrm > target))))
         cert = max(solver_tol, flag_tol) if flag_tol is not None \
             else solver_tol
         return (Xr, Xi), rn <= 10.0 * cert * scale
@@ -426,8 +471,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     def node_prec_pair(zr, zi):
         z_lo = jax.lax.complex(zr.astype(jnp.float32), zi.astype(jnp.float32))
         if precond == "mg" and stA is not None:
-            return make_shifted_vcycle(stA, stB, z_lo, dtype=jnp.complex64,
-                                       n_levels=mg_n_levels)
+            return _wrap_prec(make_shifted_vcycle(
+                stA, stB, z_lo, dtype=jnp.complex64, n_levels=mg_n_levels))
         if precond == "jacobi" and diagA is not None:
             dA = jnp.real(diagA).astype(jnp.float32) if jnp.iscomplexobj(diagA) \
                 else diagA.astype(jnp.float32)
@@ -510,7 +555,7 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         solver_maxiter=solver_maxiter, solver_restart=solver_restart,
         diagA=diagA, diagB=None if standard else diagB,
         precond=precond, col_block=col_block, flag_tol=config.tol,
-        mg_A=mg_A, mg_B=mg_B, mixed=mixed,
+        mg_A=mg_A, mg_B=mg_B, mixed=mixed, ir_max=config.ir_max,
         apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
         apply_A_re=apply_A, apply_B_re=None if standard else apply_B)
 
@@ -983,24 +1028,26 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             ne_n = len(Zr_)
             # group size: amortize per-op dispatch overhead by node-vmapping
             # as many nodes per dispatch as memory and the execution
-            # watchdog allow (pair iterate is 2 f64 (N, K) arrays per node)
-            import os
+            # watchdog allow (pair iterate is 2 f64 (N, K) arrays per node).
             # Bound the WORK PER DISPATCH (the remote execution watchdog
             # kills multi-minute dispatches): node-group size and a
             # host-level column chunk chosen so group * cols * N stays
             # under a calibrated budget (hard contour nodes at the
-            # spectrum edge run their full Krylov budget).
+            # spectrum edge run their full Krylov budget). Knobs live in
+            # FeastConfig (env overrides FEAST_DISPATCH_BUDGET /
+            # FEAST_GROUP_MAX applied at config construction).
             K_cols = Q0.shape[1]
-            budget = float(os.environ.get("FEAST_DISPATCH_BUDGET", "5e6"))
-            group = max(1, min(ne_n, int(os.environ.get(
-                "FEAST_GROUP_MAX", "2")), int(2e9 // max(2 * 8 * N * K_cols,
-                                                         1))))
-            cols_d = int(budget // max(group * N, 1))
-            cols_d = max(8, min(K_cols, -(-cols_d // 8) * 8))
-            while group > 1 and cols_d < 8:
+            budget = float(config.dispatch_budget)
+            group = max(1, min(ne_n, int(config.group_max),
+                               int(2e9 // max(2 * 8 * N * K_cols, 1))))
+            # shrink the node group while the UNCLAMPED per-dispatch column
+            # budget falls below 8 (the minimum useful chunk); only then
+            # clamp — otherwise the work budget is silently exceeded
+            cols_raw = int(budget // max(group * N, 1))
+            while group > 1 and cols_raw < 8:
                 group -= 1
-                cols_d = max(8, min(K_cols,
-                                    int(budget // max(group * N, 1))))
+                cols_raw = int(budget // max(group * N, 1))
+            cols_d = max(8, min(K_cols, -(-cols_raw // 8) * 8))
 
             def host_filter(Q):
                 rhs = Q if standard else _sparse_rhs_pair_jit(
@@ -1028,6 +1075,7 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             eps_best = np.inf
             eps_prev = np.inf
             best_state = None
+            stall_loops = 0
             for _loop in range(config.max_loops + 1):
                 _t0 = _time.perf_counter()
                 Qp, okk = host_filter(state.Q)
@@ -1048,11 +1096,18 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                     break
                 # Refinement is limited by inner-solve accuracy: once
                 # epsout stops improving LOOP OVER LOOP the remaining loops
-                # only burn wall time at the same floor. Return the BEST
+                # only burn wall time at the same floor. A single
+                # slowly-contracting loop is legal (crowded interval edges
+                # contract by ~2x/loop), so require TWO CONSECUTIVE loops
+                # with < 2x reduction before giving up. Return the BEST
                 # state seen (inexact solves make epsout oscillate around
                 # the floor); the result carries NO_CONVERGENCE.
                 if _loop >= 1 and eps_now >= 0.5 * eps_prev:
-                    break
+                    stall_loops += 1
+                    if stall_loops >= 2:
+                        break
+                else:
+                    stall_loops = 0
                 eps_prev = eps_now
             if best_state is not None:
                 state = best_state

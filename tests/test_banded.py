@@ -116,3 +116,33 @@ def test_banded_matches_dense(rng):
     rb = feast_sbev(full_to_banded(A, 2, 2), 2, 2, Emin, Emax, 22)
     assert rd.M == rb.M
     assert np.abs(np.sort(rd.lam) - np.sort(rb.lam)).max() < 1e-10
+
+
+def test_bcr_mxu_block_size(rng):
+    """BCR with MXU-sized blocks (the TPU re-blocking, ops/banded.py
+    _auto_block) factors/solves identically to the minimal-block path."""
+    import jax.numpy as jnp
+    from feastkit_tpu.ops.banded import (banded_to_blocktridiag, bcr_factor,
+                                         bcr_solve, banded_to_full,
+                                         full_to_banded)
+    n, kd = 700, 3
+    A = np.zeros((n, n))
+    for d in range(kd + 1):
+        v = rng.standard_normal(n - d) * (0.4 if d else 1.0)
+        A[np.arange(n - d), np.arange(d, n)] = v
+        A[np.arange(d, n), np.arange(n - d)] = v
+    A[np.arange(n), np.arange(n)] += 4.0 * kd
+    bands = full_to_banded(A, kd, kd)
+    rhs = rng.standard_normal((n, 3))
+    x_ref = np.linalg.solve(A, rhs)
+    for block in (kd, 128):
+        D, L, U, b, _ = banded_to_blocktridiag(jnp.asarray(bands), kd, kd,
+                                               block=block)
+        levels, rlu, rpiv = bcr_factor(D, L, U)
+        Npad = D.shape[0] * b
+        rp = np.zeros((Npad, 3))
+        rp[:n] = rhs
+        x = bcr_solve(levels, rlu, rpiv,
+                      jnp.asarray(rp.reshape(Npad // b, b, 3)))
+        x = np.asarray(x).reshape(Npad, 3)[:n]
+        assert np.abs(x - x_ref).max() < 1e-8, f"block={block}"

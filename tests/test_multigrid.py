@@ -15,8 +15,8 @@ from feastkit_tpu.ops.pallas_kernels import bcoo_to_dia
 
 def lap2d(nx, ny):
     """5-point 2D Laplacian, lexicographic row-major (x-major)."""
-    Dx = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(nx, nx))
-    Dy = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(ny, ny))
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Dy = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ny, ny))
     return (sp.kron(Dx, sp.eye(ny)) + sp.kron(sp.eye(nx), Dy)).tocoo()
 
 
@@ -151,7 +151,7 @@ def test_vcycle_3d():
     """3D 7-point stencil path (BASELINE mentions 2D/3D)."""
     nx = ny = nz = 10
     N = nx * ny * nz
-    D = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(nx, nx))
+    D = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
     I = sp.eye(nx)
     A = (sp.kron(sp.kron(D, I), I) + sp.kron(sp.kron(I, D), I)
          + sp.kron(sp.kron(I, I), D)).tocoo()

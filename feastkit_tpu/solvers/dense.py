@@ -247,6 +247,12 @@ def _host_state(Q0):
 
 def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
                    hermitian):
+    # Device-resident operands: chained dispatches below reuse them without
+    # per-call host->device re-upload (the dominant warm-solve cost through
+    # slow links).
+    same = B is A                  # standard problems pass A as the dummy B
+    A = cio.device_operand(A)
+    B = A if same else cio.device_operand(B)
     if config.store_factorization:
         lu, piv = _dense_factor_jit(A, B, Zne, standard=standard)
     else:
@@ -255,15 +261,30 @@ def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
     if config.mode == 1:     # subspace-only
         return _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state,
                                    config=config, standard=standard,
-                                   hermitian=hermitian, mode="subspace")
-    for _ in range(config.max_loops + 1):
-        state = _dense_body_jit(A, B, lu, piv, Zne, Wne, state, Emin, Emax,
-                                config=config, standard=standard,
-                                hermitian=hermitian)
-        if bool(fetch(state.converged)):
-            break
-    return _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state, config=config,
-                               standard=standard, hermitian=hermitian)
+                                   hermitian=hermitian,
+                                   mode="subspace"), None
+    # Chunked pipelining: the host round trip applies per SYNCHRONIZATION,
+    # not per dispatch — issue two refinement bodies back-to-back, then
+    # SPECULATIVELY issue the finalize pass with them and sync once on a
+    # single packed fetch. Converged (the common case): one round trip
+    # total per chunk. Unconverged: the wasted finalize costs one body's
+    # worth of compute and the loop continues from the pre-finalize state.
+    loops_done = 0
+    while True:
+        k = min(2, config.max_loops + 1 - loops_done)
+        for _ in range(k):
+            state = _dense_body_jit(A, B, lu, piv, Zne, Wne, state,
+                                    Emin, Emax, config=config,
+                                    standard=standard, hermitian=hermitian)
+        loops_done += k
+        fin = _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+                                  config=config, standard=standard,
+                                  hermitian=hermitian)
+        fetched = cio.fetch_many(
+            [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
+             fin.epsout, fin.loop])
+        if bool(fetched[0]) or loops_done > config.max_loops:
+            return fin, fetched
 
 
 def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
@@ -274,15 +295,22 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     promote/strip round trip, feast_dense.jl:356-400, without the pointless
     promotion: only the shifted solves are complex)."""
     fpm = _ensure_fpm(fpm)
-    A = np.asarray(A)              # host arrays: the cjit boundary handles
-    standard = B is None           # device placement (complex-I/O safety)
+    # Operands: host numpy (the cjit boundary handles device placement +
+    # complex-I/O safety per dispatch) OR device-resident forms from
+    # cio.device_operand (jax.Array / ComplexPair) — those skip the
+    # per-dispatch host->device re-upload, which dominates warm solve time
+    # on slow-link platforms (the axon tunnel moves ~30 MB/s: a 2048^2 f32
+    # operand costs ~0.5 s per upload).
+    A = A if cio.is_operand(A) else np.asarray(A)
+    standard = B is None
     if not standard:
-        B = np.asarray(B)
-    N = A.shape[0]
-    if A.ndim != 2 or A.shape[1] != N:
-        raise ValueError(f"A must be square, got {A.shape}")
-    if not standard and B.shape != A.shape:
-        raise ValueError(f"B must match A: {A.shape} vs {B.shape}")
+        B = B if cio.is_operand(B) else np.asarray(B)
+    shA = cio.op_shape(A)
+    N = shA[0]
+    if len(shA) != 2 or shA[1] != N:
+        raise ValueError(f"A must be square, got {shA}")
+    if not standard and cio.op_shape(B) != shA:
+        raise ValueError(f"B must match A: {shA} vs {cio.op_shape(B)}")
     if N <= 0:
         return FeastResult(np.zeros(0), np.zeros((0, 0)), 0, np.zeros(0),
                            FeastError.ERROR_N, 0.0, 0)
@@ -291,13 +319,18 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     if not Emax > Emin:
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
 
-    rdtype, cdtype = _dtypes_of(A) if standard else _dtypes_of(A, B)
+    dt_in = [cio.op_dtype(A)] + ([] if standard else [cio.op_dtype(B)])
+    if jnp.result_type(*dt_in) in (jnp.float32, jnp.complex64):
+        rdtype, cdtype = jnp.float32, jnp.complex64
+    else:
+        rdtype, cdtype = jnp.float64, jnp.complex128
     if hermitian is None:
-        hermitian = np.iscomplexobj(A) or (not standard and np.iscomplexobj(B))
+        hermitian = cio.op_iscomplex(A) or (not standard
+                                            and cio.op_iscomplex(B))
     work_dtype = np.dtype(str(jnp.dtype(cdtype if hermitian else rdtype)))
-    A = A.astype(work_dtype)
+    A = cio.op_astype(A, work_dtype)
     if not standard:
-        B = B.astype(work_dtype)
+        B = cio.op_astype(B, work_dtype)
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     if contour is None:
@@ -329,22 +362,24 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         return FeastResult(np.zeros(0), np.zeros((N, 0)), M_est, np.zeros(0),
                            FeastError.SUCCESS, float(est), 1)
 
+    fetched = None
     if cio.complex_io_required():
-        state = _run_host_loop(A, B_arg, Zne, Wne, Q0,
-                               rdtype_np(Emin), rdtype_np(Emax),
-                               config=config, standard=standard,
-                               hermitian=bool(hermitian))
+        state, fetched = _run_host_loop(A, B_arg, Zne, Wne, Q0,
+                                        rdtype_np(Emin), rdtype_np(Emax),
+                                        config=config, standard=standard,
+                                        hermitian=bool(hermitian))
     else:
         state = _dense_hermitian_jit(A, B_arg, Zne, Wne, Q0,
                                      rdtype_np(Emin), rdtype_np(Emax),
                                      config=config, standard=standard,
                                      hermitian=bool(hermitian))
 
-    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
-                 fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)),
-                 int(fetch(state.loop)) - 1)
+    conv, lam, Q, res, inside, epsout, loop = fetched or cio.fetch_many(
+        [state.converged, state.lam, state.Q, state.res, state.inside,
+         state.epsout, state.loop])
+    info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, lam, Q, res, inside,
+                 int(info), float(epsout), int(loop) - 1)
 
 
 def feast_sygv(A, B, Emin, Emax, M0, fpm=None, **kw) -> FeastResult:

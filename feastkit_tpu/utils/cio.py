@@ -21,7 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ComplexPair", "cjit", "fetch", "complex_io_required"]
+__all__ = ["ComplexPair", "cjit", "fetch", "fetch_many",
+           "complex_io_required", "device_operand", "op_shape", "op_dtype",
+           "op_iscomplex", "op_astype", "is_operand"]
 
 
 class ComplexPair(NamedTuple):
@@ -88,6 +90,133 @@ def fetch(x):
     if _is_pair(x):
         return np.asarray(x.re) + 1j * np.asarray(x.im)
     return np.asarray(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _packer(n_parts: int, dtype_str: str):
+    """jit'd concatenate-raveled packer (cached per part-count/dtype; jax
+    re-traces on shape changes internally)."""
+    dtype = jnp.dtype(dtype_str)
+
+    @jax.jit
+    def pack(*xs):
+        return jnp.concatenate([jnp.asarray(x).astype(dtype).ravel()
+                                for x in xs])
+    return pack
+
+
+def fetch_many(leaves):
+    """Fetch several result leaves with ONE device->host transfer.
+
+    Through a remote attachment every ``np.asarray(device_array)`` is a
+    full network round trip (~30 ms on the axon tunnel) — fetching a
+    result's 7-8 leaves one by one costs more than the solve. Here the
+    leaves are packed into a single flat real buffer ON DEVICE (complex
+    leaves as re/im parts; ints/bools as floats — exact for the small
+    values they hold) and unpacked host-side after a single transfer. On
+    platforms without the restriction this is just ``[fetch(x) for x]``.
+    """
+    leaves = list(leaves)
+    if not complex_io_required():
+        return [fetch(x) for x in leaves]
+    flat, spec = [], []
+    widest = np.float32
+    for x in leaves:
+        if _is_pair(x):
+            re, im = jnp.asarray(x.re), jnp.asarray(x.im)
+            flat += [re, im]
+            if re.dtype == jnp.float64:
+                widest = np.float64
+            spec.append(("c", tuple(re.shape), np.dtype(str(re.dtype))))
+        else:
+            xa = jnp.asarray(x)
+            if jnp.issubdtype(xa.dtype, jnp.complexfloating):
+                flat += [jnp.real(xa), jnp.imag(xa)]
+                if xa.dtype == jnp.complex128:
+                    widest = np.float64
+                spec.append(("c", tuple(xa.shape),
+                             np.dtype(np.float32 if xa.dtype == jnp.complex64
+                                      else np.float64)))
+            else:
+                flat.append(xa)
+                if xa.dtype == jnp.float64:
+                    widest = np.float64
+                spec.append(("r", tuple(xa.shape), np.dtype(str(xa.dtype))))
+    buf = np.asarray(_packer(len(flat), np.dtype(widest).name)(*flat))
+    out, pos = [], 0
+    for kind, shape, dt in spec:
+        size = int(np.prod(shape)) if shape else 1
+        if kind == "c":
+            re = buf[pos:pos + size].reshape(shape).astype(dt)
+            im = buf[pos + size:pos + 2 * size].reshape(shape).astype(dt)
+            pos += 2 * size
+            out.append(re + 1j * im)
+        else:
+            part = buf[pos:pos + size].reshape(shape)
+            pos += size
+            if np.issubdtype(dt, np.bool_):
+                out.append(part != 0.0)
+            elif np.issubdtype(dt, np.integer):
+                out.append(np.round(part).astype(dt))
+            else:
+                out.append(part.astype(dt))
+    return out
+
+
+def is_operand(X) -> bool:
+    """True for device-resident operand forms drivers accept as-is."""
+    return isinstance(X, (jax.Array, ComplexPair))
+
+
+def op_shape(X):
+    return X.re.shape if _is_pair(X) else X.shape
+
+
+def op_dtype(X):
+    """numpy dtype of the operand's VALUES (ComplexPair reads complex)."""
+    if _is_pair(X):
+        r = np.dtype(str(X.re.dtype))
+        return np.dtype(np.complex64 if r == np.float32 else np.complex128)
+    return np.dtype(str(X.dtype))
+
+
+def op_iscomplex(X) -> bool:
+    return np.issubdtype(op_dtype(X), np.complexfloating)
+
+
+def op_astype(X, dtype):
+    """astype that stays device-resident (ComplexPair casts its parts)."""
+    dtype = np.dtype(str(jnp.dtype(dtype)))
+    if _is_pair(X):
+        if not np.issubdtype(dtype, np.complexfloating):
+            raise TypeError(
+                f"cannot cast a complex ComplexPair operand to {dtype}")
+        r = np.float32 if dtype == np.complex64 else np.float64
+        return ComplexPair(X.re.astype(r), X.im.astype(r))
+    return X.astype(dtype)
+
+
+def device_operand(X):
+    """Upload an operand ONCE for repeated solves.
+
+    Drivers re-upload host (numpy) operands on every dispatch — through a
+    slow host<->device link (the axon tunnel moves ~30 MB/s) that dominates
+    warm solve time for large dense operands. Passing the value returned
+    here keeps the operand device-resident across dispatches AND across
+    repeated solves. Complex operands on a complex-I/O-restricted platform
+    come back as a device-resident ComplexPair (accepted by the dense
+    drivers); everything else is a jax.Array.
+    """
+    if isinstance(X, jax.Array):
+        return X
+    if _is_pair(X):
+        return ComplexPair(jax.device_put(np.ascontiguousarray(X.re)),
+                           jax.device_put(np.ascontiguousarray(X.im)))
+    X = np.asarray(X)
+    if np.iscomplexobj(X) and complex_io_required():
+        return ComplexPair(jax.device_put(np.ascontiguousarray(X.real)),
+                           jax.device_put(np.ascontiguousarray(X.imag)))
+    return jax.device_put(X)
 
 
 def cjit(fun=None, *, static_argnames=()):

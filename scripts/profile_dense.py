@@ -6,8 +6,11 @@ Feeds docs/performance.md and the vs_baseline>=10 attack plan.
 
 Usage: python scripts/profile_dense.py [n] [ne] [M0]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -74,12 +77,14 @@ def main(n, ne, M0):
 
     Qp = timeit("filtered solve (1 loop, M0 rhs)", solve, lu, piv, Bd, Q, Zr)
 
+    from feastkit_tpu.core.tools import reduced_hermitian_gevp
+
     @jax.jit
     def rr(Qp, A, B):
         U, s, _ = jnp.linalg.svd(Qp, full_matrices=False)
         S = U.T @ (A @ U)
         G = U.T @ (B @ U)
-        lam, V = jsl.eigh(S, G, eigvals_only=False)
+        lam, V = reduced_hermitian_gevp(S, G)
         return U @ V, lam
 
     timeit("SVD + Rayleigh-Ritz + eigh", rr, Qp, Ad, Bd)

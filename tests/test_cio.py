@@ -108,3 +108,61 @@ def test_dense_host_loop_hermitian(forced_packed):
     r = feast_heev(H, Emin, Emax, 14)
     assert r.M == len(exp)
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_device_operand_dense():
+    """Device-resident operands (cio.device_operand) produce bitwise the
+    same dense result as host numpy operands — the repeated-solve path that
+    skips per-dispatch re-uploads on slow-link platforms."""
+    from feastkit_tpu.solvers.dense import feast_syev
+    n = 60
+    A = laplacian_1d(n)
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.5)])
+    r = feast_syev(A, 0.5, 1.5, len(exp) + 3)
+    r2 = feast_syev(cio.device_operand(A), 0.5, 1.5, len(exp) + 3)
+    assert r2.M == r.M == len(exp)
+    assert np.array_equal(np.asarray(r.lam), np.asarray(r2.lam))
+
+
+def test_device_operand_complex_pair(forced_packed):
+    """On complex-I/O-restricted platforms, device_operand returns a
+    device-resident ComplexPair; the driver must accept it and match the
+    host-operand result through the host-driven loop."""
+    from feastkit_tpu.solvers.dense import feast_heev
+    rng = np.random.default_rng(3)
+    n = 40
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    w = np.linalg.eigvalsh(H)
+    Emin, Emax = w[15] - 1e-9, w[25] + 1e-9
+    exp = np.sort(w[(w >= Emin) & (w <= Emax)])
+    Hd = cio.device_operand(H)
+    assert isinstance(Hd, cio.ComplexPair)
+    r = feast_heev(Hd, Emin, Emax, 14)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_fetch_many_packed(forced_packed):
+    """fetch_many must round-trip mixed real/complex/int/bool/scalar leaves
+    exactly through the single packed transfer."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    lam = jnp.asarray(rng.standard_normal(7).astype(np.float32))
+    Q = jnp.asarray((rng.standard_normal((5, 7))
+                     + 1j * rng.standard_normal((5, 7))).astype(np.complex64))
+    inside = jnp.asarray(np.array([1, 0, 1, 1, 0, 0, 1], np.bool_))
+    loop = jnp.asarray(np.int32(4))
+    eps = jnp.asarray(np.float32(3.25e-7))
+    pair = cio.ComplexPair(jnp.asarray(np.float32([1.5, -2.0])),
+                           jnp.asarray(np.float32([0.25, 4.0])))
+    out = cio.fetch_many([lam, Q, inside, loop, eps, pair])
+    assert np.array_equal(out[0], np.asarray(lam))
+    assert np.array_equal(out[1], np.asarray(Q))
+    assert out[1].dtype == np.complex64 or np.iscomplexobj(out[1])
+    assert np.array_equal(out[2], np.asarray(inside))
+    assert out[2].dtype == np.bool_
+    assert int(out[3]) == 4
+    assert float(out[4]) == float(eps)
+    assert np.array_equal(out[5], np.array([1.5 + 0.25j, -2.0 + 4.0j]))

@@ -12,9 +12,23 @@ vs_baseline = cpu_reference_time / tpu_time (higher is better; >1 beats the
 reference proxy).
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the remote compile service takes tens of
+# seconds per program; caching compiled executables across bench processes
+# keeps the measured numbers about EXECUTION, not compilation.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+import jax  # noqa: E402
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:                                        # noqa: BLE001
+    pass
 
 
 def _problem(n, seed=0):
@@ -138,6 +152,162 @@ def _banded_bench():
     return dev, cpu
 
 
+def _quickstart_bench():
+    """BASELINE config 1: README quickstart (n=100 tridiagonal Laplacian,
+    interval (0.5, 1.5), M0=10). Latency-bound through a remote attachment:
+    the solve is a handful of ~30 ms round trips regardless of problem
+    size, while the CPU proxy finishes in microseconds — this config
+    measures the small-problem latency floor, not throughput."""
+    import scipy.linalg as sla
+    from feastkit_tpu import feast
+    from feastkit_tpu.core.contour import feast_contour
+
+    n, M0, ne = 100, 24, 8   # 19 eigenvalues in (0.5, 1.5); M0 > count
+    A = (np.diag(2.0 * np.ones(n)) + np.diag(-1.0 * np.ones(n - 1), 1)
+         + np.diag(-1.0 * np.ones(n - 1), -1)).astype(np.float32)
+
+    def run():
+        r = feast(A, None, (0.5, 1.5), M0)
+        assert r.M > 0
+        return r
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dev = min(times)
+
+    A64 = A.astype(np.float64)
+    c = feast_contour(0.5, 1.5, ne=ne, quadrature=0, aspect_ratio=1.0)
+    Q = np.random.default_rng(1).standard_normal((n, M0))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        Qp = np.zeros((n, M0))
+        for z, wq in zip(c.Zne, c.Wne):
+            Qp += np.real(2.0 * wq * sla.lu_solve(
+                sla.lu_factor(z * np.eye(n) - A64), Q.astype(np.complex128)))
+        Qo, _ = np.linalg.qr(Qp)
+        lam, V = np.linalg.eigh(Qo.T @ (A64 @ Qo))
+        Q = Qo @ V
+    cpu = time.perf_counter() - t0
+    return dev, cpu
+
+
+def _general_bench():
+    """BASELINE config 5: complex general circular-contour feast_general
+    (full-contour quadrature, oblique projector, two-sided Rayleigh-Ritz)
+    vs a scipy CPU proxy of the same algorithm."""
+    import scipy.linalg as sla
+    from feastkit_tpu.core.contour import feast_gcontour
+    from feastkit_tpu.core.parameters import feastinit
+    from feastkit_tpu.interfaces.feast import feast_general
+
+    n, M0, ne = 1024, 24, 8
+    rng = np.random.default_rng(2)
+    # known spectrum: diag + strictly-upper noise (triangular similarity
+    # leaves eigenvalues = diag); 16 eigenvalues inside the r=0.016 circle
+    d = np.linspace(-1.0, 1.0, n)
+    A = np.triu(rng.standard_normal((n, n))
+                + 1j * rng.standard_normal((n, n)), 1).astype(np.complex64)
+    A *= 0.01 / np.sqrt(n)
+    A += np.diag(d.astype(np.complex64))
+    Emid, r_c = 0.0 + 0.0j, 0.016
+    fpm = feastinit()
+
+    def run():
+        r = feast_general(A, None, Emid, r_c, M0, fpm)
+        assert r.M > 0
+        return r
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dev = min(times)
+
+    A64 = A.astype(np.complex128)
+    c = feast_gcontour(complex(Emid), float(r_c), fpm)
+    Q = (np.random.default_rng(1).standard_normal((n, M0))
+         + 1j * np.random.default_rng(3).standard_normal((n, M0)))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        Qp = np.zeros((n, M0), np.complex128)
+        for z, wq in zip(c.Zne, c.Wne):
+            Qp += 0.5 * wq * sla.lu_solve(
+                sla.lu_factor(z * np.eye(n) - A64), Q)
+        Qo, _ = np.linalg.qr(Qp)
+        S = Qo.conj().T @ (A64 @ Qo)
+        lam, V = np.linalg.eig(S)
+        Q = Qo @ V
+    cpu = time.perf_counter() - t0
+    return dev, cpu
+
+
+def _sparse_bench():
+    """BASELINE config 4 at the 65k rung, measured LIVE: 2D-Laplacian
+    lowest-52-pair sparse EVP in f64 (mixed-precision pair-IR + multigrid
+    GMRES) on the attached chip, vs a live CPU proxy running the
+    reference's algorithm (cached sparse direct LU per contour node -
+    scipy splu standing in for UMFPACK, feast_sparse.jl:294,334-348)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    from feastkit_tpu.core.contour import feast_contour
+
+    nx = 256
+    N = nx * nx
+    D = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    A = (sp.kron(D, sp.eye(nx)) + sp.kron(sp.eye(nx), D)).tocsr()
+    wx = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
+    w = np.sort((wx[:200, None] + wx[None, :200]).ravel())
+    gaps = np.nonzero(np.diff(w) > 1e-12)[0]
+    hi = gaps[np.searchsorted(gaps, 50)]
+    Emin, Emax = float(w[0] * 0.5), float(0.5 * (w[hi] + w[hi + 1]))
+    exp = w[(w >= Emin) & (w <= Emax)]
+    M0 = int(-(-int(len(exp) * 1.3) // 8) * 8)
+    fpm = feastinit()
+    fpm[3] = 8
+
+    # x64 scoped ON: this is an f64 measurement — without it jax silently
+    # truncates the operands to f32 and the solve "converges" at the f32
+    # tolerance floor (3.4e-4) instead of the 1e-8 contract. Scoped (not
+    # global) because the f32 dense/banded programs must NOT promote.
+    t0 = time.perf_counter()
+    with jax.enable_x64(True):
+        r = feast_scsrev(A, Emin, Emax, M0, fpm, solver="gmres",
+                         solver_maxiter=250)
+    dev = time.perf_counter() - t0
+    ok = (r.M == len(exp))
+    err = float(np.abs(np.sort(np.asarray(r.lam)) - exp).max()) if ok \
+        else float("nan")
+
+    # CPU proxy: cached splu per half-contour node + refinement loops
+    # matching the measured loop count (direct solves, so refinement
+    # converges in the same 2 loops the mixed path needs).
+    c = feast_contour(Emin, Emax, fpm)
+    Ac = A.astype(np.complex128).tocsc()
+    eye = sp.identity(N, np.complex128, format="csc")
+    Q = np.random.default_rng(1).standard_normal((N, M0))
+    t0 = time.perf_counter()
+    lus = [spla.splu((z * eye - Ac).tocsc()) for z in c.Zne]
+    for _ in range(max(int(r.loop), 1) + 1):
+        Qp = np.zeros((N, M0))
+        for z, wq, lu in zip(c.Zne, c.Wne, lus):
+            Qp += np.real(2.0 * wq * lu.solve(Q.astype(np.complex128)))
+        Qo, _ = np.linalg.qr(Qp)
+        lam, V = np.linalg.eigh(Qo.T @ (A @ Qo))
+        Q = Qo @ V
+    cpu = time.perf_counter() - t0
+    return dev, cpu, {"M": int(r.M), "target": len(exp),
+                      "info": int(r.info), "epsout": float(r.epsout),
+                      "loops": int(r.loop), "lam_err": err}
+
+
 def main():
     import jax
     import scipy.linalg as sla
@@ -170,7 +340,7 @@ def main():
     }]
 
     # Secondary metrics (time-budgeted): banded BCR vs LAPACK-proxy.
-    if time.perf_counter() - t_start < 300:
+    if time.perf_counter() - t_start < 900:
         try:
             dev_b, cpu_b = _banded_bench()
             results.append({
@@ -183,17 +353,52 @@ def main():
             results.append({"metric": "banded_bench_failed",
                             "error": str(e)[:200]})
 
-    # Chip-measured sparse scale record (config 4 path; measured by
-    # scripts/scale_sparse.py on the attached chip — too compile-heavy to
-    # re-run inside the bench budget, values recorded with provenance).
-    results.append({
-        "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_mixed_mg",
-        "value": 273.5, "unit": "s_warm",
-        "note": "52/52 eigenpairs, info=SUCCESS, epsout 5.7e-9, lam_err "
-                "2.8e-9, 4 refinement loops; measured 2026-08-17 via "
-                "scripts/scale_sparse.py 8 gmres (v5e via axon tunnel; "
-                "host->device ~30MB/s, eff. HBM ~117GB/s)",
-    })
+    # BASELINE configs 1 + 5 (time-budgeted)
+    if time.perf_counter() - t_start < 900:
+        try:
+            dev_q, cpu_q = _quickstart_bench()
+            results.append({
+                "metric": "quickstart_n100_M0_24",
+                "value": round(dev_q, 4), "unit": "s",
+                "vs_baseline": round(cpu_q / dev_q, 3),
+                "note": "latency floor config: the remote-attachment solve "
+                        "is a few ~30ms round trips; n=100 work is "
+                        "microseconds on either engine",
+            })
+        except Exception as e:                           # noqa: BLE001
+            results.append({"metric": "quickstart_bench_failed",
+                            "error": str(e)[:200]})
+    if time.perf_counter() - t_start < 900:
+        try:
+            dev_g, cpu_g = _general_bench()
+            results.append({
+                "metric": "general_circ_n1024_ne8_M0_24",
+                "value": round(dev_g, 4), "unit": "s",
+                "vs_baseline": round(cpu_g / dev_g, 2),
+            })
+        except Exception as e:                           # noqa: BLE001
+            results.append({"metric": "general_bench_failed",
+                            "error": str(e)[:200]})
+
+    # BASELINE config 4, 65k rung: measured LIVE each bench run (the 1M
+    # rung below stays a recorded value - its ~35 min run does not fit the
+    # bench budget; scripts/scale_sparse.py reproduces it).
+    try:
+        dev_s, cpu_s, meta = _sparse_bench()
+        results.append({
+            "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_mixed_mg",
+            "value": round(dev_s, 1), "unit": "s",
+            "vs_baseline": round(cpu_s / dev_s, 3),
+            "detail": meta,
+            "note": "live run; CPU proxy = cached splu per contour node "
+                    "(UMFPACK stand-in) + same refinement loops, threaded "
+                    "BLAS. The tunneled single chip is access-path-bound "
+                    "(host link ~30 MB/s, eff. HBM ~117 GB/s, execution "
+                    "watchdog forces host-granular dispatch).",
+        })
+    except Exception as e:                               # noqa: BLE001
+        results.append({"metric": "sparse_bench_failed",
+                        "error": str(e)[:250]})
     results.append({
         "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_mixed_mg",
         "value": 3441.5, "unit": "s_cold",
@@ -210,6 +415,19 @@ def main():
                 "dispatch) the same schedule lands in the tens of "
                 "seconds",
     })
+
+    # 8-virtual-device CPU-mesh certification of the sharded sparse driver
+    # (scripts/scale_mesh.py): serial == 1/2/4/8-device on the full
+    # MG+mixed recipe. Attached verbatim so the per-round bench snapshot
+    # carries the scaling evidence.
+    try:
+        import pathlib as _pl
+        scaling = json.loads(
+            (_pl.Path(__file__).parent / "SCALING_MESH.json").read_text())
+        results.append({"metric": "sharded_sparse_mesh_certification",
+                        "value": scaling})
+    except Exception:                                    # noqa: BLE001
+        pass
 
     import pathlib
     pathlib.Path("BENCH_LOCAL.json").write_text(json.dumps(results, indent=1))

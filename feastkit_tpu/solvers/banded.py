@@ -329,7 +329,11 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
         state = _host_state(np.asarray(Q0, work_dtype))
         loops_done = 0
         while True:
-            k = min(2, config.max_loops + 1 - loops_done)
+            # first chunk is a single body: banded problems routinely
+            # converge in one refinement loop and a BCR body is cheap, so
+            # the speculative second body would usually be wasted work
+            k = min(1 if loops_done == 0 else 2,
+                    config.max_loops + 1 - loops_done)
             for _ in range(k):
                 state = _banded_body_jit(*dargs, hier, state, rdtype(Emin),
                                          rdtype(Emax), **statics)

@@ -123,6 +123,12 @@ def _general_host_state(Q0):
 
 def _run_general_host_loop(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
                            bilinear, eig_method):
+    # Remote-link protocol (see solvers/dense.py): operands device-resident
+    # once, two refinement bodies + speculative finalize per host
+    # synchronization, all result leaves in one packed fetch.
+    same = B is A
+    A = cio.device_operand(A)
+    B = A if same else cio.device_operand(B)
     if config.store_factorization:
         lu, piv = _general_factor_jit(A, B, Zne, standard=standard)
     else:
@@ -131,15 +137,23 @@ def _run_general_host_loop(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
     if config.mode == 1:
         return _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
                                      config=config, standard=standard,
-                                     mode="subspace")
-    for _ in range(config.max_loops + 1):
-        state = _general_body_jit(A, B, lu, piv, Zne, Wne, state, Emid, r,
-                                  config=config, standard=standard,
-                                  bilinear=bilinear, eig_method=eig_method)
-        if bool(fetch(state.converged)):
-            break
-    return _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
-                                 config=config, standard=standard)
+                                     mode="subspace"), None
+    loops_done = 0
+    while True:
+        k = min(2, config.max_loops + 1 - loops_done)
+        for _ in range(k):
+            state = _general_body_jit(A, B, lu, piv, Zne, Wne, state,
+                                      Emid, r, config=config,
+                                      standard=standard, bilinear=bilinear,
+                                      eig_method=eig_method)
+        loops_done += k
+        fin = _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+                                    config=config, standard=standard)
+        fetched = cio.fetch_many(
+            [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
+             fin.epsout, fin.loop])
+        if bool(fetched[0]) or loops_done > config.max_loops:
+            return fin, fetched
 
 
 def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
@@ -153,24 +167,30 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
     if eig_method is None:
         eig_method = "qr" if cio.complex_io_required() else "callback"
     fpm = _ensure_fpm(fpm)
-    A = np.asarray(A)
+    # Host numpy or device-resident forms from cio.device_operand (see
+    # solvers/dense.py — skips the per-dispatch re-upload on slow links).
+    A = A if cio.is_operand(A) else np.asarray(A)
     standard = B is None
+    shA = cio.op_shape(A)
     if not standard:
-        B = np.asarray(B)
-        if B.shape != A.shape:
-            raise ValueError(f"B must match A: {A.shape} vs {B.shape}")
-    N = A.shape[0]
-    if A.ndim != 2 or A.shape[1] != N:
-        raise ValueError(f"A must be square, got {A.shape}")
+        B = B if cio.is_operand(B) else np.asarray(B)
+        if cio.op_shape(B) != shA:
+            raise ValueError(f"B must match A: {shA} vs {cio.op_shape(B)}")
+    N = shA[0]
+    if len(shA) != 2 or shA[1] != N:
+        raise ValueError(f"A must be square, got {shA}")
     if not 0 < M0 <= N:
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
 
-    cdtype = np.dtype(str(jnp.dtype(_cdtype_of(A) if standard else _cdtype_of(A, B))))
-    A = A.astype(cdtype)
+    dt_in = [cio.op_dtype(A)] + ([] if standard else [cio.op_dtype(B)])
+    cdtype = np.dtype(np.complex64) \
+        if jnp.result_type(*dt_in) in (jnp.float32, jnp.complex64) \
+        else np.dtype(np.complex128)
+    A = cio.op_astype(A, cdtype)
     if not standard:
-        B = B.astype(cdtype)
+        B = cio.op_astype(B, cdtype)
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if contour is None:
         from ..core.aux import feast_get_custom_contour
@@ -200,8 +220,9 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
         return FeastGeneralResult(np.zeros(0, cdtype), np.zeros((N, 0), cdtype),
                                   res.M, np.zeros(0), res.info, res.epsout,
                                   res.loop)
+    fetched = None
     if cio.complex_io_required():
-        state = _run_general_host_loop(
+        state, fetched = _run_general_host_loop(
             A, B_arg, Zne, Wne, Q0, np.asarray(complex(Emid), cdtype)[()],
             rdtype(float(r)), config=config, standard=standard,
             bilinear=bilinear, eig_method=eig_method)
@@ -212,10 +233,12 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
             config=config, standard=standard, bilinear=bilinear,
             eig_method=eig_method)
 
-    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
-    return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),
-                 fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)), int(fetch(state.loop)) - 1)
+    conv, lam, Q, res, inside, epsout, loop = fetched or cio.fetch_many(
+        [state.converged, state.lam, state.Q, state.res, state.inside,
+         state.epsout, state.loop])
+    info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+    return _trim(FeastGeneralResult, lam, Q, res, inside,
+                 int(info), float(epsout), int(loop) - 1)
 
 
 def feast_gegv(A, B, Emid, r, M0, fpm=None, **kw) -> FeastGeneralResult:

@@ -1124,12 +1124,13 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         state = _sparse_hermitian_jit(
             *arrs, np.asarray(Q0, work_dtype), rdtype(Emin), rdtype(Emax),
             **statics)
-    info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
-                 fetch(state.res), fetch(state.inside),
-                 int(info), float(fetch(state.epsout)),
-                 int(fetch(state.loop)) - 1,
-                 inner_ok=bool(fetch(state.inner_ok)))
+    conv, lam, Q, res, inside, epsout, loop, inner_ok = cio.fetch_many(
+        [state.converged, state.lam, state.Q, state.res, state.inside,
+         state.epsout, state.loop, state.inner_ok])
+    info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, lam, Q, res, inside,
+                 int(info), float(epsout), int(loop) - 1,
+                 inner_ok=bool(inner_ok))
 
 
 @cjit(static_argnames=("shape", "config", "standard", "bilinear",

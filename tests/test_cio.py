@@ -166,3 +166,20 @@ def test_fetch_many_packed(forced_packed):
     assert int(out[3]) == 4
     assert float(out[4]) == float(eps)
     assert np.array_equal(out[5], np.array([1.5 + 0.25j, -2.0 + 4.0j]))
+
+
+def test_device_operand_general():
+    """General (non-Hermitian) driver accepts device-resident operands."""
+    from feastkit_tpu.solvers.dense_general import feast_geev
+    rng = np.random.default_rng(5)
+    n = 40
+    d = np.linspace(-1.0, 1.0, n)
+    A = np.triu(rng.standard_normal((n, n))
+                + 1j * rng.standard_normal((n, n)), 1) * 0.01
+    A += np.diag(d)
+    r = feast_geev(A, 0.0 + 0.0j, 0.3, 14)
+    r2 = feast_geev(cio.device_operand(A.astype(np.complex128)),
+                    0.0 + 0.0j, 0.3, 14)
+    assert r.M == r2.M > 0
+    assert np.abs(np.sort_complex(np.asarray(r.lam))
+                  - np.sort_complex(np.asarray(r2.lam))).max() < 1e-8

@@ -247,6 +247,66 @@ def _general_bench():
     return dev, cpu
 
 
+def _pep_bench():
+    """BASELINE config 5 (second half): quadratic polynomial EVP
+    P(lam) x = (K + lam C + lam^2 M) x = 0 via the companion linearization
+    through the general driver, vs a scipy CPU proxy running the same
+    companion full-contour algorithm."""
+    import scipy.linalg as sla
+    from feastkit_tpu.core.contour import feast_gcontour
+    from feastkit_tpu.core.parameters import feastinit
+    from feastkit_tpu.solvers.dense_general import feast_pep
+
+    n, M0 = 512, 24
+    rng = np.random.default_rng(4)
+    K = np.diag(rng.uniform(0.5, 2.0, n)).astype(np.complex64)
+    C = (0.05 * np.eye(n)).astype(np.complex64)
+    M = np.eye(n, dtype=np.complex64)
+    # spectrum: lam = -0.025 +/- i sqrt(k - 0.000625) for each diagonal k
+    # of K; the contour around -0.025 + 1.05j with r=0.011 captures the
+    # ~16 branches with sqrt(k) in (1.039, 1.061)
+    Emid, r_c = -0.025 + 1.05j, 0.011
+    fpm = feastinit()
+
+    def run():
+        r = feast_pep([K, C, M], Emid, r_c, M0, fpm)
+        assert r.M > 0
+        return r
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dev = min(times)
+
+    # CPU proxy: companion pencil + full-contour LU subspace iteration
+    d = 2
+    N2 = d * n
+    eye = np.eye(n, dtype=np.complex128)
+    zero = np.zeros((n, n), np.complex128)
+    Ac = np.block([[zero, eye], [-K.astype(np.complex128),
+                                 -C.astype(np.complex128)]])
+    Bc = sla.block_diag(eye, M.astype(np.complex128))
+    c = feast_gcontour(complex(Emid), float(r_c), fpm)
+    Q = (np.random.default_rng(1).standard_normal((N2, M0))
+         + 1j * np.random.default_rng(2).standard_normal((N2, M0)))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        Qp = np.zeros((N2, M0), np.complex128)
+        for z, wq in zip(c.Zne, c.Wne):
+            Qp += 0.5 * wq * sla.lu_solve(sla.lu_factor(z * Bc - Ac),
+                                          Bc @ Q)
+        Qo, _ = np.linalg.qr(Qp)
+        S = Qo.conj().T @ (Ac @ Qo)
+        G = Qo.conj().T @ (Bc @ Qo)
+        lam, V = sla.eig(S, G)
+        Q = Qo @ V
+    cpu = time.perf_counter() - t0
+    return dev, cpu
+
+
 def _sparse_bench():
     """BASELINE config 4 at the 65k rung, measured LIVE: 2D-Laplacian
     lowest-52-pair sparse EVP in f64 (mixed-precision pair-IR + multigrid
@@ -378,6 +438,18 @@ def main():
             })
         except Exception as e:                           # noqa: BLE001
             results.append({"metric": "general_bench_failed",
+                            "error": str(e)[:200]})
+
+    if time.perf_counter() - t_start < 900:
+        try:
+            dev_p, cpu_p = _pep_bench()
+            results.append({
+                "metric": "pep_quadratic_n512_companion_M0_24",
+                "value": round(dev_p, 4), "unit": "s",
+                "vs_baseline": round(cpu_p / dev_p, 2),
+            })
+        except Exception as e:                           # noqa: BLE001
+            results.append({"metric": "pep_bench_failed",
                             "error": str(e)[:200]})
 
     # BASELINE config 4, 65k rung: measured LIVE each bench run (the 1M

@@ -471,31 +471,35 @@ def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
 
 @cjit(static_argnames=("shape", "config", "standard", "bilinear",
                        "eig_method", "solver", "solver_tol", "solver_maxiter",
-                       "solver_restart", "mesh"))
-def _pfeast_sparse_general_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
+                       "solver_restart", "offsets_A", "offsets_B",
+                       "use_pallas", "precond", "mg_A", "mg_B", "mesh"))
+def _pfeast_sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                               diagA, diagB, Zne, Wne, Q0,
                                Emid, r, *, shape, config, standard, bilinear,
                                eig_method, solver, solver_tol, solver_maxiter,
-                               solver_restart, mesh: Mesh):
-    from jax.experimental import sparse as jsparse
+                               solver_restart, offsets_A=None, offsets_B=None,
+                               use_pallas=False, precond="jacobi",
+                               mg_A=None, mg_B=None, mesh: Mesh = None):
+    """Sparse general FEAST with contour nodes sharded over the mesh: each
+    device runs the FULL-STRENGTH serial general machinery
+    (_sparse_general_ops: DIA fast paths, Jacobi/multigrid preconditioning,
+    mixed-precision complex64 Krylov + IR under fpm[42]) on its node slice;
+    one psum of the filtered subspace per refinement loop plus a pmin
+    success consensus — per-device solves exactly as strong as the serial
+    driver's (the reference's per-rank solves are full UMFPACK,
+    feast_mpi.jl:288-420)."""
     from ..kernel.general import feast_general_core
-    from ..solvers.sparse import _make_sparse_solve_all
+    from ..solvers.sparse import _sparse_general_ops
 
-    def device_program(A_data, A_idx, B_data, B_idx, Zl, Wl, Q0, Emid, r):
-        A_bc = jsparse.BCOO((A_data, A_idx), shape=shape)
-        apply_A = lambda X: A_bc @ X
-        if standard:
-            apply_B = lambda X: X
-            apply_B_c = None
-        else:
-            B_bc = jsparse.BCOO((B_data, B_idx), shape=shape)
-            apply_B = lambda X: B_bc @ X
-            apply_B_c = apply_B
-
-        filter_partial = _make_sparse_solve_all(
-            apply_A, apply_B_c, standard, solver=solver,
-            solver_tol=solver_tol, solver_maxiter=solver_maxiter,
-            solver_restart=solver_restart, precond="none",
-            flag_tol=config.tol)
+    def device_program(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
+                       diagB, Zl, Wl, Q0, Emid, r):
+        apply_A, apply_B, filter_partial = _sparse_general_ops(
+            A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+            Zl.dtype, shape=shape, config=config, standard=standard,
+            solver=solver, solver_tol=solver_tol,
+            solver_maxiter=solver_maxiter, solver_restart=solver_restart,
+            offsets_A=offsets_A, offsets_B=offsets_B, use_pallas=use_pallas,
+            precond=precond, mg_A=mg_A, mg_B=mg_B)
 
         def filter_apply(Q):
             local, conv = filter_partial(Zl, Wl, apply_B(Q))
@@ -514,25 +518,30 @@ def _pfeast_sparse_general_jit(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0,
 
     sharded = jax.shard_map(
         device_program, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return sharded(A_data, A_idx, B_data, B_idx, Zne, Wne, Q0, Emid, r)
+    return sharded(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
+                   Zne, Wne, Q0, Emid, r)
 
 
 def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
                           eig_method=None, contour=None, Q0=None, mesh=None,
                           n_devices=None, solver="gmres", solver_tol=None,
-                          solver_maxiter=500, solver_restart=30):
+                          solver_maxiter=500, solver_restart=30,
+                          grid=None, precond=None):
     """Sparse general/complex-symmetric FEAST, contour nodes sharded over
     the mesh (the reference's recognized MPI gap closed the TPU way:
     feast_mpi.jl has no sparse-general driver; here the same psum machinery
     serves it)."""
     from ..core.contour import feast_gcontour
     from ..core.types import FeastGeneralResult
-    from ..solvers.sparse import _is_double, _peek_dtype, sparse_coo_arrays
+    from ..solvers.sparse import (_is_double, _peek_dtype, _solver_fn,
+                                  sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
+    solver = _solver_fn(solver)
     if int(fpm[14]) == 2:
         # stochastic estimate is a single filter application — the serial
         # sparse-general estimate path serves it at mesh-equivalent cost
@@ -559,6 +568,13 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
         B_data, B_idx = A_data, A_idx
     else:
         B_data, B_idx, _ = sparse_coo_arrays(B, cdtype)
+    from ..solvers.sparse import _plan_mg, _structured_forms
+    (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
+     precond_auto, mg_A, mg_B) = _structured_forms(
+         A_data, A_idx, B_data, B_idx, N, standard, cdtype, grid=grid)
+    precond, mg_A, mg_B = _plan_mg(
+        mg_A, mg_B, float(np.real(complex(Emid))) + float(r), precond_auto,
+        precond)
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     if solver_tol is None:
         solver_tol = max(config.tol * 0.1, 10 * float(np.finfo(rdtype).eps))
@@ -573,14 +589,16 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
 
     with mesh:
         state = _pfeast_sparse_general_jit(
-            A_data, A_idx, B_data, B_idx,
+            A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
             np.asarray(Zp, cdtype), np.asarray(Wp, cdtype), Q0,
             np.asarray(complex(Emid), cdtype)[()], rdtype(float(r)),
             shape=tuple(shape), config=config, standard=standard,
             bilinear=bool(bilinear), eig_method=str(eig_method),
             solver=str(solver), solver_tol=float(solver_tol),
             solver_maxiter=int(solver_maxiter),
-            solver_restart=int(solver_restart), mesh=mesh)
+            solver_restart=int(solver_restart), offsets_A=offsets_A,
+            offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+            mg_A=mg_A, mg_B=mg_B, mesh=mesh)
 
     info = FeastError.SUCCESS if bool(fetch(state.converged)) else FeastError.NO_CONVERGENCE
     return _trim(FeastGeneralResult, fetch(state.lam), fetch(state.Q),

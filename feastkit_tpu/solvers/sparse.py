@@ -1133,17 +1133,18 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                  inner_ok=bool(inner_ok))
 
 
-@cjit(static_argnames=("shape", "config", "standard", "bilinear",
-                       "eig_method", "solver", "solver_tol", "solver_maxiter",
-                       "solver_restart", "offsets_A", "offsets_B",
-                       "use_pallas", "precond", "mg_A", "mg_B"))
-def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
-                        diagA, diagB, Zne, Wne, Q0, Emid, r,
-                        *, shape, config, standard, bilinear, eig_method,
+def _sparse_general_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                        diagA, diagB, cdtype, *, shape, config, standard,
                         solver, solver_tol, solver_maxiter, solver_restart,
                         offsets_A=None, offsets_B=None, use_pallas=False,
                         precond="jacobi", mg_A=None, mg_B=None):
-    cdtype = Zne.dtype
+    """(apply_A, apply_B, filter_partial) full-strength general-contour
+    machinery (DIA fast paths, Jacobi/multigrid preconditioning, mixed-
+    precision complex64 Krylov + iterative refinement under fpm[42]) —
+    shared by the serial and the contour-sharded general drivers so the
+    sharded path is exactly as strong per device as the serial one
+    (the reference's per-rank solves are full UMFPACK,
+    feast_mpi.jl:288-420)."""
     mixed = _mixed_enabled(config, cdtype)
     A_bc = jsparse.BCOO((A_data.astype(cdtype), A_idx), shape=shape)
     apply_A = _make_apply(A_bc, A_dia.astype(cdtype), offsets_A, use_pallas)
@@ -1166,7 +1167,28 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         diagA=diagA.astype(cdtype),
         diagB=None if standard else diagB.astype(cdtype), precond=precond,
         flag_tol=config.tol, mg_A=mg_A, mg_B=mg_B, mixed=mixed,
+        ir_max=config.ir_max,
         apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo)
+    return apply_A, apply_B, filter_partial
+
+
+@cjit(static_argnames=("shape", "config", "standard", "bilinear",
+                       "eig_method", "solver", "solver_tol", "solver_maxiter",
+                       "solver_restart", "offsets_A", "offsets_B",
+                       "use_pallas", "precond", "mg_A", "mg_B"))
+def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
+                        diagA, diagB, Zne, Wne, Q0, Emid, r,
+                        *, shape, config, standard, bilinear, eig_method,
+                        solver, solver_tol, solver_maxiter, solver_restart,
+                        offsets_A=None, offsets_B=None, use_pallas=False,
+                        precond="jacobi", mg_A=None, mg_B=None):
+    apply_A, apply_B, filter_partial = _sparse_general_ops(
+        A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB, Zne.dtype,
+        shape=shape, config=config, standard=standard, solver=solver,
+        solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+        solver_restart=solver_restart, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
+        mg_A=mg_A, mg_B=mg_B)
 
     def filter_apply(Q):
         acc, conv = filter_partial(Zne, Wne, apply_B(Q))

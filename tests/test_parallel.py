@@ -128,6 +128,40 @@ def test_pfeast_general_sparse(rng):
     assert np.abs(np.sort_complex(rp.lam) - np.sort_complex(rs.lam)).max() < 1e-7
 
 
+def test_pfeast_sparse_general_full_strength_stencil():
+    """The sharded sparse-general driver runs the SAME full-strength inner
+    machinery as the serial one (multigrid preconditioning from stencil
+    statics, not precond='none') — per-rank solves in the reference's MPI
+    driver are full UMFPACK (feast_mpi.jl:288-420)."""
+    import scipy.sparse as sp
+    from feastkit_tpu.parallel.pfeast import pfeast_sparse_general
+    from feastkit_tpu.solvers.sparse import (_plan_mg, _structured_forms,
+                                             sparse_coo_arrays,
+                                             sparse_feast_general)
+    g = 12
+    T = sp.diags([-np.ones(g - 1), 2 * np.ones(g), -np.ones(g - 1)],
+                 [-1, 0, 1])
+    A = (sp.kron(sp.eye(g), T) + sp.kron(T, sp.eye(g))).tocsr()
+    # the structured-forms planner must pick a non-trivial preconditioner
+    # for this 2D-Laplacian stencil (the sharded driver now consumes it)
+    cd = np.complex128 if jax.config.jax_enable_x64 else np.complex64
+    A_data, A_idx, shape = sparse_coo_arrays(A, cd)
+    (_, _, _, _, _, _, _, precond_auto, mg_A, mg_B) = _structured_forms(
+        A_data, A_idx, A_data, A_idx, shape[0], True, cd, grid=None)
+    precond, _, _ = _plan_mg(mg_A, mg_B, 0.6, precond_auto, None)
+    assert precond != "none"
+
+    from feastkit_tpu.core.parameters import feastinit
+    fpm = feastinit()
+    fpm[8] = 8
+    rs = sparse_feast_general(A, None, 0.35, 0.25, 10, fpm)
+    rp = pfeast_sparse_general(A, None, 0.35, 0.25, 10, fpm)
+    assert rs.info == 0 and rp.info == 0
+    assert rp.M == rs.M
+    assert np.abs(np.sort_complex(rp.lam)
+                  - np.sort_complex(rs.lam)).max() < 1e-8
+
+
 def test_strict_backend_raises_on_single_device():
     """backend='sharded' with strict_backend=True raises when the mesh has
     one device (select_parallel_backend contract,

@@ -537,10 +537,17 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     feast_mpi.jl has no sparse-general driver; here the same psum machinery
     serves it)."""
     from ..core.contour import feast_gcontour
+    from ..core.parameters import ifeast_solver_options
     from ..core.types import FeastGeneralResult
     from ..solvers.sparse import (_is_double, _peek_dtype, _solver_fn,
                                   sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
+    iopts = ifeast_solver_options(fpm) or {}
+    if iopts:
+        solver = iopts["solver"] if solver == "gmres" else solver
+        solver_tol = iopts["solver_tol"] if solver_tol is None else solver_tol
+        solver_maxiter = iopts["solver_maxiter"] \
+            if solver_maxiter == 500 else solver_maxiter
     solver = _solver_fn(solver)
     if int(fpm[14]) == 2:
         # stochastic estimate is a single filter application — the serial
@@ -840,9 +847,18 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     mixed-precision pair iterative refinement under fpm[42], DIA fast
     paths) with contour nodes block-partitioned over the mesh — matching
     the reference's full-strength per-rank solves (feast_mpi.jl:288-466)."""
+    from ..core.parameters import ifeast_solver_options
     from ..solvers.sparse import (_is_double, _peek_dtype, _plan_mg,
                                   _structured_forms, sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
+    # IFEAST inner-solver knobs (fpm[43..46]) flow to the sharded inner
+    # solves exactly as to the serial ones (feast_parameters.jl:321-339)
+    iopts = ifeast_solver_options(fpm) or {}
+    if iopts:
+        solver = iopts["solver"] if solver == "gmres" else solver
+        solver_tol = iopts["solver_tol"] if solver_tol is None else solver_tol
+        solver_maxiter = iopts["solver_maxiter"] \
+            if solver_maxiter == 500 else solver_maxiter
     if mesh is None:
         mesh = contour_mesh(n_devices)
 

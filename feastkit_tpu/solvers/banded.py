@@ -394,9 +394,13 @@ def feast_hbgv(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax, M0,
 
 
 def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
-                           fpm, bilinear, eig_method="callback", Q0=None
+                           fpm, bilinear, eig_method=None, Q0=None
                            ) -> FeastGeneralResult:
     fpm = _ensure_fpm(fpm)
+    if eig_method is None:
+        # host zgeev callbacks are unsupported through the axon tunnel
+        from ..utils import cio as _cio
+        eig_method = "qr" if _cio.complex_io_required() else "callback"
     A_bands = np.asarray(A_bands)
     N = A_bands.shape[1]
     if not 0 < M0 <= N:

@@ -300,12 +300,16 @@ def feast_polynomial_matvec(coeff_ops, Emid, r, M0, fpm=None, **kw):
 def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
                          solver="gmres", solver_tol=None, solver_maxiter=500,
                          solver_restart=30, solve_shifted=None,
-                         bilinear=False, eig_method="callback", Q0=None
+                         bilinear=False, eig_method=None, Q0=None
                          ) -> FeastGeneralResult:
     """Matrix-free general FEAST inside the ellipse (Emid, r)
     (parity: feast_matfree_grci! + feast_general(A_op, ...),
     feast_matfree.jl:275-380, :488-509)."""
     fpm = _ensure_fpm(fpm)
+    if eig_method is None:
+        # host zgeev callbacks are unsupported through the axon tunnel
+        from ..utils import cio as _cio
+        eig_method = "qr" if _cio.complex_io_required() else "callback"
     A_op = _as_op(A_op)
     standard = B_op is None
     if not standard:

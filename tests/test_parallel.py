@@ -162,6 +162,31 @@ def test_pfeast_sparse_general_full_strength_stencil():
                   - np.sort_complex(rs.lam)).max() < 1e-8
 
 
+def test_pfeast_sparse_honors_ifeast_knobs():
+    """IFEAST inner-solver knobs (fpm[43..46]) flow to the SHARDED inner
+    solves exactly as to the serial ones (feast_parameters.jl:321-339):
+    with a starvation-level fpm[46] iteration cap the sharded driver must
+    flag the inner solves as unconverged, proving the cap reached them."""
+    import scipy.sparse as sp
+    import warnings
+    from feastkit_tpu import pfeast_sparse
+    from feastkit_tpu.core.parameters import feastinit
+    n = 96
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    fpm = feastinit()
+    fpm[43] = 1          # IFEAST semantics on
+    fpm[45] = 12         # inner accuracy 1e-12
+    fpm[46] = 2          # starve the inner solver: 2 iterations max
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = pfeast_sparse(A, None, 0.5, 1.5, 24, fpm)
+    assert not r.inner_converged
+    fpm[46] = 500        # proper budget: the same call converges
+    r2 = pfeast_sparse(A, None, 0.5, 1.5, 24, fpm)
+    assert r2.inner_converged and r2.info == 0
+
+
 def test_strict_backend_raises_on_single_device():
     """backend='sharded' with strict_backend=True raises when the mesh has
     one device (select_parallel_backend contract,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 __all__ = [
-    "full_to_banded", "banded_to_full", "banded_matvec",
+    "full_to_banded", "banded_to_full", "dia_to_banded", "banded_matvec",
     "banded_to_blocktridiag", "bcr_factor", "bcr_solve", "BCRLevel",
 ]
 
@@ -49,6 +49,26 @@ def full_to_banded(A, kl: int, ku: int) -> np.ndarray:
             i = j - d
             if 0 <= i < N:
                 bands[k, j] = A[i, j]
+    return bands
+
+
+def dia_to_banded(diags, offsets, kl: int, ku: int) -> np.ndarray:
+    """Row-aligned DIA form (ops/pallas_kernels.bcoo_to_dia) -> LAPACK band
+    storage (kl+ku+1, N).
+
+    diags[k, i] = A[i, i + offsets[k]]  ->  bands[ku - d, j] = A[j - d, j].
+    Inverse of pallas_kernels.bands_to_dia; offsets must lie in [-kl, ku].
+    """
+    diags = np.asarray(diags)
+    N = diags.shape[1]
+    bands = np.zeros((kl + ku + 1, N), dtype=diags.dtype)
+    for k, d in enumerate(offsets):
+        if not -kl <= d <= ku:
+            raise ValueError(f"offset {d} outside band [-{kl}, {ku}]")
+        if d >= 0:
+            bands[ku - d, d:] = diags[k, : N - d]
+        else:
+            bands[ku - d, : N + d] = diags[k, -d:]
     return bands
 
 

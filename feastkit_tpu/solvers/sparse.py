@@ -916,6 +916,29 @@ def _structured_forms(A_data, A_idx, B_data, B_idx, N, standard, dtype,
             diagA, diagB, use_pallas, precond, mg_A, mg_B)
 
 
+def _narrow_band(offsets, N, max_half_bw=16, max_n=16384):
+    """(kl, ku) when a DIA offset pattern fits a NARROW band, else None.
+
+    Narrow-banded sparse pencils at modest N are solved EXACTLY by the
+    banded block-cyclic-reduction engine (ops/banded.py) — the TPU-native
+    stand-in for the reference's per-node UMFPACK factorization
+    (feast_sparse.jl:294). Restarted Krylov at the near-machine inner
+    tolerances a 1e-12 outer target demands routinely stagnates on
+    indefinite shifted systems with crowded spectra, where one direct
+    factor per contour node is both faster and unconditionally accurate.
+    Gated to max(kl, ku) <= ``max_half_bw`` and N <= ``max_n``: beyond
+    that the BCR hierarchy's (nb, b, b) block memory (b is MXU-shaped 128
+    on TPU) times the contour-node vmap stops paying for itself against
+    the MG-preconditioned iterative path."""
+    if offsets is None or len(offsets) == 0:
+        return None
+    kl = max((-d for d in offsets if d < 0), default=0)
+    ku = max((d for d in offsets if d > 0), default=0)
+    if max(kl, ku) > max_half_bw or N > max_n:
+        return None
+    return int(kl), int(ku)
+
+
 def _is_double(dt) -> bool:
     """True when the operand's REAL-component precision is 64-bit: float64 /
     complex128 (complex64 has itemsize 8 but is SINGLE precision)."""
@@ -950,6 +973,10 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
     fpm = _ensure_fpm(fpm)
     iopts = ifeast_solver_options(fpm) or {}
+    # nothing pinned the inner solve to an ITERATIVE method: banded-direct
+    # delegation below stays available
+    auto_inner = (solver is None and not iopts and solver_tol is None
+                  and solver_maxiter is None and precond is None)
     solver = _solver_fn(solver or iopts.get("solver", "gmres"))
     solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
     solver_maxiter = (solver_maxiter if solver_maxiter is not None
@@ -978,6 +1005,21 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
      precond_auto, mg_A, mg_B) = _structured_forms(
          A_data, A_idx, B_data, B_idx, N, standard, work_dtype, grid=grid)
+    if auto_inner and grid is None:
+        bwA = _narrow_band(offsets_A, N)
+        bwB = (0, 0) if standard else _narrow_band(offsets_B, N)
+        if bwA is not None and bwB is not None:
+            # narrow-banded pencil: exact BCR factor/solve per contour node
+            # (direct-solver semantics, matching the reference's UMFPACK
+            # sparse path) — see _narrow_band
+            from .banded import _banded_interval_driver
+            from ..ops.banded import dia_to_banded
+            A_bands = dia_to_banded(A_dia, offsets_A, *bwA)
+            B_bands = None if standard else dia_to_banded(
+                B_dia, offsets_B, *bwB)
+            return _banded_interval_driver(
+                A_bands, bwA[0], bwA[1], B_bands, bwB[0], bwB[1],
+                Emin, Emax, M0, fpm, hermitian, Q0=Q0)
     precond, mg_A, mg_B = _plan_mg(mg_A, mg_B, float(Emax), precond_auto,
                                    precond)
 
@@ -1013,9 +1055,11 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         from .dense import _host_state
         # Pin operands on device ONCE: the tunnel's host->device path runs
         # at ~30 MB/s, so re-uploading numpy operands on every dispatch of
-        # the host-driven loop would dominate wall time by 100x. All leaves
-        # here are real/int (complex contour data travels as components).
-        arrs = tuple(jax.device_put(a) for a in arrs)
+        # the host-driven loop would dominate wall time by 100x. Complex
+        # operand data (Hermitian path) cannot cross the tunnel as complex
+        # arrays — device_operand splits it into device-resident
+        # (re, im) pairs that cjit recombines on device.
+        arrs = tuple(cio.device_operand(a) for a in arrs)
         state = _host_state(np.asarray(Q0, work_dtype))
         pair_mode = (_mixed_enabled(config, np.complex128 if f64
                                     else np.complex64) and not hermitian)
@@ -1204,7 +1248,7 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
 
 def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
-                         eig_method="callback", solver=None,
+                         eig_method=None, solver=None,
                          solver_tol=None, solver_maxiter=None,
                          solver_restart=30, Q0=None, grid=None,
                          precond=None) -> FeastGeneralResult:
@@ -1212,7 +1256,16 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     (parity: feast_gcsrgv!/gcsrev! RCI-loop drivers, feast_sparse.jl:873-1006,
     complex-symmetric :509-711)."""
     fpm = _ensure_fpm(fpm)
+    eig_method_arg = eig_method
+    if eig_method is None:
+        # host zgeev callbacks are unsupported through the axon tunnel —
+        # pick the on-device QR eig there, host callback elsewhere
+        eig_method = "qr" if cio.complex_io_required() else "callback"
     iopts = ifeast_solver_options(fpm) or {}
+    # see sparse_feast_interval: banded-direct delegation stays available
+    # only when no ITERATIVE inner-solve knob was pinned by the caller
+    auto_inner = (solver is None and not iopts and solver_tol is None
+                  and solver_maxiter is None and precond is None)
     solver = _solver_fn(solver or iopts.get("solver", "gmres"))
     solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
     solver_maxiter = (solver_maxiter if solver_maxiter is not None
@@ -1235,6 +1288,21 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, use_pallas,
      precond_auto, mg_A, mg_B) = _structured_forms(
          A_data, A_idx, B_data, B_idx, N, standard, cdtype, grid=grid)
+    if auto_inner and grid is None:
+        bwA = _narrow_band(offsets_A, N)
+        bwB = (0, 0) if standard else _narrow_band(offsets_B, N)
+        if bwA is not None and bwB is not None:
+            # narrow-banded pencil: exact BCR factor/solve per contour node
+            # (direct-solver semantics; see _narrow_band)
+            from .banded import _banded_general_driver
+            from ..ops.banded import dia_to_banded
+            A_bands = dia_to_banded(A_dia, offsets_A, *bwA)
+            B_bands = None if standard else dia_to_banded(
+                B_dia, offsets_B, *bwB)
+            return _banded_general_driver(
+                A_bands, bwA[0], bwA[1], B_bands, bwB[0], bwB[1],
+                Emid, r, M0, fpm, bilinear, eig_method=eig_method_arg,
+                Q0=Q0)
     precond, mg_A, mg_B = _plan_mg(
         mg_A, mg_B, float(np.real(complex(Emid))) + float(r), precond_auto,
         precond)

@@ -334,3 +334,67 @@ def test_matfree_polynomial_companion():
     for j in range(r.M):
         x = np.asarray(r.q)[:, j]
         assert np.linalg.norm(P(lam[j]) @ x) < 1e-6
+
+
+# --- narrow-band direct delegation ------------------------------------------
+# Narrow-banded sparse pencils route to the banded BCR direct engine
+# (sparse.py _narrow_band): direct-solver semantics matching the reference's
+# UMFPACK sparse path (feast_sparse.jl:294), where restarted Krylov at
+# near-machine inner tolerances stalls on crowded indefinite spectra.
+
+def test_narrow_band_delegates_to_banded(monkeypatch):
+    import feastkit_tpu.solvers.banded as banded_mod
+    calls = []
+    orig = banded_mod._banded_interval_driver
+
+    def spy(*a, **k):
+        calls.append(a[:2])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(banded_mod, "_banded_interval_driver", spy)
+    n = 300
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    r = feast_scsrev(A, 0.5, 0.7, len(exp) + 5)
+    assert len(calls) == 1            # tridiagonal + auto knobs -> delegated
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+
+    # any explicit iterative knob pins the Krylov path (no delegation)
+    calls.clear()
+    r2 = feast_scsrev(A, 0.5, 0.7, len(exp) + 5, solver="gmres")
+    assert not calls
+    assert r2.M == len(exp)
+
+
+def test_narrow_band_crowded_hermitian_spectrum():
+    """The reference demo config that STALLS restarted GMRES (eigenvalue
+    spacing ~8e-3 against a 1e-12-outer inner target): the banded direct
+    path must converge it (parity: F90sparse_zfeast_hcsrev demo driver)."""
+    n = 240
+    d = np.linspace(-1.0, 1.0, n)
+    A = (sp.diags([np.full(n - 1, 0.08 - 0.05j), d.astype(complex),
+                   np.full(n - 1, 0.08 + 0.05j)], [-1, 0, 1])
+         .tocsr())
+    exp_count = int(np.count_nonzero(
+        (np.linalg.eigvalsh(A.toarray()) >= -0.35)
+        & (np.linalg.eigvalsh(A.toarray()) <= 0.23)))
+    r = feast_hcsrev(A, -0.35, 0.23, 90)
+    assert r.info == 0
+    assert r.M == exp_count
+    assert r.inner_converged
+
+
+def test_dia_to_banded_roundtrip(rng):
+    from feastkit_tpu.ops.banded import (banded_to_full, dia_to_banded,
+                                         full_to_banded)
+    from feastkit_tpu.ops.pallas_kernels import bands_to_dia
+    n, kl, ku = 17, 2, 3
+    A = rng.standard_normal((n, n))
+    A = np.triu(np.tril(A, ku), -kl)       # keep entries within the band
+    bands = full_to_banded(A, kl, ku)
+    dia, offs = bands_to_dia(bands, kl, ku)
+    back = dia_to_banded(dia, offs, kl, ku)
+    assert np.array_equal(back, bands)
+    assert np.array_equal(banded_to_full(back, kl, ku), A)

@@ -268,6 +268,21 @@ def _banded_filter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
     return acc if hermitian else jnp.real(acc).astype(V.dtype)
 
 
+@cjit(static_argnames=("kl", "ku", "klb", "kub", "config"))
+def _banded_gfilter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
+                        config: FeastConfig):
+    """Raw FULL-contour filtered application P V (fpm[14]=2 probes on
+    general contours: trace(P) = M for oblique projectors, so the weights
+    arrive pre-halved from the driver)."""
+    cdtype = Zne.dtype
+    apply_A, apply_B, solve_all, N = _banded_machinery(
+        jnp.asarray(A_bands), kl, ku,
+        None if B_bands is None else jnp.asarray(B_bands), klb, kub,
+        Zne, cdtype, cdtype)
+    X = solve_all(apply_B(V).astype(cdtype))
+    return jnp.einsum("e,enm->nm", Wne.astype(cdtype), X)
+
+
 def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                             M0, fpm, hermitian, Q0=None) -> FeastResult:
     fpm = _ensure_fpm(fpm)
@@ -283,7 +298,10 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     is_c = np.iscomplexobj(A_bands) or (
         B_bands is not None and np.iscomplexobj(np.asarray(B_bands)))
     hermitian = is_c if hermitian is None else hermitian
-    f64 = A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+    # double-precision WORK requires x64: without it jnp silently casts
+    # to f32 while the tolerance still targets 1e-12 (guaranteed info=5)
+    f64 = (A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+           and jax.config.jax_enable_x64)
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -407,12 +425,31 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not r > 0:
         raise ValueError(f"Contour radius must be positive, got {r}")
-    f64 = A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+    # double-precision WORK requires x64: without it jnp silently casts
+    # to f32 while the tolerance still targets 1e-12 (guaranteed info=5)
+    f64 = (A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
+           and jax.config.jax_enable_x64)
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
+    if config.mode == 2:
+        # stochastic estimate: raw full-contour quadrature, weights halved
+        # (trace(P) = M for oblique projectors; feast_parameters.jl:71-75)
+        from .sparse import _stochastic_estimate_result
+        Zg = np.asarray(contour.Zne, cdtype)
+        Wg = 0.5 * np.asarray(contour.Wne, cdtype)
+        res = _stochastic_estimate_result(
+            lambda V: _banded_gfilter_jit(
+                A_bands.astype(cdtype),
+                None if B_bands is None else np.asarray(B_bands, cdtype),
+                Zg, Wg, np.asarray(V, cdtype),
+                kl=kl, ku=ku, klb=klb, kub=kub, config=config),
+            N, fpm, cdtype)
+        return FeastGeneralResult(
+            np.zeros(0, cdtype), np.zeros((N, 0), cdtype), res.M,
+            np.zeros(0), res.info, res.epsout, res.loop)
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, cdtype, general=True)
     state = _banded_general_jit(

@@ -177,6 +177,10 @@ def _iterative_banded_interval(dtype, generalized, hermitian):
     feast_precision_aliases.jl iterative families)."""
     def alias(A_bands, kl, ku, *args, **kw):
         A = _bands_to_scipy(A_bands, kl, ku, dtype)
+        # pin the inner solve to Krylov: an unset solver would let the
+        # narrow-band auto-delegation route back to the DIRECT BCR engine,
+        # silently voiding the i-name's iterative contract
+        kw.setdefault("solver", "gmres")
         if generalized:
             B_bands, klb, kub, Emin, Emax, M0, *rest = args
             fpm = rest[0] if rest else kw.pop("fpm", None)
@@ -195,6 +199,8 @@ def _iterative_banded_general(dtype, generalized, bilinear):
     iterative inner solves through the sparse general engine."""
     def alias(A_bands, kl, ku, *args, **kw):
         A = _bands_to_scipy(A_bands, kl, ku, dtype)
+        # pin the inner solve to Krylov (see _iterative_banded_interval)
+        kw.setdefault("solver", "gmres")
         if generalized:
             B_bands, klb, kub, Emid, r, M0, *rest = args
             fpm = rest[0] if rest else kw.pop("fpm", None)

@@ -125,12 +125,10 @@ def _dia_matvec_vmappable(offsets, block, interpret):
         d_b, x_b = in_batched
         if d_b:
             # batched coefficients: no batched kernel; unroll via map
-            d2 = diags if d_b else jnp.broadcast_to(
-                diags, (axis_size,) + diags.shape)
             x2 = x if x_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
             out = jax.lax.map(
                 lambda dx: dia_matvec_reference(dx[0], dx[1], offsets),
-                (d2, x2))
+                (diags, x2))
             return out, True
         out = _dia_matvec_batched(diags, x, offsets, block=block,
                                   interpret=interpret)

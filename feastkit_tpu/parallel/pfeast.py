@@ -433,12 +433,13 @@ def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     Zp, Wp = pad_contour(contour.Zne, contour.Wne, mesh.shape[AXIS])
 
     if config.mode == 2:
-        # stochastic estimate through the sharded full-contour filter
-        # (0.5x weights: the raw quadrature sum of the oblique projector)
+        # stochastic estimate through the sharded full-contour filter: the
+        # RAW quadrature sum of the oblique projector already has
+        # trace(P) = M (no half-contour doubling to cancel here)
         from ..core.types import FeastGeneralResult as _FGR
         from ..solvers.sparse import _stochastic_estimate_result
         Zg = np.asarray(Zp, cdtype)
-        Wg = 0.5 * np.asarray(Wp, cdtype)
+        Wg = np.asarray(Wp, cdtype)
 
         def filt(V):
             with mesh:

@@ -272,8 +272,8 @@ def _banded_filter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
 def _banded_gfilter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
                         config: FeastConfig):
     """Raw FULL-contour filtered application P V (fpm[14]=2 probes on
-    general contours: trace(P) = M for oblique projectors, so the weights
-    arrive pre-halved from the driver)."""
+    general contours). The raw quadrature sum of the oblique projector has
+    trace(P) = M, so the driver passes the contour weights UNSCALED."""
     cdtype = Zne.dtype
     apply_A, apply_B, solve_all, N = _banded_machinery(
         jnp.asarray(A_bands), kl, ku,
@@ -435,11 +435,11 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_gcontour(complex(Emid), float(r), fpm)
     if config.mode == 2:
-        # stochastic estimate: raw full-contour quadrature, weights halved
-        # (trace(P) = M for oblique projectors; feast_parameters.jl:71-75)
+        # stochastic estimate: the RAW full-contour quadrature sum already
+        # has trace(P) = M (feast_parameters.jl:71-75) — weights unscaled
         from .sparse import _stochastic_estimate_result
         Zg = np.asarray(contour.Zne, cdtype)
-        Wg = 0.5 * np.asarray(contour.Wne, cdtype)
+        Wg = np.asarray(contour.Wne, cdtype)
         res = _stochastic_estimate_result(
             lambda V: _banded_gfilter_jit(
                 A_bands.astype(cdtype),

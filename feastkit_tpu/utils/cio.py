@@ -210,8 +210,12 @@ def device_operand(X):
     if isinstance(X, jax.Array):
         return X
     if _is_pair(X):
-        return ComplexPair(jax.device_put(np.ascontiguousarray(X.re)),
-                           jax.device_put(np.ascontiguousarray(X.im)))
+        # parts already on device stay there — ascontiguousarray on a
+        # jax.Array would round-trip the data through the (slow) host link
+        def _part(p):
+            return p if isinstance(p, jax.Array) else jax.device_put(
+                np.ascontiguousarray(p))
+        return ComplexPair(_part(X.re), _part(X.im))
     X = np.asarray(X)
     if np.iscomplexobj(X) and complex_io_required():
         return ComplexPair(jax.device_put(np.ascontiguousarray(X.real)),

@@ -222,11 +222,22 @@ def test_ifeast_banded_iterative_vs_direct():
     Emin, Emax = 0.5 * (w[9] + w[10]), 0.5 * (w[19] + w[20])
     exp = w[(w >= Emin) & (w <= Emax)]
     r_dir = fk.dfeast_sbgv(Ab, 1, 1, Bb, 1, 1, Emin, Emax, len(exp) + 4)
-    r_it = fk.difeast_sbgv(Ab, 1, 1, Bb, 1, 1, Emin, Emax, len(exp) + 4)
+    # prove the i-name takes the KRYLOV path: the narrow-band auto
+    # delegation (direct BCR) must NOT fire for the iterative alias
+    import feastkit_tpu.solvers.banded as _bd
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("ifeast alias delegated to the DIRECT engine")
+
+    orig = _bd._banded_interval_driver
+    _bd._banded_interval_driver = _boom
+    try:
+        r_it = fk.difeast_sbgv(Ab, 1, 1, Bb, 1, 1, Emin, Emax, len(exp) + 4)
+    finally:
+        _bd._banded_interval_driver = orig
     assert r_it.M == r_dir.M == len(exp)
     assert np.abs(np.sort(r_it.lam) - np.sort(r_dir.lam)).max() < 1e-8
-    # the iterative path reports inner-solve certification; direct has the
-    # trivially-True default
+    # the iterative path reports inner-solve certification
     assert r_it.inner_converged is True
 
 

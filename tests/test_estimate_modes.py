@@ -80,3 +80,31 @@ def test_sparse_general_estimate(rng):
     r = fk.feast_gcsrev(A, 0.0 + 0.0j, 1.0, 8, _estimate_fpm(60))
     assert r.lam.size == 0
     assert abs(r.M - true) <= 0.3 * true + 3
+
+
+def test_banded_general_estimate_unbiased():
+    """Regression: the banded-general estimate applied HALVED weights to a
+    raw full-contour filter (trace(P) = M already), reporting ~M/2. A large
+    true count with a sub-50% tolerance pins the convention."""
+    n = 400
+    bands = np.zeros((3, n), np.complex128)
+    bands[0, 1:] = -1.0
+    bands[1, :] = 2.0
+    bands[2, :-1] = -1.0
+    w = laplacian_eigs(n)
+    true = int((np.abs(w - 2.0) <= 0.8).sum())   # ~106
+    r = fk.zfeast_gbev(bands, 1, 1, 2.0 + 0.0j, 0.8, 8, _estimate_fpm(20))
+    assert r.info == 0 and r.lam.size == 0
+    assert abs(r.M - true) <= 0.2 * true
+
+
+def test_pfeast_general_estimate_unbiased():
+    """Regression: same halved-weight bug in the sharded general filter."""
+    from feastkit_tpu.parallel.pfeast import pfeast_general
+    n = 400
+    A = np.asarray(laplacian_1d(n), np.complex128)
+    w = laplacian_eigs(n)
+    true = int((np.abs(w - 2.0) <= 0.8).sum())
+    r = pfeast_general(A, None, 2.0 + 0.0j, 0.8, 8, _estimate_fpm(20))
+    assert r.info == 0 and r.lam.size == 0
+    assert abs(r.M - true) <= 0.2 * true

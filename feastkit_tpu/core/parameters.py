@@ -368,6 +368,10 @@ class FeastConfig:
     #   execution watchdogs (env override FEAST_DISPATCH_BUDGET)
     group_max: int = 2           # host-granular driving only: max contour
     #   nodes vmapped into one dispatch (env override FEAST_GROUP_MAX)
+    fused_small_n: int = 256     # dense driver on remote attachments: run
+    #   problems with N <= this through the single fused whole-refinement
+    #   program (one synchronization round trip) instead of the host-driven
+    #   loop; 0 disables (env override FEAST_FUSED_SMALL_N)
 
     @staticmethod
     def from_fpm(fpm: FeastParameters, dtype=None, full_contour: bool = False
@@ -391,4 +395,5 @@ class FeastConfig:
             dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
                                                  5e6)),
             group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),
+            fused_small_n=int(os.environ.get("FEAST_FUSED_SMALL_N", 256)),
         )

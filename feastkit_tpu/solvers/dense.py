@@ -362,8 +362,14 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         return FeastResult(np.zeros(0), np.zeros((N, 0)), M_est, np.zeros(0),
                            FeastError.SUCCESS, float(est), 1)
 
+    # Small problems skip the host-driven loop even on remote attachments:
+    # the fused whole-refinement while_loop program compiles fast and
+    # executes in microseconds, so the solve costs ONE synchronization
+    # round trip instead of one per 2-loop chunk (the round trip, ~30 ms
+    # through the tunnel, dominates the wall time at this size).
+    fused_small = N <= config.fused_small_n
     fetched = None
-    if cio.complex_io_required():
+    if cio.complex_io_required() and not fused_small:
         state, fetched = _run_host_loop(A, B_arg, Zne, Wne, Q0,
                                         rdtype_np(Emin), rdtype_np(Emax),
                                         config=config, standard=standard,

@@ -82,9 +82,10 @@ def test_general_solver_through_packed_path(forced_packed):
     assert np.iscomplexobj(r.lam)
 
 
-def test_dense_host_loop_path(forced_packed):
+def test_dense_host_loop_path(forced_packed, monkeypatch):
     """The axon driving mode: host-driven refinement loop with small jitted
     factor/body/verify programs, matching the fused-path results."""
+    monkeypatch.setenv("FEAST_FUSED_SMALL_N", "0")   # force the host loop
     from feastkit_tpu.solvers.dense import feast_syev
     import feastkit_tpu.utils.cio as _cio
     n = 60
@@ -96,7 +97,25 @@ def test_dense_host_loop_path(forced_packed):
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
 
 
-def test_dense_host_loop_hermitian(forced_packed):
+def test_dense_fused_small_matches_host_loop(forced_packed, monkeypatch):
+    """On remote attachments, N <= fused_small_n runs the single fused
+    whole-refinement program (one synchronization round trip); it must
+    agree with the host-driven loop on the same problem."""
+    from feastkit_tpu.solvers.dense import feast_syev
+    n = 60
+    A = laplacian_1d(n)
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.5)])
+    r_fused = feast_syev(A, 0.5, 1.5, len(exp) + 3)  # default: fused (n<=256)
+    monkeypatch.setenv("FEAST_FUSED_SMALL_N", "0")
+    r_host = feast_syev(A, 0.5, 1.5, len(exp) + 3)   # host loop
+    assert r_fused.M == r_host.M == len(exp)
+    assert np.abs(np.sort(r_fused.lam) - exp).max() < 1e-10
+    assert np.abs(np.sort(r_fused.lam) - np.sort(r_host.lam)).max() < 1e-10
+
+
+def test_dense_host_loop_hermitian(forced_packed, monkeypatch):
+    monkeypatch.setenv("FEAST_FUSED_SMALL_N", "0")   # force the host loop
     from feastkit_tpu.solvers.dense import feast_heev
     rng = np.random.default_rng(1)
     n = 40
@@ -125,10 +144,11 @@ def test_device_operand_dense():
     assert np.array_equal(np.asarray(r.lam), np.asarray(r2.lam))
 
 
-def test_device_operand_complex_pair(forced_packed):
+def test_device_operand_complex_pair(forced_packed, monkeypatch):
     """On complex-I/O-restricted platforms, device_operand returns a
     device-resident ComplexPair; the driver must accept it and match the
-    host-operand result through the host-driven loop."""
+    host-operand result through BOTH driving modes (fused small-problem
+    program and host-driven loop)."""
     from feastkit_tpu.solvers.dense import feast_heev
     rng = np.random.default_rng(3)
     n = 40
@@ -139,9 +159,13 @@ def test_device_operand_complex_pair(forced_packed):
     exp = np.sort(w[(w >= Emin) & (w <= Emax)])
     Hd = cio.device_operand(H)
     assert isinstance(Hd, cio.ComplexPair)
-    r = feast_heev(Hd, Emin, Emax, 14)
+    r = feast_heev(Hd, Emin, Emax, 14)               # fused (n <= 256)
     assert r.M == len(exp)
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+    monkeypatch.setenv("FEAST_FUSED_SMALL_N", "0")
+    r2 = feast_heev(Hd, Emin, Emax, 14)              # host-driven loop
+    assert r2.M == len(exp)
+    assert np.abs(np.sort(r2.lam) - exp).max() < 1e-9
 
 
 def test_fetch_many_packed(forced_packed):

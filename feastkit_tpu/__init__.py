@@ -65,11 +65,23 @@ from .interfaces.feast import (eigen_feast, eigvals_feast, feast,
                                feast_set_defaults, feast_summary,
                                feast_validate_interval)
 
-from .parallel.pfeast import (contour_mesh, contour_rhs_mesh, pfeast_dense,
-                              pfeast_sparse)
+from .parallel.pfeast import (contour_mesh, contour_model_mesh,
+                              contour_rhs_mesh, pfeast_dense, pfeast_general,
+                              pfeast_sparse, pfeast_sparse_general)
 from .interfaces import aliases as _aliases
 from .interfaces.aliases import *  # noqa: F401,F403 - s/d/c/z-prefixed FEAST names
-from .kernel.rci import FeastGRCI, FeastHRCI, FeastSRCI
+from .kernel.rci import (FeastGRCI, FeastHRCI, FeastPolyRCI, FeastPRCI,
+                         FeastSRCI)
+from .interfaces.compat import *  # noqa: F401,F403 - reference export parity
+from .deprecations import (Feast_ERROR_EMID_R, Feast_ERROR_EMIN_EMAX,
+                           Feast_ERROR_INTERNAL, Feast_ERROR_M0,
+                           Feast_ERROR_MEMORY, Feast_ERROR_N,
+                           Feast_ERROR_NO_CONVERGENCE,
+                           Feast_ERROR_PROBLEM_SIZE, Feast_RCI_DONE,
+                           Feast_RCI_FACTORIZE, Feast_RCI_FACTORIZE_TRANSPOSE,
+                           Feast_RCI_INIT, Feast_RCI_MULT_A, Feast_RCI_MULT_B,
+                           Feast_RCI_SOLVE, Feast_RCI_SOLVE_TRANSPOSE,
+                           Feast_SUCCESS)
 
 __version__ = "0.1.0"
 

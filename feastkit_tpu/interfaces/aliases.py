@@ -31,6 +31,8 @@ _ALL = {**_REAL, **_CPLX}
 
 
 def _cast(A, dtype):
+    if dtype is None:                  # dtype-generic (unprefixed) names
+        return A
     try:
         import scipy.sparse as sps
         if sps.issparse(A):
@@ -582,7 +584,8 @@ def _build():
     x_real = ["feast_sygv", "feast_syev", "feast_sbgv", "feast_sbev",
               "feast_scsrgv", "feast_scsrev", "feast_sypev", "feast_scsrpev",
               "feast_srcipev", "ifeast_sypev", "ifeast_scsrpev",
-              "ifeast_srcipev"]
+              "ifeast_srcipev", "ifeast_sygv", "ifeast_syev", "ifeast_sbgv",
+              "ifeast_sbev", "ifeast_scsrgv", "ifeast_scsrev"]
     x_cplx = ["feast_hegv", "feast_heev", "feast_hbgv", "feast_hbev",
               "feast_hcsrgv", "feast_hcsrev", "feast_sygv", "feast_syev",
               "feast_sbgv", "feast_sbev", "feast_scsrgv", "feast_scsrev",
@@ -590,13 +593,53 @@ def _build():
               "feast_gcsrgv", "feast_gcsrev", "feast_hepev", "feast_gepev",
               "feast_hcsrpev", "feast_gcsrpev", "feast_grcipev",
               "ifeast_hepev", "ifeast_gepev", "ifeast_hcsrpev",
-              "ifeast_gcsrpev", "ifeast_grcipev"]
+              "ifeast_gcsrpev", "ifeast_grcipev", "ifeast_hegv",
+              "ifeast_heev", "ifeast_hbgv", "ifeast_hbev", "ifeast_sbgv",
+              "ifeast_sbev", "ifeast_gbgv", "ifeast_gbev", "ifeast_hcsrgv",
+              "ifeast_hcsrev", "ifeast_gcsrgv", "ifeast_gcsrev"]
     for p in _REAL:
         for k in x_real:
             out[f"{p}{k}x"] = _xify(out[f"{p}{k}"])
     for p in _CPLX:
         for k in x_cplx:
             out[f"{p}{k}x"] = _xify(out[f"{p}{k}"])
+
+    # ---- unprefixed dtype-generic names (the reference exports these as
+    # the underlying generic methods: feast_syevx! etc. work for any T;
+    # here dtype=None keeps the operand dtype) --------------------------
+    unpref = {
+        "feast_sygv": _make_dense_interval(None, True, False),
+        "feast_syev": _make_dense_interval(None, False, False),
+        "feast_hegv": _make_dense_interval(None, True, True),
+        "feast_heev": _make_dense_interval(None, False, True),
+        "feast_gegv": _make_dense_general(None, True, False),
+        "feast_geev": _make_dense_general(None, False, False),
+        "feast_sbgv": _make_banded_interval(None, True, False),
+        "feast_sbev": _make_banded_interval(None, False, False),
+        "feast_hbgv": _make_banded_interval(None, True, True),
+        "feast_hbev": _make_banded_interval(None, False, True),
+        "feast_gbgv": _make_banded_general(None, True, False),
+        "feast_gbev": _make_banded_general(None, False, False),
+        "feast_scsrgv": _make_sparse_interval(None, True, False),
+        "feast_scsrev": _make_sparse_interval(None, False, False),
+        "feast_hcsrgv": _make_sparse_interval(None, True, True),
+        "feast_hcsrev": _make_sparse_interval(None, False, True),
+        "feast_gcsrgv": _make_sparse_general(None, True, False),
+        "feast_gcsrev": _make_sparse_general(None, False, False),
+        "feast_scsrpev": _make_sparse_pep(None),
+        "feast_hcsrpev": _make_sparse_pep(None),
+        "feast_gcsrpev": _make_sparse_pep(None),
+        "feast_sypev": _make_pep(None),
+        "feast_hepev": _make_pep(None),
+        "feast_gepev": _make_pep(None),
+    }
+    # x-variants only for names the package does not already define as
+    # its own public API (feast_sygv etc. exist as the typed drivers);
+    # gepev/hepev are exported plain AND as x-variants (FeastKit.jl:110)
+    for k, fn in unpref.items():
+        out[f"{k}x"] = _xify(fn)
+    out["feast_gepev"] = unpref["feast_gepev"]
+    out["feast_hepev"] = unpref["feast_hepev"]
     return out
 
 

@@ -342,6 +342,17 @@ def _sparse_bench():
         r = feast_scsrev(A, Emin, Emax, M0, fpm, solver="gmres",
                          solver_maxiter=250)
     dev = time.perf_counter() - t0
+    # Warm repeat when the budget allows (every other metric in this bench
+    # reports min-of-warm-runs; the first sparse run carries the remaining
+    # remote-compile latency even with the persistent cache).
+    if dev < 420.0:
+        t0 = time.perf_counter()
+        with jax.enable_x64(True):
+            r2 = feast_scsrev(A, Emin, Emax, M0, fpm, solver="gmres",
+                              solver_maxiter=250)
+        warm = time.perf_counter() - t0
+        if warm < dev and int(r2.M) == int(r.M):
+            dev, r = warm, r2
     ok = (r.M == len(exp))
     err = float(np.abs(np.sort(np.asarray(r.lam)) - exp).max()) if ok \
         else float("nan")

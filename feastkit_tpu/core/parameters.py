@@ -363,15 +363,24 @@ class FeastConfig:
     #   steps per contour node (env override FEAST_IR_MAX); each step runs
     #   one c64 Krylov solve and multiplies accuracy by the c64 floor
     #   (~2e-5) — 3 steps reach ~1e-14
-    dispatch_budget: float = 5e6  # host-granular driving only: work budget
-    #   (group * columns * N) per device dispatch, sized against remote
-    #   execution watchdogs (env override FEAST_DISPATCH_BUDGET)
-    group_max: int = 2           # host-granular driving only: max contour
-    #   nodes vmapped into one dispatch (env override FEAST_GROUP_MAX)
-    fused_small_n: int = 256     # dense driver on remote attachments: run
-    #   problems with N <= this through the single fused whole-refinement
-    #   program (one synchronization round trip) instead of the host-driven
-    #   loop; 0 disables (env override FEAST_FUSED_SMALL_N)
+    # Host-side driving knobs: read only OUTSIDE traced code (they pick
+    # dispatch chunk sizes / the host-vs-fused path; any behavioral
+    # difference reaches the compiler as operand shapes, which are part of
+    # the jit cache key already). compare=False keeps them out of the
+    # config's __eq__/__hash__ so toggling an env var between solves does
+    # NOT invalidate every compiled program.
+    dispatch_budget: float = dataclasses.field(default=5e6, compare=False)
+    #   host-granular driving only: work budget (group * columns * N) per
+    #   device dispatch, sized against remote execution watchdogs (env
+    #   override FEAST_DISPATCH_BUDGET)
+    group_max: int = dataclasses.field(default=2, compare=False)
+    #   host-granular driving only: max contour nodes vmapped into one
+    #   dispatch (env override FEAST_GROUP_MAX)
+    fused_small_n: int = dataclasses.field(default=256, compare=False)
+    #   dense driver on remote attachments: run problems with N <= this
+    #   through the single fused whole-refinement program (one
+    #   synchronization round trip) instead of the host-driven loop;
+    #   0 disables (env override FEAST_FUSED_SMALL_N)
 
     @staticmethod
     def from_fpm(fpm: FeastParameters, dtype=None, full_contour: bool = False

@@ -85,8 +85,13 @@ def _make_dense_general(dtype, generalized, bilinear):
     return alias
 
 
-def _make_sparse_interval(dtype, generalized, hermitian):
+def _make_sparse_interval(dtype, generalized, hermitian, iterative=False):
     def alias(A, *args, **kw):
+        if iterative:
+            # i-name contract: pin the inner solve to Krylov so the
+            # narrow-band auto-delegation cannot route to the DIRECT BCR
+            # engine (see _iterative_banded_interval)
+            kw.setdefault("solver", "gmres")
         if generalized:
             B, Emin, Emax, M0, *rest = args
             fpm = rest[0] if rest else kw.pop("fpm", None)
@@ -101,8 +106,11 @@ def _make_sparse_interval(dtype, generalized, hermitian):
     return alias
 
 
-def _make_sparse_general(dtype, generalized, bilinear):
+def _make_sparse_general(dtype, generalized, bilinear, iterative=False):
     def alias(A, *args, **kw):
+        if iterative:
+            # i-name contract (see _make_sparse_interval)
+            kw.setdefault("solver", "gmres")
         if generalized:
             B, Emid, r, M0, *rest = args
             fpm = rest[0] if rest else kw.pop("fpm", None)
@@ -501,8 +509,10 @@ def _build():
         out[f"{p}ifeast_srcipev"] = _make_rcipev(dt, iterative=True)
         out[f"{p}ifeast_sygv"] = _iterative_dense_interval(dt, True, False)
         out[f"{p}ifeast_syev"] = _iterative_dense_interval(dt, False, False)
-        out[f"{p}ifeast_scsrgv"] = _make_sparse_interval(dt, True, False)
-        out[f"{p}ifeast_scsrev"] = _make_sparse_interval(dt, False, False)
+        out[f"{p}ifeast_scsrgv"] = _make_sparse_interval(dt, True, False,
+                                                         iterative=True)
+        out[f"{p}ifeast_scsrev"] = _make_sparse_interval(dt, False, False,
+                                                         iterative=True)
         out[f"{p}ifeast_sbgv"] = _iterative_banded_interval(dt, True, False)
         out[f"{p}ifeast_sbev"] = _iterative_banded_interval(dt, False, False)
         # parallel
@@ -554,10 +564,14 @@ def _build():
         out[f"{p}ifeast_sbev"] = _iterative_banded_general(dt, False, True)
         out[f"{p}ifeast_gbgv"] = _iterative_banded_general(dt, True, False)
         out[f"{p}ifeast_gbev"] = _iterative_banded_general(dt, False, False)
-        out[f"{p}ifeast_hcsrgv"] = _make_sparse_interval(dt, True, True)
-        out[f"{p}ifeast_hcsrev"] = _make_sparse_interval(dt, False, True)
-        out[f"{p}ifeast_gcsrgv"] = _make_sparse_general(dt, True, False)
-        out[f"{p}ifeast_gcsrev"] = _make_sparse_general(dt, False, False)
+        out[f"{p}ifeast_hcsrgv"] = _make_sparse_interval(dt, True, True,
+                                                         iterative=True)
+        out[f"{p}ifeast_hcsrev"] = _make_sparse_interval(dt, False, True,
+                                                         iterative=True)
+        out[f"{p}ifeast_gcsrgv"] = _make_sparse_general(dt, True, False,
+                                                        iterative=True)
+        out[f"{p}ifeast_gcsrev"] = _make_sparse_general(dt, False, False,
+                                                        iterative=True)
         # parallel direct: dense Hermitian + dense general + sparse, all on
         # the contour-sharded mesh (no serial masquerading)
         out[f"p{p}feast_hegv"] = _make_parallel_dense(dt, True, True)

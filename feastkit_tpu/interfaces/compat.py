@@ -254,7 +254,12 @@ def feast_sparse_info(A, file=None):
     """Sparse-matrix summary (feast_sparse_info, feast_sparse.jl:1499-1512).
     Returns (N, nnz, density_pct)."""
     N = int(A.shape[0])
-    nnz = int(getattr(A, "nnz", None) or np.count_nonzero(np.asarray(A)))
+    nnz = getattr(A, "nnz", None)        # scipy sparse
+    if nnz is None:
+        nnz = getattr(A, "nse", None)    # jax BCOO
+    if nnz is None:
+        nnz = np.count_nonzero(np.asarray(A))
+    nnz = int(nnz)
     density = nnz / float(N * N) * 100.0
     print("Sparse Matrix Information:", file=file)
     print(f"  Size: {N} x {N}", file=file)
@@ -362,17 +367,29 @@ def pfeast_compute_all_contour_points(state: FeastPRCI, A, B=None):
     pfeast_compute_all_contour_points!, feast_parallel_rci.jl:269-322,
     re-expressed as one vmapped MXU factor-solve instead of a thread pool).
     Assigns ``state.Xall`` and returns it."""
-    import jax.numpy as jnp
+    import jax
     A = np.asarray(A)
     N = A.shape[0]
     Bm = np.eye(N, dtype=A.dtype) if B is None else np.asarray(B)
-    Z = jnp.asarray(np.asarray(state.Zall, complex))
-    pencils = Z[:, None, None] * jnp.asarray(Bm, complex)[None] \
-        - jnp.asarray(A, complex)[None]
-    rhs = jnp.asarray(np.asarray(state.workc, complex))
-    X = jnp.linalg.solve(pencils, jnp.broadcast_to(
-        rhs[None], (Z.shape[0],) + rhs.shape))
-    state.Xall = np.asarray(X)
+    Z = np.asarray(state.Zall, complex)
+    rhs = np.asarray(state.workc, complex)
+    if jax.config.jax_enable_x64:
+        import jax.numpy as jnp
+        pencils = jnp.asarray(Z)[:, None, None] * jnp.asarray(Bm, complex)[None] \
+            - jnp.asarray(A, complex)[None]
+        X = jnp.linalg.solve(pencils, jnp.broadcast_to(
+            jnp.asarray(rhs)[None], (Z.shape[0],) + rhs.shape))
+        state.Xall = np.asarray(X)
+    else:
+        # With x64 off, jnp would silently truncate the complex128 pencils
+        # to complex64 and the f64-grade RCI tolerance (10^-fpm[3]) becomes
+        # unreachable — service the solves on the host at full precision
+        # instead (the RCI contract is exact per-node solves; the reference
+        # services them with LAPACK, feast_parallel_rci.jl:269-322).
+        pencils = Z[:, None, None] * Bm[None].astype(complex) \
+            - A[None].astype(complex)
+        state.Xall = np.linalg.solve(
+            pencils, np.broadcast_to(rhs[None], (Z.shape[0],) + rhs.shape))
     return state.Xall
 
 

@@ -552,14 +552,27 @@ def pfeast_sparse_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     solver = _solver_fn(solver)
     if int(fpm[14]) == 2:
         # stochastic estimate is a single filter application — the serial
-        # sparse-general estimate path serves it at mesh-equivalent cost
+        # sparse-general estimate path serves it at mesh-equivalent cost.
+        # Thread EVERY inner-solve hint through; an explicit contour rides
+        # the fpm[29] registry (sparse_feast_general has no contour kwarg).
+        from ..core.aux import (feast_clear_custom_contour,
+                                feast_set_custom_contour)
         from ..solvers.sparse import sparse_feast_general
-        return sparse_feast_general(A, B, Emid, r, M0, fpm,
-                                    bilinear=bilinear,
-                                    eig_method=eig_method or "callback",
-                                    solver=solver, solver_tol=solver_tol,
-                                    solver_maxiter=solver_maxiter,
-                                    solver_restart=solver_restart)
+        scoped = contour is not None
+        fpm_est = fpm.copy() if scoped else fpm
+        if scoped:
+            feast_set_custom_contour(fpm_est, contour)
+        try:
+            return sparse_feast_general(A, B, Emid, r, M0, fpm_est,
+                                        bilinear=bilinear,
+                                        eig_method=eig_method or "callback",
+                                        solver=solver, solver_tol=solver_tol,
+                                        solver_maxiter=solver_maxiter,
+                                        solver_restart=solver_restart,
+                                        grid=grid, precond=precond)
+        finally:
+            if scoped:
+                feast_clear_custom_contour(fpm_est)
     if mesh is None:
         mesh = contour_mesh(n_devices)
     if eig_method is None:

@@ -340,33 +340,22 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
         # Operands are device_put ONCE so chained dispatches skip the
         # per-call host->device re-upload.
         from .dense import _host_state
-        from ..utils.cio import fetch_many
         dargs = tuple(None if a is None else cio.device_operand(a)
                       for a in args)
         hier = _banded_factor_jit(*dargs, **statics)
         state = _host_state(np.asarray(Q0, work_dtype))
-        loops_done = 0
-        while True:
-            # first chunk is a single body: banded problems routinely
-            # converge in one refinement loop and a BCR body is cheap, so
-            # the speculative second body would usually be wasted work
-            k = min(1 if loops_done == 0 else 2,
-                    config.max_loops + 1 - loops_done)
-            for _ in range(k):
-                state = _banded_body_jit(*dargs, hier, state, rdtype(Emin),
-                                         rdtype(Emax), **statics)
-            loops_done += k
-            # Speculative finalize: issue the verification pass WITH the
-            # chunk and sync once (single packed fetch) — in the common
-            # converged case this removes one round trip; if unconverged,
-            # the wasted finalize is one body's worth of compute.
-            fin = _banded_body_jit(*dargs, hier, state, rdtype(Emin),
-                                   rdtype(Emax), final=True, **statics)
-            conv, lam, Q, res, inside, epsout, loop = fetch_many(
-                [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
-                 fin.epsout, fin.loop])
-            if bool(conv) or loops_done > config.max_loops:
-                break
+        # Shared pipelining protocol (cio.run_pipelined_loop). first_chunk=1:
+        # banded problems routinely converge in one refinement loop and a
+        # BCR body is cheap, so a speculative second body in the first
+        # chunk would usually be wasted work.
+        _, fetched = cio.run_pipelined_loop(
+            state,
+            lambda s: _banded_body_jit(*dargs, hier, s, rdtype(Emin),
+                                       rdtype(Emax), **statics),
+            lambda s: _banded_body_jit(*dargs, hier, s, rdtype(Emin),
+                                       rdtype(Emax), final=True, **statics),
+            max_loops=config.max_loops, first_chunk=1)
+        conv, lam, Q, res, inside, epsout, loop = fetched
         info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
         return _trim(FeastResult, lam, Q, res, inside,
                      int(info), float(epsout), int(loop) - 1)

@@ -263,28 +263,17 @@ def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
                                    config=config, standard=standard,
                                    hermitian=hermitian,
                                    mode="subspace"), None
-    # Chunked pipelining: the host round trip applies per SYNCHRONIZATION,
-    # not per dispatch — issue two refinement bodies back-to-back, then
-    # SPECULATIVELY issue the finalize pass with them and sync once on a
-    # single packed fetch. Converged (the common case): one round trip
-    # total per chunk. Unconverged: the wasted finalize costs one body's
-    # worth of compute and the loop continues from the pre-finalize state.
-    loops_done = 0
-    while True:
-        k = min(2, config.max_loops + 1 - loops_done)
-        for _ in range(k):
-            state = _dense_body_jit(A, B, lu, piv, Zne, Wne, state,
-                                    Emin, Emax, config=config,
-                                    standard=standard, hermitian=hermitian)
-        loops_done += k
-        fin = _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state,
+    # Chunked pipelining protocol shared with the general/banded drivers —
+    # see cio.run_pipelined_loop.
+    return cio.run_pipelined_loop(
+        state,
+        lambda s: _dense_body_jit(A, B, lu, piv, Zne, Wne, s, Emin, Emax,
                                   config=config, standard=standard,
-                                  hermitian=hermitian)
-        fetched = cio.fetch_many(
-            [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
-             fin.epsout, fin.loop])
-        if bool(fetched[0]) or loops_done > config.max_loops:
-            return fin, fetched
+                                  hermitian=hermitian),
+        lambda s: _dense_finalize_jit(A, B, lu, piv, Zne, Wne, s,
+                                      config=config, standard=standard,
+                                      hermitian=hermitian),
+        max_loops=config.max_loops)
 
 
 def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,

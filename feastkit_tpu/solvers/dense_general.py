@@ -138,22 +138,15 @@ def _run_general_host_loop(A, B, Zne, Wne, Q0, Emid, r, *, config, standard,
         return _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
                                      config=config, standard=standard,
                                      mode="subspace"), None
-    loops_done = 0
-    while True:
-        k = min(2, config.max_loops + 1 - loops_done)
-        for _ in range(k):
-            state = _general_body_jit(A, B, lu, piv, Zne, Wne, state,
-                                      Emid, r, config=config,
-                                      standard=standard, bilinear=bilinear,
-                                      eig_method=eig_method)
-        loops_done += k
-        fin = _general_finalize_jit(A, B, lu, piv, Zne, Wne, state,
-                                    config=config, standard=standard)
-        fetched = cio.fetch_many(
-            [fin.converged, fin.lam, fin.Q, fin.res, fin.inside,
-             fin.epsout, fin.loop])
-        if bool(fetched[0]) or loops_done > config.max_loops:
-            return fin, fetched
+    return cio.run_pipelined_loop(
+        state,
+        lambda s: _general_body_jit(A, B, lu, piv, Zne, Wne, s, Emid, r,
+                                    config=config, standard=standard,
+                                    bilinear=bilinear,
+                                    eig_method=eig_method),
+        lambda s: _general_finalize_jit(A, B, lu, piv, Zne, Wne, s,
+                                        config=config, standard=standard),
+        max_loops=config.max_loops)
 
 
 def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,

@@ -163,6 +163,39 @@ def fetch_many(leaves):
     return out
 
 
+def run_pipelined_loop(state, body, finalize, *, max_loops, first_chunk=2):
+    """Shared remote-link host-driving protocol for refinement loops.
+
+    Issue a chunk of refinement ``body`` dispatches back-to-back,
+    SPECULATIVELY issue the ``finalize`` pass with them, and synchronize
+    once per chunk on a single packed fetch of the result leaves — the
+    ~30 ms tunnel round trip applies per host synchronization, not per
+    dispatch. Converged (the common case): one round trip per chunk.
+    Unconverged: the wasted finalize costs one body's worth of compute and
+    the loop continues from the pre-finalize state.
+
+    ``first_chunk`` sizes the initial chunk (1 for engines that routinely
+    converge in one refinement loop, e.g. banded BCR, where a speculative
+    second body is usually wasted work; 2 otherwise).
+
+    Returns ``(fin_state, fetched)`` with ``fetched = [converged, lam, Q,
+    res, inside, epsout, loop]``. Used by the dense, dense-general, and
+    banded interval drivers — keep their driving semantics identical here.
+    """
+    loops_done = 0
+    while True:
+        k = min(first_chunk if loops_done == 0 else 2,
+                max_loops + 1 - loops_done)
+        for _ in range(k):
+            state = body(state)
+        loops_done += k
+        fin = finalize(state)
+        fetched = fetch_many([fin.converged, fin.lam, fin.Q, fin.res,
+                              fin.inside, fin.epsout, fin.loop])
+        if bool(fetched[0]) or loops_done > max_loops:
+            return fin, fetched
+
+
 def is_operand(X) -> bool:
     """True for device-resident operand forms drivers accept as-is."""
     return isinstance(X, (jax.Array, ComplexPair))

@@ -282,3 +282,37 @@ def test_ifeast_rcipev_iterative(rng):
     assert r_it.M == r_dir.M
     for lam in np.asarray(r_dir.lam):      # set agreement (ordering differs)
         assert np.min(np.abs(np.asarray(r_it.lam) - lam)) < 1e-5
+
+
+def test_ifeast_sparse_csr_pins_iterative():
+    """Regression: i-prefixed CSR aliases must pin the Krylov inner solve —
+    the narrow-band auto-delegation (direct BCR, matching the reference's
+    UMFPACK path for NON-i names) must not fire for ifeast_*csr* names
+    (runtests.jl:605-681 iterative-vs-direct contract)."""
+    import scipy.sparse as sp
+    n = 200
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = laplacian_eigs(n)
+    Emin, Emax = 0.5, 0.7
+    exp = w[(w >= Emin) & (w <= Emax)]
+    r_dir = fk.dfeast_scsrev(A, Emin, Emax, len(exp) + 4)
+    import feastkit_tpu.solvers.banded as _bd
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("ifeast CSR alias delegated to the DIRECT "
+                             "banded engine")
+
+    orig = _bd._banded_interval_driver
+    _bd._banded_interval_driver = _boom
+    try:
+        r_it = fk.difeast_scsrev(A, Emin, Emax, len(exp) + 4)
+        # general/Hermitian i-names share the pin through their factories
+        rg = fk.zifeast_gcsrev(A.astype(np.complex128), 0.6 + 0.0j, 0.1,
+                               len(exp) + 4)
+    finally:
+        _bd._banded_interval_driver = orig
+    assert r_it.M == r_dir.M == len(exp)
+    assert np.abs(np.sort(r_it.lam) - np.sort(r_dir.lam)).max() < 1e-8
+    assert r_it.inner_converged is True
+    assert rg.M == len(exp)

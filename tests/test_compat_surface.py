@@ -243,3 +243,43 @@ def test_backend_conveniences(capsys):
     c = fk.feast_contour(-1.0, 1.0, ne=8)
     f = fk.feast_rational_expert(c.Zne, c.Wne, np.array([0.0, 2.5]))
     assert abs(f[0] - 1.0) < 0.1 and abs(f[1]) < 0.2
+
+
+def test_sparse_info_zero_nnz():
+    """Regression: nnz==0 fell through a falsy-or into np.asarray(sparse)."""
+    import scipy.sparse as sp
+    N, nnz, dens = fk.feast_sparse_info(sp.csr_matrix((5, 5)))
+    assert (N, nnz, dens) == (5, 0, 0.0)
+
+
+def test_pfeast_compute_points_without_x64():
+    """Regression: the PARALLEL_SOLVE device helper silently truncated its
+    complex128 pencils to complex64 under x64-off jax, stalling the f64-
+    tolerance FeastPRCI at the single-precision floor. With x64 off the
+    helper must service the solves at full (host) precision."""
+    import jax
+    from feastkit_tpu.interfaces.compat import (
+        pfeast_compute_all_contour_points)
+    from feastkit_tpu.kernel.rci import FeastPRCI, FeastRCIJob
+
+    n = 60
+    A = np.asarray(laplacian_1d(n))
+    w = np.linalg.eigvalsh(A)
+    exp = w[(w >= 0.5) & (w <= 1.5)]
+    with jax.enable_x64(False):
+        st = FeastPRCI(n, len(exp) + 4, 0.5, 1.5, standard_B=True)
+        job = st.step()
+        guard = 0
+        while job != FeastRCIJob.DONE:
+            guard += 1
+            assert guard < 400
+            if job == FeastRCIJob.PARALLEL_SOLVE:
+                pfeast_compute_all_contour_points(st, A)
+            elif job == FeastRCIJob.MULT_A:
+                st.workc = A @ np.real(st.workc)
+            elif job == FeastRCIJob.MULT_B:
+                st.workc = np.real(st.workc).astype(complex)
+            job = st.step()
+    assert st.info == 0 and st.M == len(exp)
+    lam = np.sort(np.asarray(st.lam[:st.M]))
+    assert np.abs(lam - exp).max() < 1e-10

@@ -108,3 +108,22 @@ def test_pfeast_general_estimate_unbiased():
     r = pfeast_general(A, None, 2.0 + 0.0j, 0.8, 8, _estimate_fpm(20))
     assert r.info == 0 and r.lam.size == 0
     assert abs(r.M - true) <= 0.2 * true
+
+
+def test_pfeast_sparse_general_estimate_honors_contour_and_hints():
+    """Regression: the sharded sparse-general estimate delegation dropped
+    explicit contour/grid/precond kwargs — the count came out for the
+    DEFAULT (Emid, r) ellipse instead of the supplied contour."""
+    from feastkit_tpu.core.contour import feast_gcontour
+    from feastkit_tpu.parallel.pfeast import pfeast_sparse_general
+    n = 400
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    w = laplacian_eigs(n)
+    true = int((np.abs(w - 2.0) <= 0.8).sum())
+    contour = feast_gcontour(2.0 + 0.0j, 0.8, feastinit())
+    # (Emid, r) deliberately encloses ~nothing; the contour must win
+    r = pfeast_sparse_general(A, None, 5.0 + 0.0j, 0.05, 8,
+                              _estimate_fpm(20), contour=contour)
+    assert r.info == 0 and r.lam.size == 0
+    assert abs(r.M - true) <= 0.2 * true

@@ -114,3 +114,17 @@ def test_parameters_wrapper_round_trip():
     fpm3 = fpm.copy()
     fpm3[2] = 8
     assert fpm[2] == 16     # copy is independent
+
+
+def test_config_host_knobs_excluded_from_hash():
+    """Regression: host-side driving knobs (dispatch budget / node-group
+    cap / fused-small threshold) must not participate in FeastConfig
+    hash/eq — they are read only outside traced code, and including them
+    invalidated every compiled program when an env override changed."""
+    from feastkit_tpu.core.parameters import FeastConfig
+    a = FeastConfig(dispatch_budget=1.0, group_max=7, fused_small_n=0)
+    b = FeastConfig()
+    assert a == b and hash(a) == hash(b)
+    # compile-relevant fields still differentiate
+    assert FeastConfig(ir_max=3) != b
+    assert FeastConfig(tol=1e-6) != b

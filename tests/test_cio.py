@@ -207,3 +207,35 @@ def test_device_operand_general():
     assert r.M == r2.M > 0
     assert np.abs(np.sort_complex(np.asarray(r.lam))
                   - np.sort_complex(np.asarray(r2.lam))).max() < 1e-8
+
+
+def test_banded_host_loop_path(forced_packed):
+    """The banded remote driving mode: factor-once BCR hierarchy + the
+    shared pipelined host loop (first_chunk=1) must match the fused-path
+    eigenpairs."""
+    from feastkit_tpu.ops.banded import full_to_banded
+    from feastkit_tpu.solvers.banded import feast_sbev
+    n = 80
+    A = laplacian_1d(n)
+    Ab = full_to_banded(A, 1, 1)
+    w = laplacian_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.5)])
+    r = feast_sbev(Ab, 1, 1, 0.5, 1.5, len(exp) + 3)      # host loop (forced)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+
+
+def test_general_host_loop_path(forced_packed):
+    """The dense-general remote driving mode through the shared pipelined
+    host loop (on-device qr eig under forced complex IO)."""
+    from feastkit_tpu.solvers.dense_general import feast_geev
+    rng = np.random.default_rng(3)
+    n = 48
+    d = np.linspace(-1.0, 1.0, n)
+    A = np.triu(rng.standard_normal((n, n))
+                + 1j * rng.standard_normal((n, n)), 1) * (0.01 / np.sqrt(n))
+    A = (A + np.diag(d)).astype(np.complex128)
+    exp = d[np.abs(d) <= 0.22]
+    r = feast_geev(A, 0.0 + 0.0j, 0.22, len(exp) + 6)
+    assert r.M == len(exp)
+    assert np.abs(np.sort(np.real(r.lam)) - np.sort(exp)).max() < 1e-7

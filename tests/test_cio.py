@@ -239,3 +239,43 @@ def test_general_host_loop_path(forced_packed):
     r = feast_geev(A, 0.0 + 0.0j, 0.22, len(exp) + 6)
     assert r.M == len(exp)
     assert np.abs(np.sort(np.real(r.lam)) - np.sort(exp)).max() < 1e-7
+
+
+def test_run_pipelined_loop_protocol():
+    """Driving semantics of the shared host-loop protocol: chunk sizes,
+    speculative finalize per synchronization, max_loops bound."""
+    from collections import namedtuple
+    S = namedtuple("S", "converged lam Q res inside epsout loop")
+
+    def mk(n_bodies, converge_at):
+        calls = {"body": 0, "fin": 0}
+
+        def body(s):
+            calls["body"] += 1
+            return s._replace(loop=s.loop + 1)
+
+        def fin(s):
+            calls["fin"] += 1
+            return s._replace(
+                converged=np.bool_(s.loop >= converge_at))
+
+        s0 = S(np.bool_(False), np.zeros(2), np.zeros((4, 2)),
+               np.zeros(2), np.zeros(2, bool), np.float64(1.0), np.int32(0))
+        return s0, body, fin, calls
+
+    # converges within the first 2-body chunk: ONE synchronization
+    s0, body, fin, calls = mk(2, converge_at=1)
+    _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=20)
+    assert bool(fetched[0]) and calls == {"body": 2, "fin": 1}
+
+    # first_chunk=1 (banded): converged after one body -> 1 body, 1 finalize
+    s0, body, fin, calls = mk(1, converge_at=1)
+    _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=20,
+                                        first_chunk=1)
+    assert bool(fetched[0]) and calls == {"body": 1, "fin": 1}
+
+    # never converges: the loop stops once loops_done > max_loops and the
+    # body count covers exactly max_loops+1 refinement iterations
+    s0, body, fin, calls = mk(0, converge_at=10**9)
+    _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=3)
+    assert not bool(fetched[0]) and calls["body"] == 4

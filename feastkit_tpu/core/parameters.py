@@ -363,6 +363,14 @@ class FeastConfig:
     #   steps per contour node (env override FEAST_IR_MAX); each step runs
     #   one c64 Krylov solve and multiplies accuracy by the c64 floor
     #   (~2e-5) — 3 steps reach ~1e-14
+    # Multigrid V-cycle shape (compile-relevant: they change the traced
+    # preconditioner program). Env overrides FEAST_MG_NU_PRE /
+    # FEAST_MG_NU_POST / FEAST_MG_OMEGA / FEAST_MG_CYCLES for on-hardware
+    # tuning sweeps; defaults match ops/multigrid.make_shifted_vcycle.
+    mg_nu_pre: int = 2           # damped-Jacobi pre-smoothing steps
+    mg_nu_post: int = 2          # post-smoothing steps
+    mg_omega: float = 0.8        # Jacobi damping factor
+    mg_cycles: int = 1           # V-cycles per preconditioner application
     # Host-side driving knobs: read only OUTSIDE traced code (they pick
     # dispatch chunk sizes / the host-vs-fused path; any behavioral
     # difference reaches the compiler as operand shapes, which are part of
@@ -401,6 +409,10 @@ class FeastConfig:
             custom_contour_id=fpm[29],
             mixed=int(fpm[42]),
             ir_max=int(os.environ.get("FEAST_IR_MAX", 5)),
+            mg_nu_pre=int(os.environ.get("FEAST_MG_NU_PRE", 2)),
+            mg_nu_post=int(os.environ.get("FEAST_MG_NU_POST", 2)),
+            mg_omega=float(os.environ.get("FEAST_MG_OMEGA", 0.8)),
+            mg_cycles=int(os.environ.get("FEAST_MG_CYCLES", 1)),
             dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
                                                  5e6)),
             group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),

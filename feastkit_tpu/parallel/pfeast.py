@@ -792,6 +792,8 @@ def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0,
             diagB=None if standard else diagB,
             precond=precond, flag_tol=config.tol, mg_A=mg_A, mg_B=mg_B,
             mixed=mixed, ir_max=config.ir_max,
+            mg_opts=(config.mg_nu_pre, config.mg_nu_post, config.mg_omega,
+                     config.mg_cycles),
             apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
             apply_A_re=apply_A, apply_B_re=None if standard else apply_B,
             axis_name=MODEL_AXIS, sync_axes=sync,

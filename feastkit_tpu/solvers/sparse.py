@@ -190,6 +190,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                            mg_A=None, mg_B=None, mixed=False,
                            apply_A_lo=None, apply_B_lo=None,
                            apply_A_re=None, apply_B_re=None, ir_max=5,
+                           mg_opts=(2, 2, 0.8, 1),
                            axis_name=None, sync_axes=None,
                            prec_gather_axis=None):
     """filter_partial(Zall, Wall, rhs) -> (sum_e W_e X_e, conv (ne,K)):
@@ -326,13 +327,17 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     stA, stB = _unpack_stencil(mg_A), _unpack_stencil(mg_B)
     mg_n_levels = mg_A[3] if (mg_A is not None and len(mg_A) > 3) else None
 
+    nu_pre, nu_post, mg_omega, mg_cycles = mg_opts
+
     def node_prec(z):
         if precond == "mg" and stA is not None:
             lo = jnp.complex64 if mixed else None
             dt = lo or (jnp.complex64 if z.dtype == jnp.complex64
                         else jnp.complex128)
             return _wrap_prec(make_shifted_vcycle(
-                stA, stB, z.astype(dt), dtype=dt, n_levels=mg_n_levels))
+                stA, stB, z.astype(dt), dtype=dt, n_levels=mg_n_levels,
+                nu_pre=nu_pre, nu_post=nu_post, omega=mg_omega,
+                n_cycles=mg_cycles))
         if precond == "jacobi" and diagA is not None:
             dA, dB = diagA, diagB
             if mixed:
@@ -472,7 +477,9 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         z_lo = jax.lax.complex(zr.astype(jnp.float32), zi.astype(jnp.float32))
         if precond == "mg" and stA is not None:
             return _wrap_prec(make_shifted_vcycle(
-                stA, stB, z_lo, dtype=jnp.complex64, n_levels=mg_n_levels))
+                stA, stB, z_lo, dtype=jnp.complex64, n_levels=mg_n_levels,
+                nu_pre=nu_pre, nu_post=nu_post, omega=mg_omega,
+                n_cycles=mg_cycles))
         if precond == "jacobi" and diagA is not None:
             dA = jnp.real(diagA).astype(jnp.float32) if jnp.iscomplexobj(diagA) \
                 else diagA.astype(jnp.float32)
@@ -556,6 +563,8 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         diagA=diagA, diagB=None if standard else diagB,
         precond=precond, col_block=col_block, flag_tol=config.tol,
         mg_A=mg_A, mg_B=mg_B, mixed=mixed, ir_max=config.ir_max,
+        mg_opts=(config.mg_nu_pre, config.mg_nu_post, config.mg_omega,
+                 config.mg_cycles),
         apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
         apply_A_re=apply_A, apply_B_re=None if standard else apply_B)
 
@@ -1212,6 +1221,8 @@ def _sparse_general_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         diagB=None if standard else diagB.astype(cdtype), precond=precond,
         flag_tol=config.tol, mg_A=mg_A, mg_B=mg_B, mixed=mixed,
         ir_max=config.ir_max,
+        mg_opts=(config.mg_nu_pre, config.mg_nu_post, config.mg_omega,
+                 config.mg_cycles),
         apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo)
     return apply_A, apply_B, filter_partial
 

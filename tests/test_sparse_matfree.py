@@ -398,3 +398,32 @@ def test_dia_to_banded_roundtrip(rng):
     back = dia_to_banded(dia, offs, kl, ku)
     assert np.array_equal(back, bands)
     assert np.array_equal(banded_to_full(back, kl, ku), A)
+
+
+@pytest.mark.slow
+def test_mg_vcycle_knobs_from_env(monkeypatch):
+    """FEAST_MG_* env overrides reshape the V-cycle (compile-relevant
+    FeastConfig fields) without changing the converged eigenpairs."""
+    from feastkit_tpu.core.parameters import FeastConfig, feastinit
+
+    nx = ny = 40
+    A = _lap2d(nx, ny)
+    w = _lap2d_eigs(nx, ny)
+    gaps = np.nonzero(np.diff(w) > 1e-6)[0]
+    lo, hi = gaps[4], gaps[8]
+    Emin, Emax = 0.5 * (w[lo] + w[lo + 1]), 0.5 * (w[hi] + w[hi + 1])
+    exp = w[(w >= Emin) & (w <= Emax)]
+
+    r_def = feast_scsrev(A, Emin, Emax, len(exp) + 6)
+    monkeypatch.setenv("FEAST_MG_NU_PRE", "1")
+    monkeypatch.setenv("FEAST_MG_NU_POST", "1")
+    monkeypatch.setenv("FEAST_MG_OMEGA", "0.7")
+    monkeypatch.setenv("FEAST_MG_CYCLES", "2")
+    cfg = FeastConfig.from_fpm(feastinit())
+    assert (cfg.mg_nu_pre, cfg.mg_nu_post, cfg.mg_omega,
+            cfg.mg_cycles) == (1, 1, 0.7, 2)
+    assert cfg != FeastConfig()          # compile-relevant: distinct key
+    r_alt = feast_scsrev(A, Emin, Emax, len(exp) + 6)
+    assert r_alt.info == 0 and r_alt.M == r_def.M == len(exp)
+    assert np.abs(np.sort(np.asarray(r_alt.lam))
+                  - np.sort(np.asarray(r_def.lam))).max() < 1e-10

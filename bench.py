@@ -31,6 +31,34 @@ except Exception:                                        # noqa: BLE001
     pass
 
 
+def _probe_chip(timeout_s=150):
+    """True if the attached accelerator responds within timeout_s.
+
+    A broken tunnel can HANG backend discovery indefinitely (not error),
+    which would hang the whole bench — probe in a subprocess with a hard
+    timeout BEFORE the parent process initializes any jax backend, and
+    fall back to CPU when the probe fails. The probe runs a tiny op: on
+    the axon tunnel, device discovery can succeed while execution is dead."""
+    import subprocess
+    import sys
+    code = ("import jax, numpy as np; x = jax.numpy.ones(4) * 2.0; "
+            "assert float(np.asarray(x).sum()) == 8.0; "
+            "print(jax.devices()[0].platform)")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0
+    except Exception:                                    # noqa: BLE001
+        return False
+
+
+_CHIP_OK = _probe_chip()
+if not _CHIP_OK:
+    # force the CPU backend before any backend initialization (the axon
+    # sitecustomize pins jax_platforms='axon,cpu'; a dead tunnel hangs)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _problem(n, seed=0):
     rng = np.random.default_rng(seed)
     A = (np.diag(2.0 * np.ones(n)) + np.diag(-1.0 * np.ones(n - 1), 1)
@@ -394,12 +422,15 @@ def main():
     Emax = float((w[k + 23] + w[k + 24]) / 2)
 
     metric = "dense_sygv_n2048_ne16_M0_32"
+    if not _CHIP_OK:
+        metric += "_cpu_fallback"        # dead/hung tunnel, see _probe_chip
     try:
         device_time = _device_run(n, M0, ne, A, B, Emin, Emax)
     except Exception:
         # TPU tunnel unavailable/broken: measure on CPU and say so.
         jax.config.update("jax_platforms", "cpu")
-        metric += "_cpu_fallback"
+        if not metric.endswith("_cpu_fallback"):
+            metric += "_cpu_fallback"
         device_time = _device_run(n, M0, ne, A, B, Emin, Emax)
 
     cpu_time = cpu_reference(A, B, Emin, Emax, M0, ne, loops=3)
@@ -465,8 +496,13 @@ def main():
 
     # BASELINE config 4, 65k rung: measured LIVE each bench run (the 1M
     # rung below stays a recorded value - its ~35 min run does not fit the
-    # bench budget; scripts/scale_sparse.py reproduces it).
+    # bench budget; scripts/scale_sparse.py reproduces it). Skipped on CPU
+    # fallback: the f64 MG+mixed recipe takes the better part of an hour
+    # on this host's single core and measures nothing about the framework.
     try:
+        if not _CHIP_OK:
+            raise RuntimeError("chip probe failed - live sparse rung "
+                               "skipped on the CPU fallback")
         dev_s, cpu_s, meta = _sparse_bench()
         results.append({
             "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_mixed_mg",

@@ -371,6 +371,16 @@ class FeastConfig:
     mg_nu_post: int = 2          # post-smoothing steps
     mg_omega: float = 0.8        # Jacobi damping factor
     mg_cycles: int = 1           # V-cycles per preconditioner application
+    warm_start: int = 1          # Ritz warm starts for ITERATIVE inner
+    #   solves (env override FEAST_WARM_START; compile-relevant). After the
+    #   first refinement loop the subspace holds Ritz pairs (lam_i, q_i)
+    #   with (zB - A)^-1 B q_i ~= q_i / (z - lam_i), so later filter
+    #   applications start each Krylov/IR solve from X0 = Q diag(1/(z-lam))
+    #   — the guess residual is the EIGEN-residual scaled by 1/|z - lam|.
+    #   Guesses are accepted per column only where they beat the zero
+    #   iterate (one extra operator application per node). This is the
+    #   iterative analog of the reference's cached LU factors reused across
+    #   refinement loops (feast_dense.jl:147-213, fpm[10]).
     # Host-side driving knobs: read only OUTSIDE traced code (they pick
     # dispatch chunk sizes / the host-vs-fused path; any behavioral
     # difference reaches the compiler as operand shapes, which are part of
@@ -413,6 +423,7 @@ class FeastConfig:
             mg_nu_post=int(os.environ.get("FEAST_MG_NU_POST", 2)),
             mg_omega=float(os.environ.get("FEAST_MG_OMEGA", 0.8)),
             mg_cycles=int(os.environ.get("FEAST_MG_CYCLES", 1)),
+            warm_start=int(os.environ.get("FEAST_WARM_START", 1)),
             dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
                                                  5e6)),
             group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),

@@ -130,7 +130,7 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
         # eigenvector error; see kernel/hermitian.py BIG).
         marker = Emid + (3.0 * r) * (1.0 + 0.0j)
 
-        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
@@ -166,7 +166,7 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
 def verify_spurious_general(state: GeneralState, filter_apply) -> GeneralState:
     """Final projector-norm spurious acceptance (see kernel/hermitian.py)."""
     rdtype = jnp.finfo(state.Q.dtype).dtype
-    Qproj, ok = _filter_with_ok(filter_apply, state.Q)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam)
     rho = jnp.linalg.norm(Qproj, axis=0)
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine, general=True)

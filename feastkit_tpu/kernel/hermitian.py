@@ -78,11 +78,20 @@ class HermitianState(NamedTuple):
     #   contributions + warning; feast_mpi.jl:508-511 success consensus).
 
 
-def _filter_with_ok(filter_apply, Q):
+def _filter_with_ok(filter_apply, Q, lam=None):
     """filter_apply may return Qproj or (Qproj, ok): iterative drivers
     report whether all inner solves converged; direct drivers return the
-    bare array (ok=True)."""
-    out = filter_apply(Q)
+    bare array (ok=True).
+
+    Ritz warm-start protocol: a filter_apply carrying ``takes_ritz=True``
+    accepts the current Ritz values as a second argument and uses
+    X0 = Q diag(1/(z - lam)) as the per-node inner-solve initial guess
+    (FeastConfig.warm_start) — the iterative analog of the reference's LU
+    factor cache across refinement loops (feast_dense.jl:147-213)."""
+    if lam is not None and getattr(filter_apply, "takes_ritz", False):
+        out = filter_apply(Q, lam)
+    else:
+        out = filter_apply(Q)
     if isinstance(out, tuple):
         Qproj, ok = out
         return Qproj, jnp.asarray(ok)
@@ -117,7 +126,7 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
         nsum=nsum)
 
     def body(state: HermitianState) -> HermitianState:
-        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q)
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam)
         return update(state, Qproj, solves_ok)
 
     return body
@@ -238,7 +247,7 @@ def verify_spurious(state: HermitianState, filter_apply: Callable
     filter-value test FEAST's stochastic estimator is built on, applied as
     an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
     equioscillating outside response never decays with distance."""
-    Qproj, ok = _filter_with_ok(filter_apply, state.Q)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam)
     return verify_spurious_from(state, Qproj, ok)
 
 
@@ -319,5 +328,5 @@ def feast_hermitian_core(
         return (~state.converged) & (state.loop < max_loops + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    Qproj, ok = _filter_with_ok(filter_apply, final.Q)
+    Qproj, ok = _filter_with_ok(filter_apply, final.Q, final.lam)
     return verify_spurious_from(final, Qproj, ok, nsum=nsum)

@@ -257,22 +257,38 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     # multiply accuracy: 3 steps at 2e-5 each reach ~1e-14.
     lo_tol = max(float(solver_tol), 2e-5) if mixed else solver_tol
 
-    def krylov(apply_op, rhs, tol, prec):
+    def krylov(apply_op, rhs, tol, prec, x0=None):
         if solver == "gmres":
             return gmres_block(apply_op, rhs, tol=tol,
                                restart=solver_restart,
                                maxiter=solver_maxiter, apply_prec=prec,
-                               flag_tol=flag_tol, axis_name=axis_name,
+                               x0=x0, flag_tol=flag_tol, axis_name=axis_name,
                                sync_axes=sync_axes)
         return bicgstab_block(apply_op, rhs, tol=tol,
                               maxiter=solver_maxiter, apply_prec=prec,
-                              flag_tol=flag_tol, axis_name=axis_name,
+                              x0=x0, flag_tol=flag_tol, axis_name=axis_name,
                               sync_axes=sync_axes)
 
-    def solve_cols(z, rhs, prec):
+    def _guard_guess(X0g, rhs, apply_fn):
+        """Accept a warm-start guess PER COLUMN only where it beats the
+        zero iterate: Ritz guesses are excellent for converged columns but
+        garbage for loop-0 / deflated ones (one extra operator application;
+        ~1 Krylov iteration's worth of work)."""
+        R0 = rhs - apply_fn(X0g)
+        n_g2 = jnp.real(_psum_k(jnp.einsum("nk,nk->k", jnp.conj(R0), R0)))
+        n_b2 = jnp.real(_psum_k(jnp.einsum("nk,nk->k", jnp.conj(rhs), rhs)))
+        good = n_g2 < n_b2
+        return jnp.where(good[None, :], X0g, 0), jnp.sqrt(
+            jnp.minimum(n_g2, n_b2))
+
+    def solve_cols(z, rhs, prec, X0g=None):
         if not mixed:
+            x0 = None
+            if X0g is not None:
+                x0, _ = _guard_guess(X0g.astype(rhs.dtype), rhs,
+                                     lambda V: apply_shift(z, V))
             X, info = krylov(lambda X: apply_shift(z, X), rhs,
-                             solver_tol, prec)
+                             solver_tol, prec, x0=x0)
             return X, info.converged
         # --- mixed precision: c64 Krylov + c128 iterative refinement ---
         # Each step solves the column-normalized f64 residual in c64 and
@@ -316,10 +332,14 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return go
 
         X0 = jnp.zeros_like(rhs)
+        rn0 = nrm
+        if X0g is not None:
+            X0, rn0 = _guard_guess(X0g.astype(hi), rhs,
+                                   lambda V: apply_shift(z, V))
         X, _, rn, _, _ = jax.lax.while_loop(
             ir_cond, ir_body,
-            (X0, jnp.int32(0), nrm, jnp.int32(0),
-             _sync_any((ir_max > 0) & jnp.any(nrm > target))))
+            (X0, jnp.int32(0), rn0, jnp.int32(0),
+             _sync_any((ir_max > 0) & jnp.any(rn0 > target))))
         cert = max(solver_tol, flag_tol) if flag_tol is not None \
             else solver_tol
         return X, rn <= 10.0 * cert * scale
@@ -353,29 +373,51 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return lambda X: X / dsafe[:, None]
         return None
 
-    def _chunked(solve_fn, rhs):
+    def _chunked(solve_fn, rhs, aux=None):
         """Apply solve_fn over column chunks of rhs (Krylov memory bound);
-        solve_fn maps (N, cb) -> (X-like pytree, conv (cb,)). Uneven column
-        counts are zero-padded to a chunk multiple (a zero column solves to
-        zero instantly under the per-column done flags)."""
+        solve_fn maps (N, cb)[, aux chunk] -> (X-like pytree, conv (cb,)).
+        Uneven column counts are zero-padded to a chunk multiple (a zero
+        column solves to zero instantly under the per-column done flags).
+        ``aux``: optional pytree of (N, K) arrays chunked alongside rhs
+        (warm-start guesses)."""
         K = rhs.shape[1]
         cb = col_block if (col_block and col_block < K) else None
         if cb is None:
-            return solve_fn(rhs)
+            return solve_fn(rhs) if aux is None else solve_fn(rhs, aux)
         K_pad = -(-K // cb) * cb
-        rhs_p = rhs if K_pad == K else jnp.concatenate(
-            [rhs, jnp.zeros((rhs.shape[0], K_pad - K), rhs.dtype)], axis=1)
-        blocks = rhs_p.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
-        out, convb = jax.lax.map(solve_fn, blocks)
+
+        def to_blocks(X):
+            Xp = X if K_pad == K else jnp.concatenate(
+                [X, jnp.zeros((X.shape[0], K_pad - K), X.dtype)], axis=1)
+            return Xp.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
+
+        blocks = to_blocks(rhs)
+        if aux is None:
+            out, convb = jax.lax.map(solve_fn, blocks)
+        else:
+            aux_b = jax.tree_util.tree_map(to_blocks, aux)
+            out, convb = jax.lax.map(lambda t: solve_fn(t[0], t[1]),
+                                     (blocks, aux_b))
         remap = lambda Xb: Xb.transpose(0, 2, 1).reshape(K_pad, -1).T[:, :K]
         out = jax.tree_util.tree_map(remap, out)
         return out, convb.reshape(-1)[:K]
 
-    def filter_partial(Zall, Wall, rhs):
+    def filter_partial(Zall, Wall, rhs, Q=None, lam=None):
+        """Q, lam: optional Ritz warm-start data — per node the guess is
+        X0 = Q diag(1/(z - lam)) (the resolvent's action on near-eigenpairs),
+        guarded per column inside solve_cols."""
+        warm = Q is not None and lam is not None
+
         def one(acc, zw):
             z, w = zw
             prec = node_prec(z)
-            X, conv = _chunked(lambda b: solve_cols(z, b, prec), rhs)
+            if warm:
+                s = 1.0 / (z - lam.astype(rhs.dtype))
+                X0g = Q.astype(rhs.dtype) * s[None, :]
+                X, conv = _chunked(
+                    lambda b, g: solve_cols(z, b, prec, X0g=g), rhs, X0g)
+            else:
+                X, conv = _chunked(lambda b: solve_cols(z, b, prec), rhs)
             return acc + w * X, conv
 
         acc0 = jnp.zeros(rhs.shape, rhs.dtype)
@@ -423,9 +465,10 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                               apply_prec=prec, flag_tol=flag_tol,
                               axis_name=axis_name, sync_axes=sync_axes)
 
-    def solve_cols_pair(zr, zi, prec, rhs):
+    def solve_cols_pair(zr, zi, prec, rhs, X0g=None):
         """IR solve of (zB - A)(Xr + i Xi) = rhs (real rhs), pair-carried.
-        Returns ((Xr, Xi), conv)."""
+        Returns ((Xr, Xi), conv). X0g: optional (Xr0, Xi0) warm-start guess,
+        accepted per column only where it beats the zero iterate."""
         z_lo = jax.lax.complex(zr.astype(jnp.float32),
                                zi.astype(jnp.float32))
         nrm = jnp.sqrt(_cn2(rhs))
@@ -465,10 +508,19 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return go
 
         Z = jnp.zeros_like(rhs)
+        Xr0, Xi0, rn0 = Z, Z, nrm
+        if X0g is not None:
+            Xr0g, Xi0g = (X0g[0].astype(rhs.dtype),
+                          X0g[1].astype(rhs.dtype))
+            _, _, rn_g = residual(Xr0g, Xi0g)
+            good = rn_g < nrm
+            Xr0 = jnp.where(good[None, :], Xr0g, 0.0)
+            Xi0 = jnp.where(good[None, :], Xi0g, 0.0)
+            rn0 = jnp.minimum(rn_g, nrm)
         Xr, Xi, _, rn, _, _ = jax.lax.while_loop(
             ir_cond, ir_body,
-            (Z, Z, jnp.int32(0), nrm, jnp.int32(0),
-             _sync_any((ir_max > 0) & jnp.any(nrm > target))))
+            (Xr0, Xi0, jnp.int32(0), rn0, jnp.int32(0),
+             _sync_any((ir_max > 0) & jnp.any(rn0 > target))))
         cert = max(solver_tol, flag_tol) if flag_tol is not None \
             else solver_tol
         return (Xr, Xi), rn <= 10.0 * cert * scale
@@ -492,14 +544,28 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             return lambda X: X / dsafe[:, None]
         return None
 
-    def filter_partial_pair(Zr, Zi, Wr, Wi, rhs):
-        """sum_e Re(W_e X_e) for real rhs; all-f64 pair arithmetic."""
+    def pair_guess(zr, zi, Q, lam):
+        """Pair-carried Ritz guess: Q diag(Re s, Im s), s = 1/(z - lam)."""
+        d = (zr - lam) ** 2 + zi ** 2
+        ds = jnp.where(d > 0, d, 1.0)
+        return (Q * ((zr - lam) / ds)[None, :], Q * ((-zi) / ds)[None, :])
+
+    def filter_partial_pair(Zr, Zi, Wr, Wi, rhs, Q=None, lam=None):
+        """sum_e Re(W_e X_e) for real rhs; all-f64 pair arithmetic. Q, lam:
+        optional Ritz warm-start data (see filter_partial)."""
+        warm = Q is not None and lam is not None
 
         def one(acc, zw):
             zr, zi, wr, wi = zw
             prec = node_prec_pair(zr, zi)
-            (Xr, Xi), conv = _chunked(
-                lambda b: solve_cols_pair(zr, zi, prec, b), rhs)
+            if warm:
+                (Xr, Xi), conv = _chunked(
+                    lambda b, g: solve_cols_pair(zr, zi, prec, b, X0g=g),
+                    rhs, pair_guess(zr, zi, Q.astype(rhs.dtype),
+                                    lam.astype(rhs.dtype)))
+            else:
+                (Xr, Xi), conv = _chunked(
+                    lambda b: solve_cols_pair(zr, zi, prec, b), rhs)
             return acc + wr * Xr - wi * Xi, conv
 
         acc0 = jnp.zeros(rhs.shape, rhs.dtype)
@@ -509,6 +575,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     filter_partial.pair = filter_partial_pair
     filter_partial.pair_solve = solve_cols_pair
     filter_partial.pair_prec = node_prec_pair
+    filter_partial.pair_guess = pair_guess
     filter_partial.col_block = col_block
     return filter_partial
 
@@ -568,15 +635,17 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         apply_A_lo=apply_A_lo, apply_B_lo=apply_B_lo,
         apply_A_re=apply_A, apply_B_re=None if standard else apply_B)
 
+    warm = bool(getattr(config, "warm_start", 1))
     if real_pair:
         # half-contour with 2x real-part weights, all-f64 pair arithmetic
-        def filter_apply(Q):
+        def filter_apply(Q, lam=None):
             acc, conv = filter_partial.pair(Zr, Zi, 2.0 * Wr, 2.0 * Wi,
-                                            apply_B(Q))
+                                            apply_B(Q), Q=Q, lam=lam)
             return acc, jnp.all(conv)
         filter_apply.pair_partial = filter_partial.pair
         filter_apply.pair_solve = filter_partial.pair_solve
         filter_apply.pair_prec = filter_partial.pair_prec
+        filter_apply.pair_guess = filter_partial.pair_guess
         filter_apply.col_block = filter_partial.col_block
     elif hermitian:
         Zne = jax.lax.complex(Zr, Zi)
@@ -584,17 +653,19 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
         Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
 
-        def filter_apply(Q):
-            acc, conv = filter_partial(Zall, Wall, apply_B(Q))
+        def filter_apply(Q, lam=None):
+            acc, conv = filter_partial(Zall, Wall, apply_B(Q), Q=Q, lam=lam)
             return acc, jnp.all(conv)
     else:
         Zall = jax.lax.complex(Zr, Zi)
         Wall = 2.0 * jax.lax.complex(Wr, Wi)
 
-        def filter_apply(Q):
-            acc, conv = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype))
+        def filter_apply(Q, lam=None):
+            acc, conv = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype),
+                                       Q=Q, lam=lam)
             return jnp.real(acc).astype(Q.dtype), jnp.all(conv)
 
+    filter_apply.takes_ritz = warm
     return apply_A, apply_B, filter_apply
 
 
@@ -723,7 +794,7 @@ def _sparse_node_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 @cjit(static_argnames=_SPARSE_STATICS)
 def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                            diagA, diagB, Zr, Zi, Wr, Wi, zr_g, zi_g,
-                           wr_g, wi_g, rhs,
+                           wr_g, wi_g, rhs, Q_ws=None, lam_ws=None,
                            *, shape, config, standard, hermitian, solver,
                            solver_tol, solver_maxiter, solver_restart,
                            offsets_A=None, offsets_B=None, use_pallas=False,
@@ -736,6 +807,10 @@ def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     op's work g-fold at the same overhead — near-g-fold wall-clock
     amortization. The weighted accumulation happens IN the program, so only
     the (N, K) f64 partial sum returns. Weights arrive pre-doubled.
+
+    Q_ws / lam_ws: optional Ritz warm-start data for the same columns as
+    rhs (FeastConfig.warm_start) — per node the pair solve starts from
+    Q diag(1/(z - lam)), guarded per column.
 
     The Pallas DIA kernel cannot be vmapped (ANY-memory BlockSpec
     limitation), so the group path always uses the XLA shifted-add matvec —
@@ -750,24 +825,41 @@ def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         mg_A=mg_A, mg_B=mg_B)
     solve = filter_apply.pair_solve
     precf = filter_apply.pair_prec
+    guessf = filter_apply.pair_guess
     cb = filter_apply.col_block
     K = rhs.shape[1]
+    warm = (Q_ws is not None and lam_ws is not None
+            and bool(getattr(config, "warm_start", 1)))
 
-    def run_cols(rhs_cb):
+    def run_cols(rhs_cb, Q_cb=None, lam_cb=None):
         def one_node(zr, zi):
-            return solve(zr, zi, precf(zr, zi), rhs_cb)
+            g = None if Q_cb is None else guessf(
+                zr, zi, Q_cb.astype(rhs.dtype), lam_cb.astype(rhs.dtype))
+            return solve(zr, zi, precf(zr, zi), rhs_cb, X0g=g)
         (Xr, Xi), conv = jax.vmap(one_node)(zr_g, zi_g)
         acc = (jnp.einsum("g,gnk->nk", wr_g, Xr)
                - jnp.einsum("g,gnk->nk", wi_g, Xi))
         return acc, conv.reshape(-1)
 
     if cb is None or cb >= K:
-        return run_cols(rhs)
+        return run_cols(rhs, Q_ws if warm else None,
+                        lam_ws if warm else None)
     K_pad = -(-K // cb) * cb
-    rhs_p = rhs if K_pad == K else jnp.concatenate(
-        [rhs, jnp.zeros((rhs.shape[0], K_pad - K), rhs.dtype)], axis=1)
-    blocks = rhs_p.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
-    accb, convb = jax.lax.map(run_cols, blocks)
+
+    def to_blocks(X):
+        Xp = X if K_pad == K else jnp.concatenate(
+            [X, jnp.zeros((X.shape[0], K_pad - K), X.dtype)], axis=1)
+        return Xp.T.reshape(K_pad // cb, cb, -1).transpose(0, 2, 1)
+
+    blocks = to_blocks(rhs)
+    if warm:
+        lam_p = lam_ws if K_pad == K else jnp.concatenate(
+            [lam_ws, jnp.zeros((K_pad - K,), lam_ws.dtype)])
+        accb, convb = jax.lax.map(
+            lambda t: run_cols(t[0], t[1], t[2]),
+            (blocks, to_blocks(Q_ws), lam_p.reshape(K_pad // cb, cb)))
+    else:
+        accb, convb = jax.lax.map(run_cols, blocks)
     # chunks carve the COLUMN axis: (n_chunks, N, cb) -> (N, K)
     acc = accb.transpose(0, 2, 1).reshape(K_pad, -1).T[:, :K]
     return acc, convb.reshape(-1)
@@ -1102,18 +1194,24 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 cols_raw = int(budget // max(group * N, 1))
             cols_d = max(8, min(K_cols, -(-cols_raw // 8) * 8))
 
-            def host_filter(Q):
+            def host_filter(Q, lam=None):
                 rhs = Q if standard else _sparse_rhs_pair_jit(
                     *arrs, Q, **statics)
+                warm = lam is not None and bool(config.warm_start)
                 acc, okk = None, None
                 for cb in range(0, K_cols, cols_d):
-                    rhs_cb = jax.lax.slice_in_dim(
-                        rhs, cb, min(cb + cols_d, K_cols), axis=1)
+                    hi = min(cb + cols_d, K_cols)
+                    rhs_cb = jax.lax.slice_in_dim(rhs, cb, hi, axis=1)
+                    Q_cb = jax.lax.slice_in_dim(Q, cb, hi, axis=1) \
+                        if warm else None
+                    lam_cb = jax.lax.slice_in_dim(lam, cb, hi, axis=0) \
+                        if warm else None
                     for base in range(0, ne_n, group):
                         g = slice(base, min(base + group, ne_n))
                         c, conv = _sparse_group_pair_jit(
                             *arrs, Zr_[g], Zi_[g],
-                            2.0 * Wr_[g], 2.0 * Wi_[g], rhs_cb, **statics)
+                            2.0 * Wr_[g], 2.0 * Wi_[g], rhs_cb,
+                            Q_cb, lam_cb, **statics)
                         if acc is None:
                             acc = jnp.zeros(
                                 (N, K_cols), c.dtype)
@@ -1131,7 +1229,8 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             stall_loops = 0
             for _loop in range(config.max_loops + 1):
                 _t0 = _time.perf_counter()
-                Qp, okk = host_filter(state.Q)
+                Qp, okk = host_filter(state.Q,
+                                      state.lam if _loop > 0 else None)
                 state = _sparse_outer_pair_jit(
                     *arrs, state, Qp, okk, rdtype(Emin), rdtype(Emax),
                     **statics)
@@ -1164,7 +1263,7 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 eps_prev = eps_now
             if best_state is not None:
                 state = best_state
-            Qp, okk = host_filter(state.Q)
+            Qp, okk = host_filter(state.Q, state.lam)
             state = _sparse_verify_from_jit(state, Qp, okk)
         else:
             for _ in range(config.max_loops + 1):
@@ -1245,10 +1344,11 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
         mg_A=mg_A, mg_B=mg_B)
 
-    def filter_apply(Q):
-        acc, conv = filter_partial(Zne, Wne, apply_B(Q))
+    def filter_apply(Q, lam=None):
+        acc, conv = filter_partial(Zne, Wne, apply_B(Q), Q=Q, lam=lam)
         return acc, jnp.all(conv)
 
+    filter_apply.takes_ritz = bool(config.warm_start)
     return feast_general_core(
         apply_A, apply_B, filter_apply, Q0, Emid, r,
         tol=config.tol, max_loops=config.max_loops,

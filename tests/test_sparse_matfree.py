@@ -427,3 +427,117 @@ def test_mg_vcycle_knobs_from_env(monkeypatch):
     assert r_alt.info == 0 and r_alt.M == r_def.M == len(exp)
     assert np.abs(np.sort(np.asarray(r_alt.lam))
                   - np.sort(np.asarray(r_def.lam))).max() < 1e-10
+
+
+# --- Ritz warm starts (FeastConfig.warm_start) ------------------------------
+
+def test_ritz_guess_exact_eigenpairs_skip_iterations():
+    """For exact eigenpairs the Ritz guess X0 = Q diag(1/(z - lam)) solves
+    (zI - A) X = Q exactly, so gmres_block certifies convergence without
+    running a single Arnoldi cycle — the mechanism behind the warm start's
+    near-free final spurious-verification filter application."""
+    n = 120
+    A = _lap(n).toarray()
+    w, V = np.linalg.eigh(A)
+    k = 6
+    Q = V[:, :k]
+    lam = w[:k]
+    z = 0.8 + 0.25j
+    X0 = Q / (z - lam)[None, :]
+    M = z * np.eye(n) - A
+    op = lambda X: jnp.asarray(M) @ X
+    X, info = gmres_block(op, jnp.asarray(Q, complex), tol=1e-10,
+                          restart=30, maxiter=300, x0=jnp.asarray(X0))
+    assert bool(info.converged.all())
+    assert int(info.iterations) == 0
+
+
+def test_warm_start_off_matches_on(monkeypatch):
+    """FEAST_WARM_START=0 disables the Ritz warm start (compile-relevant
+    FeastConfig field); the converged eigenpairs agree either way."""
+    from feastkit_tpu.core.parameters import FeastConfig, feastinit
+
+    n = 180
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    r_on = feast_scsrev(A, 0.5, 0.7, len(exp) + 4)
+    monkeypatch.setenv("FEAST_WARM_START", "0")
+    cfg = FeastConfig.from_fpm(feastinit())
+    assert cfg.warm_start == 0
+    assert cfg != FeastConfig()          # compile-relevant: distinct key
+    r_off = feast_scsrev(A, 0.5, 0.7, len(exp) + 4)
+    assert r_on.info == 0 and r_off.info == 0
+    assert r_on.M == r_off.M == len(exp)
+    assert np.abs(np.sort(np.asarray(r_on.lam))
+                  - np.sort(np.asarray(r_off.lam))).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_warm_start_pair_path_forced_mixed():
+    """The pair-carried mixed-precision IR path (fpm[42]=2) accepts Ritz
+    warm starts per column (solve_cols_pair X0g) and still reaches the
+    f64 residual target."""
+    from feastkit_tpu import feastinit
+
+    n = 260
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    fpm = feastinit()
+    fpm[3] = 10
+    fpm[42] = 2                    # force mixed: real pencil -> pair path
+    r = feast_scsrev(A, 0.5, 0.7, len(exp) + 5, fpm)
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert r.epsout <= 1e-10
+    assert np.abs(np.sort(np.asarray(r.lam)) - exp).max() < 1e-9
+
+
+def test_group_pair_jit_warm_start_agrees():
+    """_sparse_group_pair_jit (host-granular hot path) with Q_ws/lam_ws
+    warm-start operands returns the same weighted filtered contribution as
+    the cold call — exercised on CPU so the warm branch cannot rot until a
+    chip run."""
+    from feastkit_tpu.core.contour import feast_contour
+    from feastkit_tpu.core.parameters import FeastConfig, feastinit
+    from feastkit_tpu.solvers.sparse import (_sparse_group_pair_jit,
+                                             _structured_forms)
+
+    n = 150
+    A = _lap(n)
+    w, V = np.linalg.eigh(A.toarray())
+    Emin, Emax = 0.5, 0.7
+    k = int(np.sum((w >= Emin) & (w <= Emax))) + 3
+    coo = A.tocoo()
+    A_data = coo.data.astype(np.float64)
+    A_idx = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
+    (A_dia, offsets_A, B_dia, offsets_B, diagA, diagB, _, precond,
+     mg_A, mg_B) = _structured_forms(A_data, A_idx, A_data, A_idx, n,
+                                     True, np.float64)
+    fpm = feastinit()
+    fpm[3] = 10                    # certify at 1e-10 (c64-IR floor head room)
+    fpm[42] = 2
+    config = FeastConfig.from_fpm(fpm, dtype=np.complex128)
+    statics = dict(shape=(n, n), config=config, standard=True,
+                   hermitian=False, solver="gmres", solver_tol=2e-11,
+                   solver_maxiter=400, solver_restart=30,
+                   offsets_A=offsets_A, offsets_B=offsets_B,
+                   use_pallas=False, precond=precond, mg_A=mg_A, mg_B=mg_B)
+    c = feast_contour(Emin, Emax, fpm)
+    Zr, Zi = np.real(c.Zne), np.imag(c.Zne)
+    Wr, Wi = np.real(c.Wne), np.imag(c.Wne)
+    arrs = (A_data, A_idx, A_data, A_idx, A_dia, B_dia, diagA, diagB,
+            Zr, Zi, Wr, Wi)
+    rhs = np.asarray(V[:, :k], np.float64)        # B = I: rhs == Q
+    lam = np.asarray(w[:k], np.float64)
+    g = slice(0, 2)
+    cold, conv_c = _sparse_group_pair_jit(
+        *arrs, Zr[g], Zi[g], 2 * Wr[g], 2 * Wi[g], jnp.asarray(rhs),
+        **statics)
+    warm, conv_w = _sparse_group_pair_jit(
+        *arrs, Zr[g], Zi[g], 2 * Wr[g], 2 * Wi[g], jnp.asarray(rhs),
+        jnp.asarray(rhs), jnp.asarray(lam), **statics)
+    assert bool(jnp.all(conv_c)) and bool(jnp.all(conv_w))
+    assert float(jnp.abs(warm - cold).max()) < 1e-7 * float(
+        jnp.abs(cold).max())

@@ -381,6 +381,17 @@ class FeastConfig:
     #   iterate (one extra operator application per node). This is the
     #   iterative analog of the reference's cached LU factors reused across
     #   refinement loops (feast_dense.jl:147-213, fpm[10]).
+    adaptive_inner_tol: int = 1  # Inexact-FEAST inner tolerances (env
+    #   override FEAST_ADAPTIVE_TOL; compile-relevant). FEAST refinement
+    #   contracts the subspace error by the filter ratio gamma per loop and
+    #   adds the inner-solve error: error_k ~ gamma*error_{k-1} + C*tau_k.
+    #   Solving every loop at the final accuracy wastes Krylov iterations
+    #   when the subspace is still crude, so iterative inner solves aim at
+    #   tau_k = clip(0.1*epsout_{k-1}^2, solver_tol, ~3e-5) — loose on the
+    #   first loops, full accuracy when it matters. The final
+    #   spurious-verification filter pass only feeds the projector-norm
+    #   test (rho > 0.25) and runs at 2e-3. Inner-solve certification
+    #   (inner_converged) is judged against each solve's own target.
     # Host-side driving knobs: read only OUTSIDE traced code (they pick
     # dispatch chunk sizes / the host-vs-fused path; any behavioral
     # difference reaches the compiler as operand shapes, which are part of
@@ -424,6 +435,7 @@ class FeastConfig:
             mg_omega=float(os.environ.get("FEAST_MG_OMEGA", 0.8)),
             mg_cycles=int(os.environ.get("FEAST_MG_CYCLES", 1)),
             warm_start=int(os.environ.get("FEAST_WARM_START", 1)),
+            adaptive_inner_tol=int(os.environ.get("FEAST_ADAPTIVE_TOL", 1)),
             dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
                                                  5e6)),
             group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),

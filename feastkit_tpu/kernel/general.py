@@ -130,7 +130,9 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
         # eigenvector error; see kernel/hermitian.py BIG).
         marker = Emid + (3.0 * r) * (1.0 + 0.0j)
 
-        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam)
+        hint = 0.1 * state.epsout * state.epsout
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam,
+                                           hint)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         m = (s >= cut * s[0]).astype(rdtype)
         Um = U * m[None, :]
@@ -165,8 +167,10 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
 
 def verify_spurious_general(state: GeneralState, filter_apply) -> GeneralState:
     """Final projector-norm spurious acceptance (see kernel/hermitian.py)."""
+    from .hermitian import VERIFY_FILTER_TOL
     rdtype = jnp.finfo(state.Q.dtype).dtype
-    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam,
+                                jnp.asarray(VERIFY_FILTER_TOL, rdtype))
     rho = jnp.linalg.norm(Qproj, axis=0)
     genuine = state.inside & (rho > 0.25) & (state.res < SPURIOUS_RES)
     order = inside_first_order(state.lam, genuine, general=True)

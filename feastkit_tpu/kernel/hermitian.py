@@ -78,20 +78,33 @@ class HermitianState(NamedTuple):
     #   contributions + warning; feast_mpi.jl:508-511 success consensus).
 
 
-def _filter_with_ok(filter_apply, Q, lam=None):
+# The spurious-verification filter pass only feeds the projector-norm test
+# rho = ||P q|| > 0.25, so 2e-3 inner accuracy is ample (adaptive-tol
+# drivers honor this; full-accuracy drivers ignore it).
+VERIFY_FILTER_TOL = 2e-3
+
+
+def _filter_with_ok(filter_apply, Q, lam=None, tol_hint=None):
     """filter_apply may return Qproj or (Qproj, ok): iterative drivers
     report whether all inner solves converged; direct drivers return the
     bare array (ok=True).
 
     Ritz warm-start protocol: a filter_apply carrying ``takes_ritz=True``
-    accepts the current Ritz values as a second argument and uses
+    accepts the current Ritz values (``lam=``) and uses
     X0 = Q diag(1/(z - lam)) as the per-node inner-solve initial guess
     (FeastConfig.warm_start) — the iterative analog of the reference's LU
-    factor cache across refinement loops (feast_dense.jl:147-213)."""
+    factor cache across refinement loops (feast_dense.jl:147-213).
+
+    Adaptive-tolerance protocol: ``takes_tol=True`` filters accept
+    ``tol_hint=`` — the relative inner accuracy THIS application actually
+    needs (FeastConfig.adaptive_inner_tol); the driver clamps it to
+    [solver_tol, cap]."""
+    kwargs = {}
     if lam is not None and getattr(filter_apply, "takes_ritz", False):
-        out = filter_apply(Q, lam)
-    else:
-        out = filter_apply(Q)
+        kwargs["lam"] = lam
+    if tol_hint is not None and getattr(filter_apply, "takes_tol", False):
+        kwargs["tol_hint"] = tol_hint
+    out = filter_apply(Q, **kwargs)
     if isinstance(out, tuple):
         Qproj, ok = out
         return Qproj, jnp.asarray(ok)
@@ -126,7 +139,12 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
         nsum=nsum)
 
     def body(state: HermitianState) -> HermitianState:
-        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam)
+        # inexact-FEAST inner target: the next loop's error is
+        # ~ gamma*epsout + C*tau; tau = 0.1*epsout^2 tracks an order below
+        # the worst case (epsout = inf on loop 0 -> the driver's loose cap)
+        hint = 0.1 * state.epsout * state.epsout
+        Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam,
+                                           hint)
         return update(state, Qproj, solves_ok)
 
     return body
@@ -247,7 +265,9 @@ def verify_spurious(state: HermitianState, filter_apply: Callable
     filter-value test FEAST's stochastic estimator is built on, applied as
     an acceptance oracle. Kills e.g. Zolotarev-quadrature noise pairs whose
     equioscillating outside response never decays with distance."""
-    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam)
+    Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam,
+                                jnp.asarray(VERIFY_FILTER_TOL,
+                                            state.epsout.dtype))
     return verify_spurious_from(state, Qproj, ok)
 
 
@@ -328,5 +348,7 @@ def feast_hermitian_core(
         return (~state.converged) & (state.loop < max_loops + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    Qproj, ok = _filter_with_ok(filter_apply, final.Q, final.lam)
+    Qproj, ok = _filter_with_ok(filter_apply, final.Q, final.lam,
+                                jnp.asarray(VERIFY_FILTER_TOL,
+                                            final.epsout.dtype))
     return verify_spurious_from(final, Qproj, ok, nsum=nsum)

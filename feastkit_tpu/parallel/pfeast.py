@@ -502,13 +502,15 @@ def _pfeast_sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
             offsets_A=offsets_A, offsets_B=offsets_B, use_pallas=use_pallas,
             precond=precond, mg_A=mg_A, mg_B=mg_B)
 
-        def filter_apply(Q, lam=None):
-            local, conv = filter_partial(Zl, Wl, apply_B(Q), Q=Q, lam=lam)
+        def filter_apply(Q, lam=None, tol_hint=None):
+            local, conv = filter_partial(Zl, Wl, apply_B(Q), Q=Q, lam=lam,
+                                         tol_hint=tol_hint)
             ok = jnp.all(conv)
             all_ok = jax.lax.pmin(ok.astype(jnp.int32), AXIS) > 0
             return jax.lax.psum(local, AXIS), all_ok
 
         filter_apply.takes_ritz = bool(config.warm_start)
+        filter_apply.takes_tol = bool(config.adaptive_inner_tol)
         return feast_general_core(
             apply_A, apply_B, filter_apply, Q0, Emid, r,
             tol=config.tol, max_loops=config.max_loops,
@@ -666,8 +668,8 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
             offsets_A=offsets_A, offsets_B=offsets_B, use_pallas=use_pallas,
             precond=precond, mg_A=mg_A, mg_B=mg_B)
 
-        def filter_apply(Q, lam=None):
-            local, ok = filter_local(Q, lam)
+        def filter_apply(Q, lam=None, tol_hint=None):
+            local, ok = filter_local(Q, lam, tol_hint)
             all_ok = jax.lax.pmin(
                 jnp.asarray(ok).astype(jnp.int32), AXIS) > 0
             return jax.lax.psum(local, AXIS), all_ok
@@ -675,6 +677,9 @@ def _pfeast_sparse_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA,
         filter_apply.takes_ritz = (bool(config.warm_start)
                                    and getattr(filter_local, "takes_ritz",
                                                False))
+        filter_apply.takes_tol = (bool(config.adaptive_inner_tol)
+                                  and getattr(filter_local, "takes_tol",
+                                              False))
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
             tol=config.tol, max_loops=config.max_loops,
@@ -810,9 +815,10 @@ def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0,
             return jax.lax.pmin(ok.astype(jnp.int32), sync) > 0
 
         if real_pair:
-            def filter_apply(Q, lam=None):
+            def filter_apply(Q, lam=None, tol_hint=None):
                 acc, conv = filter_partial.pair(Zr, Zi, 2.0 * Wr, 2.0 * Wi,
-                                                apply_B(Q), Q=Q, lam=lam)
+                                                apply_B(Q), Q=Q, lam=lam,
+                                                tol_hint=tol_hint)
                 return jax.lax.psum(acc, AXIS), consensus(conv)
         elif hermitian:
             Zne = jax.lax.complex(Zr, Zi)
@@ -820,22 +826,25 @@ def _pfeast_sparse_model_jit(A_dia, B_dia, diagA, diagB, Zr, Zi, Wr, Wi, Q0,
             Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
             Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
 
-            def filter_apply(Q, lam=None):
+            def filter_apply(Q, lam=None, tol_hint=None):
                 local, conv = filter_partial(Zall, Wall, apply_B(Q),
-                                             Q=Q, lam=lam)
+                                             Q=Q, lam=lam,
+                                             tol_hint=tol_hint)
                 return jax.lax.psum(local, AXIS), consensus(conv)
         else:
             Zall = jax.lax.complex(Zr, Zi)
             Wall = 2.0 * jax.lax.complex(Wr, Wi)
 
-            def filter_apply(Q, lam=None):
+            def filter_apply(Q, lam=None, tol_hint=None):
                 local, conv = filter_partial(Zall, Wall,
                                              apply_B(Q).astype(cdtype),
-                                             Q=Q, lam=lam)
+                                             Q=Q, lam=lam,
+                                             tol_hint=tol_hint)
                 return (jax.lax.psum(jnp.real(local).astype(Q.dtype), AXIS),
                         consensus(conv))
 
         filter_apply.takes_ritz = bool(config.warm_start)
+        filter_apply.takes_tol = bool(config.adaptive_inner_tol)
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0l, Emin, Emax,
             tol=config.tol, max_loops=config.max_loops,

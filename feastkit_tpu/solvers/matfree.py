@@ -101,22 +101,39 @@ def create_iterative_solver(A_op, B_op=None, method="gmres", *, tol=1e-12,
     if method not in ("gmres", "bicgstab"):
         raise ValueError(f"Unknown iterative solver {method!r}")
 
-    def solve_shifted_info(z, RHS):
+    def solve_shifted_guess(z, RHS, X0=None, tol_hint=None):
+        """(X, all_converged) with optional Ritz warm start X0 (accepted
+        per column only where it beats the zero iterate) and optional
+        adaptive tolerance hint (clamped to [tol, ~3e-5]) — the matfree
+        analog of the sparse drivers' warm_start/adaptive_inner_tol."""
         def op(X):
             BX = X if B_op is None else B_op(X)
             return z * BX - A_op(X)
+        t = tol if tol_hint is None else jnp.clip(
+            jnp.asarray(tol_hint), float(tol), max(float(tol), 3e-5))
+        x0 = None
+        if X0 is not None:
+            X0 = X0.astype(RHS.dtype)
+            R0 = RHS - op(X0)
+            n0 = jnp.real(jnp.einsum("nk,nk->k", jnp.conj(R0), R0))
+            nb = jnp.real(jnp.einsum("nk,nk->k", jnp.conj(RHS), RHS))
+            x0 = jnp.where((n0 < nb)[None, :], X0, 0)
         if method == "gmres":
-            X, info = gmres_block(op, RHS, tol=tol, restart=restart,
-                                  maxiter=maxiter, flag_tol=flag_tol)
+            X, info = gmres_block(op, RHS, tol=t, restart=restart,
+                                  maxiter=maxiter, x0=x0, flag_tol=flag_tol)
         else:
-            X, info = bicgstab_block(op, RHS, tol=tol, maxiter=maxiter,
-                                     flag_tol=flag_tol)
+            X, info = bicgstab_block(op, RHS, tol=t, maxiter=maxiter,
+                                     x0=x0, flag_tol=flag_tol)
         return X, jnp.all(info.converged)
+
+    def solve_shifted_info(z, RHS):
+        return solve_shifted_guess(z, RHS)
 
     def solve_shifted(z, RHS):
         return solve_shifted_info(z, RHS)[0]
 
     solve_shifted.with_info = solve_shifted_info
+    solve_shifted.with_guess = solve_shifted_guess
     return solve_shifted
 
 
@@ -210,21 +227,38 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
         return _stochastic_estimate_result(
             lambda V: filt(V, Zall, Wall), N, fpm, wd)
 
+    solve_guess = getattr(solve_shifted, "with_guess", None)
+    rich = (solve_guess is not None
+            and (bool(config.warm_start) or bool(config.adaptive_inner_tol)))
+
     @cjit
     def run(Q0, Emin, Emax, Zall, Wall):
-        def solve_nodes(rhs):
-            return jax.lax.map(lambda z: solve_info(z, rhs), Zall)
+        def solve_nodes(rhs, Q=None, lam=None, tol_hint=None):
+            if not rich:
+                return jax.lax.map(lambda z: solve_info(z, rhs), Zall)
+            hint = tol_hint if bool(config.adaptive_inner_tol) else None
+
+            def one(z):
+                X0 = None
+                if lam is not None and bool(config.warm_start):
+                    X0 = Q.astype(rhs.dtype) \
+                        * (1.0 / (z - lam.astype(rhs.dtype)))[None, :]
+                return solve_guess(z, rhs, X0, hint)
+            return jax.lax.map(one, Zall)
 
         if hermitian:
-            def filter_apply(Q):
-                X, ok = solve_nodes(apply_B(Q))
+            def filter_apply(Q, lam=None, tol_hint=None):
+                X, ok = solve_nodes(apply_B(Q), Q, lam, tol_hint)
                 return jnp.einsum("e,enm->nm", Wall, X), jnp.all(ok)
         else:
-            def filter_apply(Q):
-                X, ok = solve_nodes(apply_B(Q).astype(Zall.dtype))
+            def filter_apply(Q, lam=None, tol_hint=None):
+                X, ok = solve_nodes(apply_B(Q).astype(Zall.dtype),
+                                    Q, lam, tol_hint)
                 return (jnp.real(jnp.einsum("e,enm->nm", Wall, X)).astype(Q.dtype),
                         jnp.all(ok))
 
+        filter_apply.takes_ritz = rich and bool(config.warm_start)
+        filter_apply.takes_tol = rich and bool(config.adaptive_inner_tol)
         return feast_hermitian_core(
             apply_A, apply_B, filter_apply, Q0, Emin, Emax,
             tol=config.tol, max_loops=config.max_loops,
@@ -343,12 +377,29 @@ def feast_matvec_general(A_op, B_op, Emid, r, M0, fpm=None, *,
     solve_info = getattr(solve_shifted, "with_info",
                          lambda z, RHS: (solve_shifted(z, RHS), jnp.asarray(True)))
 
+    solve_guess = getattr(solve_shifted, "with_guess", None)
+    rich = (solve_guess is not None
+            and (bool(config.warm_start) or bool(config.adaptive_inner_tol)))
+
     @cjit
     def run(Q0, Emid, r, Zne, Wne):
-        def filter_apply(Q):
-            X, ok = jax.lax.map(lambda z: solve_info(z, apply_B(Q)), Zne)
+        def filter_apply(Q, lam=None, tol_hint=None):
+            rhs = apply_B(Q)
+            if not rich:
+                X, ok = jax.lax.map(lambda z: solve_info(z, rhs), Zne)
+            else:
+                hint = tol_hint if bool(config.adaptive_inner_tol) else None
+
+                def one(z):
+                    X0 = None
+                    if lam is not None and bool(config.warm_start):
+                        X0 = Q * (1.0 / (z - lam))[None, :]
+                    return solve_guess(z, rhs, X0, hint)
+                X, ok = jax.lax.map(one, Zne)
             return jnp.einsum("e,enm->nm", Wne, X), jnp.all(ok)
 
+        filter_apply.takes_ritz = rich and bool(config.warm_start)
+        filter_apply.takes_tol = rich and bool(config.adaptive_inner_tol)
         return feast_general_core(
             apply_A, apply_B, filter_apply, Q0, Emid, r,
             tol=config.tol, max_loops=config.max_loops,

@@ -257,6 +257,20 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     # multiply accuracy: 3 steps at 2e-5 each reach ~1e-14.
     lo_tol = max(float(solver_tol), 2e-5) if mixed else solver_tol
 
+    # Adaptive-tolerance cap (FeastConfig.adaptive_inner_tol): the loosest
+    # tolerance an early-loop solve may run at. Kept a decade below the
+    # f64 rank-deflation cut (eps^0.25 ~ 1.2e-4) so inexact filtered
+    # subspaces cannot blur the noise/direction separation.
+    TAU_CAP = 3e-5
+
+    def _eff_tol(tol_hint):
+        """Per-application inner tolerance: the kernel's hint clamped to
+        [solver_tol, max(solver_tol, TAU_CAP)] (traced; inf -> the cap)."""
+        if tol_hint is None:
+            return solver_tol
+        hi = max(float(solver_tol), TAU_CAP)
+        return jnp.clip(jnp.asarray(tol_hint), float(solver_tol), hi)
+
     def krylov(apply_op, rhs, tol, prec, x0=None):
         if solver == "gmres":
             return gmres_block(apply_op, rhs, tol=tol,
@@ -281,14 +295,15 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         return jnp.where(good[None, :], X0g, 0), jnp.sqrt(
             jnp.minimum(n_g2, n_b2))
 
-    def solve_cols(z, rhs, prec, X0g=None):
+    def solve_cols(z, rhs, prec, X0g=None, tol_hint=None):
+        tol_eff = _eff_tol(tol_hint)
         if not mixed:
             x0 = None
             if X0g is not None:
                 x0, _ = _guard_guess(X0g.astype(rhs.dtype), rhs,
                                      lambda V: apply_shift(z, V))
             X, info = krylov(lambda X: apply_shift(z, X), rhs,
-                             solver_tol, prec, x0=x0)
+                             tol_eff, prec, x0=x0)
             return X, info.converged
         # --- mixed precision: c64 Krylov + c128 iterative refinement ---
         # Each step solves the column-normalized f64 residual in c64 and
@@ -302,7 +317,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         nrm = jnp.sqrt(jnp.real(_psum_k(
             jnp.einsum("nk,nk->k", jnp.conj(rhs), rhs))))
         scale = jnp.maximum(nrm, 1.0)
-        target = solver_tol * scale
+        target = tol_eff * scale
+        lo_eff = lo_tol if tol_hint is None else jnp.maximum(tol_eff, 2e-5)
 
         def ir_body(carry):
             X, it, rn, stall, _ = carry
@@ -310,7 +326,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             safe = jnp.where(rn > 0, rn, 1.0)
             Rn = (R / safe[None, :]).astype(lo)
             dX, _ = krylov(lambda V: apply_shift_lo(z_lo, V), Rn,
-                           lo_tol, prec)
+                           lo_eff, prec)
             X_new = X + dX.astype(hi) * safe[None, :].astype(hi)
             Rf = rhs - apply_shift(z, X_new)
             rn_new = jnp.sqrt(jnp.real(_psum_k(
@@ -340,8 +356,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             ir_cond, ir_body,
             (X0, jnp.int32(0), rn0, jnp.int32(0),
              _sync_any((ir_max > 0) & jnp.any(rn0 > target))))
-        cert = max(solver_tol, flag_tol) if flag_tol is not None \
-            else solver_tol
+        cert = jnp.maximum(tol_eff, flag_tol) if flag_tol is not None \
+            else tol_eff
         return X, rn <= 10.0 * cert * scale
 
     stA, stB = _unpack_stencil(mg_A), _unpack_stencil(mg_B)
@@ -402,10 +418,11 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         out = jax.tree_util.tree_map(remap, out)
         return out, convb.reshape(-1)[:K]
 
-    def filter_partial(Zall, Wall, rhs, Q=None, lam=None):
+    def filter_partial(Zall, Wall, rhs, Q=None, lam=None, tol_hint=None):
         """Q, lam: optional Ritz warm-start data — per node the guess is
         X0 = Q diag(1/(z - lam)) (the resolvent's action on near-eigenpairs),
-        guarded per column inside solve_cols."""
+        guarded per column inside solve_cols. tol_hint: optional adaptive
+        inner tolerance for every node's solve (clamped by _eff_tol)."""
         warm = Q is not None and lam is not None
 
         def one(acc, zw):
@@ -415,9 +432,12 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                 s = 1.0 / (z - lam.astype(rhs.dtype))
                 X0g = Q.astype(rhs.dtype) * s[None, :]
                 X, conv = _chunked(
-                    lambda b, g: solve_cols(z, b, prec, X0g=g), rhs, X0g)
+                    lambda b, g: solve_cols(z, b, prec, X0g=g,
+                                            tol_hint=tol_hint), rhs, X0g)
             else:
-                X, conv = _chunked(lambda b: solve_cols(z, b, prec), rhs)
+                X, conv = _chunked(
+                    lambda b: solve_cols(z, b, prec, tol_hint=tol_hint),
+                    rhs)
             return acc + w * X, conv
 
         acc0 = jnp.zeros(rhs.shape, rhs.dtype)
@@ -465,15 +485,18 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
                               apply_prec=prec, flag_tol=flag_tol,
                               axis_name=axis_name, sync_axes=sync_axes)
 
-    def solve_cols_pair(zr, zi, prec, rhs, X0g=None):
+    def solve_cols_pair(zr, zi, prec, rhs, X0g=None, tol_hint=None):
         """IR solve of (zB - A)(Xr + i Xi) = rhs (real rhs), pair-carried.
         Returns ((Xr, Xi), conv). X0g: optional (Xr0, Xi0) warm-start guess,
-        accepted per column only where it beats the zero iterate."""
+        accepted per column only where it beats the zero iterate. tol_hint:
+        optional adaptive inner tolerance (clamped by _eff_tol)."""
+        tol_eff = _eff_tol(tol_hint)
         z_lo = jax.lax.complex(zr.astype(jnp.float32),
                                zi.astype(jnp.float32))
         nrm = jnp.sqrt(_cn2(rhs))
         scale = jnp.maximum(nrm, 1.0)
-        target = solver_tol * scale
+        target = tol_eff * scale
+        lo_eff = lo_tol if tol_hint is None else jnp.maximum(tol_eff, 2e-5)
 
         def residual(Xr, Xi):
             Sr, Si = shift_pair(zr, zi, Xr, Xi)
@@ -488,7 +511,7 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             Rn = jax.lax.complex((Rr / safe[None, :]).astype(jnp.float32),
                                  (Ri / safe[None, :]).astype(jnp.float32))
             dX, _ = krylov_pair(lambda V: apply_shift_lo(z_lo, V), Rn,
-                                lo_tol, prec)
+                                lo_eff, prec)
             Xr_new = Xr + jnp.real(dX).astype(rhs.dtype) * safe[None, :]
             Xi_new = Xi + jnp.imag(dX).astype(rhs.dtype) * safe[None, :]
             _, _, rn_new = residual(Xr_new, Xi_new)
@@ -521,8 +544,8 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             ir_cond, ir_body,
             (Xr0, Xi0, jnp.int32(0), rn0, jnp.int32(0),
              _sync_any((ir_max > 0) & jnp.any(rn0 > target))))
-        cert = max(solver_tol, flag_tol) if flag_tol is not None \
-            else solver_tol
+        cert = jnp.maximum(tol_eff, flag_tol) if flag_tol is not None \
+            else tol_eff
         return (Xr, Xi), rn <= 10.0 * cert * scale
 
     def node_prec_pair(zr, zi):
@@ -550,9 +573,11 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
         ds = jnp.where(d > 0, d, 1.0)
         return (Q * ((zr - lam) / ds)[None, :], Q * ((-zi) / ds)[None, :])
 
-    def filter_partial_pair(Zr, Zi, Wr, Wi, rhs, Q=None, lam=None):
+    def filter_partial_pair(Zr, Zi, Wr, Wi, rhs, Q=None, lam=None,
+                            tol_hint=None):
         """sum_e Re(W_e X_e) for real rhs; all-f64 pair arithmetic. Q, lam:
-        optional Ritz warm-start data (see filter_partial)."""
+        optional Ritz warm-start data; tol_hint: optional adaptive inner
+        tolerance (see filter_partial)."""
         warm = Q is not None and lam is not None
 
         def one(acc, zw):
@@ -560,12 +585,14 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
             prec = node_prec_pair(zr, zi)
             if warm:
                 (Xr, Xi), conv = _chunked(
-                    lambda b, g: solve_cols_pair(zr, zi, prec, b, X0g=g),
+                    lambda b, g: solve_cols_pair(zr, zi, prec, b, X0g=g,
+                                                 tol_hint=tol_hint),
                     rhs, pair_guess(zr, zi, Q.astype(rhs.dtype),
                                     lam.astype(rhs.dtype)))
             else:
                 (Xr, Xi), conv = _chunked(
-                    lambda b: solve_cols_pair(zr, zi, prec, b), rhs)
+                    lambda b: solve_cols_pair(zr, zi, prec, b,
+                                              tol_hint=tol_hint), rhs)
             return acc + wr * Xr - wi * Xi, conv
 
         acc0 = jnp.zeros(rhs.shape, rhs.dtype)
@@ -636,11 +663,13 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         apply_A_re=apply_A, apply_B_re=None if standard else apply_B)
 
     warm = bool(getattr(config, "warm_start", 1))
+    adaptive = bool(getattr(config, "adaptive_inner_tol", 1))
     if real_pair:
         # half-contour with 2x real-part weights, all-f64 pair arithmetic
-        def filter_apply(Q, lam=None):
+        def filter_apply(Q, lam=None, tol_hint=None):
             acc, conv = filter_partial.pair(Zr, Zi, 2.0 * Wr, 2.0 * Wi,
-                                            apply_B(Q), Q=Q, lam=lam)
+                                            apply_B(Q), Q=Q, lam=lam,
+                                            tol_hint=tol_hint)
             return acc, jnp.all(conv)
         filter_apply.pair_partial = filter_partial.pair
         filter_apply.pair_solve = filter_partial.pair_solve
@@ -653,19 +682,21 @@ def _sparse_ops(A_data, A_idx, B_data, B_idx, A_dia, B_dia, diagA, diagB,
         Zall = jnp.concatenate([Zne, jnp.conj(Zne)])
         Wall = jnp.concatenate([Wne, jnp.conj(Wne)])
 
-        def filter_apply(Q, lam=None):
-            acc, conv = filter_partial(Zall, Wall, apply_B(Q), Q=Q, lam=lam)
+        def filter_apply(Q, lam=None, tol_hint=None):
+            acc, conv = filter_partial(Zall, Wall, apply_B(Q), Q=Q, lam=lam,
+                                       tol_hint=tol_hint)
             return acc, jnp.all(conv)
     else:
         Zall = jax.lax.complex(Zr, Zi)
         Wall = 2.0 * jax.lax.complex(Wr, Wi)
 
-        def filter_apply(Q, lam=None):
+        def filter_apply(Q, lam=None, tol_hint=None):
             acc, conv = filter_partial(Zall, Wall, apply_B(Q).astype(cdtype),
-                                       Q=Q, lam=lam)
+                                       Q=Q, lam=lam, tol_hint=tol_hint)
             return jnp.real(acc).astype(Q.dtype), jnp.all(conv)
 
     filter_apply.takes_ritz = warm
+    filter_apply.takes_tol = adaptive
     return apply_A, apply_B, filter_apply
 
 
@@ -795,6 +826,7 @@ def _sparse_node_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
                            diagA, diagB, Zr, Zi, Wr, Wi, zr_g, zi_g,
                            wr_g, wi_g, rhs, Q_ws=None, lam_ws=None,
+                           tol_hint=None,
                            *, shape, config, standard, hermitian, solver,
                            solver_tol, solver_maxiter, solver_restart,
                            offsets_A=None, offsets_B=None, use_pallas=False,
@@ -810,7 +842,9 @@ def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
 
     Q_ws / lam_ws: optional Ritz warm-start data for the same columns as
     rhs (FeastConfig.warm_start) — per node the pair solve starts from
-    Q diag(1/(z - lam)), guarded per column.
+    Q diag(1/(z - lam)), guarded per column. tol_hint: optional adaptive
+    inner tolerance (FeastConfig.adaptive_inner_tol), clamped in
+    solve_cols_pair.
 
     The Pallas DIA kernel cannot be vmapped (ANY-memory BlockSpec
     limitation), so the group path always uses the XLA shifted-add matvec —
@@ -831,11 +865,15 @@ def _sparse_group_pair_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
     warm = (Q_ws is not None and lam_ws is not None
             and bool(getattr(config, "warm_start", 1)))
 
+    hint = tol_hint if bool(getattr(config, "adaptive_inner_tol", 1)) \
+        else None
+
     def run_cols(rhs_cb, Q_cb=None, lam_cb=None):
         def one_node(zr, zi):
             g = None if Q_cb is None else guessf(
                 zr, zi, Q_cb.astype(rhs.dtype), lam_cb.astype(rhs.dtype))
-            return solve(zr, zi, precf(zr, zi), rhs_cb, X0g=g)
+            return solve(zr, zi, precf(zr, zi), rhs_cb, X0g=g,
+                         tol_hint=hint)
         (Xr, Xi), conv = jax.vmap(one_node)(zr_g, zi_g)
         acc = (jnp.einsum("g,gnk->nk", wr_g, Xr)
                - jnp.einsum("g,gnk->nk", wi_g, Xi))
@@ -1194,10 +1232,11 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 cols_raw = int(budget // max(group * N, 1))
             cols_d = max(8, min(K_cols, -(-cols_raw // 8) * 8))
 
-            def host_filter(Q, lam=None):
+            def host_filter(Q, lam=None, tol_hint=None):
                 rhs = Q if standard else _sparse_rhs_pair_jit(
                     *arrs, Q, **statics)
                 warm = lam is not None and bool(config.warm_start)
+                hint = None if tol_hint is None else np.float64(tol_hint)
                 acc, okk = None, None
                 for cb in range(0, K_cols, cols_d):
                     hi = min(cb + cols_d, K_cols)
@@ -1211,7 +1250,7 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                         c, conv = _sparse_group_pair_jit(
                             *arrs, Zr_[g], Zi_[g],
                             2.0 * Wr_[g], 2.0 * Wi_[g], rhs_cb,
-                            Q_cb, lam_cb, **statics)
+                            Q_cb, lam_cb, hint, **statics)
                         if acc is None:
                             acc = jnp.zeros(
                                 (N, K_cols), c.dtype)
@@ -1229,8 +1268,14 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             stall_loops = 0
             for _loop in range(config.max_loops + 1):
                 _t0 = _time.perf_counter()
+                # inexact-FEAST hint: 0.1 * epsout^2 of the previous loop
+                # (loop 0: inf -> the TAU_CAP clamp); the group jit clamps
+                hint = float("inf") if _loop == 0 \
+                    else 0.1 * float(eps_prev if np.isfinite(eps_prev)
+                                     else 1.0) ** 2
                 Qp, okk = host_filter(state.Q,
-                                      state.lam if _loop > 0 else None)
+                                      state.lam if _loop > 0 else None,
+                                      tol_hint=hint)
                 state = _sparse_outer_pair_jit(
                     *arrs, state, Qp, okk, rdtype(Emin), rdtype(Emax),
                     **statics)
@@ -1263,7 +1308,9 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 eps_prev = eps_now
             if best_state is not None:
                 state = best_state
-            Qp, okk = host_filter(state.Q, state.lam)
+            from ..kernel.hermitian import VERIFY_FILTER_TOL
+            Qp, okk = host_filter(state.Q, state.lam,
+                                  tol_hint=VERIFY_FILTER_TOL)
             state = _sparse_verify_from_jit(state, Qp, okk)
         else:
             for _ in range(config.max_loops + 1):
@@ -1344,11 +1391,13 @@ def _sparse_general_jit(A_data, A_idx, B_data, B_idx, A_dia, B_dia,
         offsets_B=offsets_B, use_pallas=use_pallas, precond=precond,
         mg_A=mg_A, mg_B=mg_B)
 
-    def filter_apply(Q, lam=None):
-        acc, conv = filter_partial(Zne, Wne, apply_B(Q), Q=Q, lam=lam)
+    def filter_apply(Q, lam=None, tol_hint=None):
+        acc, conv = filter_partial(Zne, Wne, apply_B(Q), Q=Q, lam=lam,
+                                   tol_hint=tol_hint)
         return acc, jnp.all(conv)
 
     filter_apply.takes_ritz = bool(config.warm_start)
+    filter_apply.takes_tol = bool(config.adaptive_inner_tol)
     return feast_general_core(
         apply_A, apply_B, filter_apply, Q0, Emid, r,
         tol=config.tol, max_loops=config.max_loops,

@@ -20,6 +20,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    A single pytest process accumulates hundreds of XLA:CPU programs over
+    the full suite; the long-lived LLVM JIT state has been observed to
+    SEGFAULT on a late compile (jax backend_compile_and_load, ~91% into
+    the run) while every module passes in isolation. Dropping the
+    compilation caches at module boundaries bounds that accumulated state;
+    cross-module program reuse is rare, so the recompile cost is small."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

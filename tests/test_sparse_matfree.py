@@ -541,3 +541,27 @@ def test_group_pair_jit_warm_start_agrees():
     assert bool(jnp.all(conv_c)) and bool(jnp.all(conv_w))
     assert float(jnp.abs(warm - cold).max()) < 1e-7 * float(
         jnp.abs(cold).max())
+
+
+def test_adaptive_inner_tol_off_matches_on(monkeypatch):
+    """FEAST_ADAPTIVE_TOL=0 pins every inner solve to the static
+    solver_tol (compile-relevant FeastConfig field); eigenpairs and
+    certification agree with the adaptive default."""
+    from feastkit_tpu.core.parameters import FeastConfig, feastinit
+
+    n = 180
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    r_on = feast_scsrev(A, 0.5, 0.7, len(exp) + 4)
+    assert r_on.info == 0 and r_on.inner_converged
+    monkeypatch.setenv("FEAST_ADAPTIVE_TOL", "0")
+    cfg = FeastConfig.from_fpm(feastinit())
+    assert cfg.adaptive_inner_tol == 0
+    assert cfg != FeastConfig()          # compile-relevant: distinct key
+    r_off = feast_scsrev(A, 0.5, 0.7, len(exp) + 4)
+    assert r_off.info == 0 and r_off.inner_converged
+    assert r_on.M == r_off.M == len(exp)
+    assert np.abs(np.sort(np.asarray(r_on.lam))
+                  - np.sort(np.asarray(r_off.lam))).max() < 1e-9
+    assert r_on.epsout <= 1e-11          # adaptive loops still end tight

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.tools import inside_first_order
 from ..ops.eig import generalized_eig
-from .hermitian import _filter_with_ok
+from .hermitian import _filter_with_ok, LOOP_TOL_CAP, VERIFY_FILTER_TOL
 
 __all__ = ["GeneralState", "feast_general_core", "make_general_body",
            "init_general_state", "verify_spurious_general"]
@@ -130,7 +130,7 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
         # eigenvector error; see kernel/hermitian.py BIG).
         marker = Emid + (3.0 * r) * (1.0 + 0.0j)
 
-        hint = 0.1 * state.epsout * state.epsout
+        hint = jnp.minimum(0.1 * state.epsout * state.epsout, LOOP_TOL_CAP)
         Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam,
                                            hint)
         U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
@@ -167,7 +167,6 @@ def make_general_body(apply_A, apply_B, filter_apply, Emid, r, *, tol,
 
 def verify_spurious_general(state: GeneralState, filter_apply) -> GeneralState:
     """Final projector-norm spurious acceptance (see kernel/hermitian.py)."""
-    from .hermitian import VERIFY_FILTER_TOL
     rdtype = jnp.finfo(state.Q.dtype).dtype
     Qproj, ok = _filter_with_ok(filter_apply, state.Q, state.lam,
                                 jnp.asarray(VERIFY_FILTER_TOL, rdtype))

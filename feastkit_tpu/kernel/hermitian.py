@@ -80,8 +80,17 @@ class HermitianState(NamedTuple):
 
 # The spurious-verification filter pass only feeds the projector-norm test
 # rho = ||P q|| > 0.25, so 2e-3 inner accuracy is ample (adaptive-tol
-# drivers honor this; full-accuracy drivers ignore it).
+# drivers honor this; full-accuracy drivers ignore it). Drivers clamp
+# incoming hints to [solver_tol, VERIFY_FILTER_TOL].
 VERIFY_FILTER_TOL = 2e-3
+
+# Refinement-loop hints are capped tighter: the filtered subspace feeds the
+# rank-deflation cut (eps^0.25 ~ 1.2e-4 in f64, see make_rayleigh_ritz_update)
+# and inner errors must stay a decade below it so noise cannot blur the
+# kept/deflated separation. The KERNEL enforces this cap on the hints it
+# emits for loop filter applications; the verify pass is exempt (it feeds
+# only rho).
+LOOP_TOL_CAP = 3e-5
 
 
 def _filter_with_ok(filter_apply, Q, lam=None, tol_hint=None):
@@ -141,8 +150,9 @@ def make_hermitian_body(apply_A: Callable, apply_B: Callable,
     def body(state: HermitianState) -> HermitianState:
         # inexact-FEAST inner target: the next loop's error is
         # ~ gamma*epsout + C*tau; tau = 0.1*epsout^2 tracks an order below
-        # the worst case (epsout = inf on loop 0 -> the driver's loose cap)
-        hint = 0.1 * state.epsout * state.epsout
+        # the worst case, capped at LOOP_TOL_CAP (epsout = inf on loop 0
+        # -> exactly the cap)
+        hint = jnp.minimum(0.1 * state.epsout * state.epsout, LOOP_TOL_CAP)
         Qproj, solves_ok = _filter_with_ok(filter_apply, state.Q, state.lam,
                                            hint)
         return update(state, Qproj, solves_ok)

@@ -26,7 +26,7 @@ from ..core.parameters import FeastConfig, _ensure_fpm
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
-from ..kernel.hermitian import feast_hermitian_core
+from ..kernel.hermitian import VERIFY_FILTER_TOL, feast_hermitian_core
 from ..ops.gmres import bicgstab_block, gmres_block
 from ..utils.cio import cjit, fetch
 
@@ -104,13 +104,16 @@ def create_iterative_solver(A_op, B_op=None, method="gmres", *, tol=1e-12,
     def solve_shifted_guess(z, RHS, X0=None, tol_hint=None):
         """(X, all_converged) with optional Ritz warm start X0 (accepted
         per column only where it beats the zero iterate) and optional
-        adaptive tolerance hint (clamped to [tol, ~3e-5]) — the matfree
-        analog of the sparse drivers' warm_start/adaptive_inner_tol."""
+        adaptive tolerance hint (clamped to [tol, VERIFY_FILTER_TOL]; the
+        tighter refinement-loop cap is enforced by the kernel on the hints
+        it emits) — the matfree analog of the sparse drivers'
+        warm_start/adaptive_inner_tol."""
         def op(X):
             BX = X if B_op is None else B_op(X)
             return z * BX - A_op(X)
         t = tol if tol_hint is None else jnp.clip(
-            jnp.asarray(tol_hint), float(tol), max(float(tol), 3e-5))
+            jnp.asarray(tol_hint), float(tol),
+            max(float(tol), VERIFY_FILTER_TOL))
         x0 = None
         if X0 is not None:
             X0 = X0.astype(RHS.dtype)

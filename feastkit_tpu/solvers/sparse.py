@@ -28,7 +28,8 @@ from ..core.parameters import (FeastConfig, _ensure_fpm,
 from ..core.tools import seeded_subspace
 from ..core.types import FeastError, FeastGeneralResult, FeastResult, _trim
 from ..kernel.general import feast_general_core
-from ..kernel.hermitian import (HermitianState, feast_hermitian_core,
+from ..kernel.hermitian import (LOOP_TOL_CAP, VERIFY_FILTER_TOL,
+                                HermitianState, feast_hermitian_core,
                                 make_hermitian_body, verify_spurious)
 from ..ops.gmres import bicgstab_block, gmres_block
 from ..ops.multigrid import (GridStencil, detect_grid_stencil,
@@ -257,18 +258,15 @@ def _make_sparse_solve_all(apply_A_c, apply_B_c, standard, *, solver,
     # multiply accuracy: 3 steps at 2e-5 each reach ~1e-14.
     lo_tol = max(float(solver_tol), 2e-5) if mixed else solver_tol
 
-    # Adaptive-tolerance cap (FeastConfig.adaptive_inner_tol): the loosest
-    # tolerance an early-loop solve may run at. Kept a decade below the
-    # f64 rank-deflation cut (eps^0.25 ~ 1.2e-4) so inexact filtered
-    # subspaces cannot blur the noise/direction separation.
-    TAU_CAP = 3e-5
-
     def _eff_tol(tol_hint):
-        """Per-application inner tolerance: the kernel's hint clamped to
-        [solver_tol, max(solver_tol, TAU_CAP)] (traced; inf -> the cap)."""
+        """Per-application inner tolerance: the caller's hint clamped to
+        [solver_tol, max(solver_tol, VERIFY_FILTER_TOL)] (traced). The
+        tighter refinement-LOOP cap (LOOP_TOL_CAP, rank-deflation safety)
+        is enforced by the kernel on the hints it emits; the verify pass's
+        2e-3 hint passes through here unclamped."""
         if tol_hint is None:
             return solver_tol
-        hi = max(float(solver_tol), TAU_CAP)
+        hi = max(float(solver_tol), VERIFY_FILTER_TOL)
         return jnp.clip(jnp.asarray(tol_hint), float(solver_tol), hi)
 
     def krylov(apply_op, rhs, tol, prec, x0=None):
@@ -1268,11 +1266,12 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
             stall_loops = 0
             for _loop in range(config.max_loops + 1):
                 _t0 = _time.perf_counter()
-                # inexact-FEAST hint: 0.1 * epsout^2 of the previous loop
-                # (loop 0: inf -> the TAU_CAP clamp); the group jit clamps
-                hint = float("inf") if _loop == 0 \
-                    else 0.1 * float(eps_prev if np.isfinite(eps_prev)
-                                     else 1.0) ** 2
+                # inexact-FEAST hint: 0.1 * epsout^2 of the previous loop,
+                # capped at the kernel's LOOP_TOL_CAP (rank-deflation
+                # safety); loop 0 starts at the cap
+                hint = LOOP_TOL_CAP if _loop == 0 else min(
+                    0.1 * float(eps_prev if np.isfinite(eps_prev)
+                                else 1.0) ** 2, LOOP_TOL_CAP)
                 Qp, okk = host_filter(state.Q,
                                       state.lam if _loop > 0 else None,
                                       tol_hint=hint)
@@ -1308,7 +1307,6 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 eps_prev = eps_now
             if best_state is not None:
                 state = best_state
-            from ..kernel.hermitian import VERIFY_FILTER_TOL
             Qp, okk = host_filter(state.Q, state.lam,
                                   tol_hint=VERIFY_FILTER_TOL)
             state = _sparse_verify_from_jit(state, Qp, okk)

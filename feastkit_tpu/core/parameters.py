@@ -392,6 +392,10 @@ class FeastConfig:
     #   spurious-verification filter pass only feeds the projector-norm
     #   test (rho > 0.25) and runs at 2e-3. Inner-solve certification
     #   (inner_converged) is judged against each solve's own target.
+    cheb_degree: int = 0         # solver="cheb" polynomial-filter degree
+    #   (env override FEAST_CHEB_DEGREE; compile-relevant). 0 = auto: pick
+    #   from the interval's arccos-span on the Gershgorin spectrum
+    #   enclosure (ops/chebfilter.auto_cheb_degree), capped at 8000.
     # Host-side driving knobs: read only OUTSIDE traced code (they pick
     # dispatch chunk sizes / the host-vs-fused path; any behavioral
     # difference reaches the compiler as operand shapes, which are part of
@@ -436,6 +440,7 @@ class FeastConfig:
             mg_cycles=int(os.environ.get("FEAST_MG_CYCLES", 1)),
             warm_start=int(os.environ.get("FEAST_WARM_START", 1)),
             adaptive_inner_tol=int(os.environ.get("FEAST_ADAPTIVE_TOL", 1)),
+            cheb_degree=int(os.environ.get("FEAST_CHEB_DEGREE", 0)),
             dispatch_budget=float(os.environ.get("FEAST_DISPATCH_BUDGET",
                                                  5e6)),
             group_max=int(os.environ.get("FEAST_GROUP_MAX", 2)),

@@ -1,0 +1,203 @@
+"""Chebyshev polynomial spectral-projector filter (solve-free FEAST).
+
+TPU-first alternative filter for symmetric/Hermitian interval problems:
+instead of the contour quadrature P ~= sum_e 2 Re[W_e (z_e B - A)^{-1} B]
+(ne shifted KRYLOV SOLVES per refinement loop, each tens-to-hundreds of
+preconditioned iterations), approximate the spectral projector by a
+Jackson-damped Chebyshev expansion of the interval indicator,
+
+    P ~= rho_m(A),   rho_m = sum_{k=0..m} g_k c_k T_k( (2A - (hi+lo)I) / (hi-lo) ),
+
+evaluated by the three-term recurrence: m sparse MATVECS per filter
+application, no inner iteration, no preconditioner. On TPU every step is a
+bandwidth-bound DIA/BCOO matvec (Pallas fast path, ops/pallas_kernels.py) —
+the ideal workload for the hardware — and the whole application fuses into
+one (or a few, at very large N) XLA dispatches, where the rational filter's
+inner Krylov loops cannot.
+
+Trade: the polynomial filter contracts slower per refinement loop than the
+rational one (its outside decay is algebraic-in-angle rather than the
+quadrature's geometric decay), so FEAST needs a few more refinement loops —
+each of which costs ~100x less. The FEAST outer machinery (SVD
+orthonormalization + Rayleigh-Ritz + residuals + spurious verification,
+kernel/hermitian.py) is reused unchanged; residuals are always exact f64
+operator applications, so the 1e-8 convergence contract is certified the
+same way as for the contour path.
+
+The reference has no counterpart (FeastKit.jl is contour-only; its
+iterative escape hatch is GMRES at each node, feast_sparse.jl:164-236).
+The filter design follows the public polynomial-filtering literature
+(EVSL / Chebyshev filtered subspace iteration: damped Chebyshev expansion
+of the indicator, spectrum bounds by Gershgorin/Lanczos). Exposed as
+``solver="cheb"`` on the sparse interval drivers.
+
+All coefficient construction is host-side numpy (compile-time data); only
+the recurrence runs on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "gershgorin_interval", "cheb_indicator_coeffs", "cheb_eval_scalar",
+    "auto_cheb_degree", "build_cheb_filter_coeffs", "make_cheb_filter",
+    "make_cheb_stepper",
+]
+
+
+def gershgorin_interval(data, idx, N):
+    """Spectrum enclosure [lo, hi] of a (Hermitian) COO matrix by
+    Gershgorin discs — host-side, O(nnz), no device work. Safe (always
+    contains the spectrum); the Chebyshev filter only needs an enclosure,
+    an overestimate merely costs a slightly higher degree."""
+    data = np.asarray(data)
+    idx = np.asarray(idx)
+    rowsum = np.zeros(N, np.float64)
+    np.add.at(rowsum, idx[:, 0], np.abs(data).astype(np.float64))
+    diag = np.zeros(N, np.float64)
+    mask = idx[:, 0] == idx[:, 1]
+    np.add.at(diag, idx[mask, 0], np.real(data[mask]).astype(np.float64))
+    radius = rowsum - np.abs(diag)
+    lo = float(np.min(diag - radius))
+    hi = float(np.max(diag + radius))
+    pad = 1e-3 * max(hi - lo, 1.0)      # strict enclosure after f32 rounding
+    return lo - pad, hi + pad
+
+
+def _jackson_damping(m):
+    """Jackson damping factors g_k, k=0..m (kills the Gibbs oscillation of
+    the truncated indicator expansion; g_0 = 1)."""
+    k = np.arange(m + 1, dtype=np.float64)
+    alpha = np.pi / (m + 2)
+    return ((m + 2 - k) * np.sin(alpha) * np.cos(k * alpha)
+            + np.cos(alpha) * np.sin(k * alpha)) / ((m + 2) * np.sin(alpha))
+
+
+def cheb_indicator_coeffs(lo, hi, Emin, Emax, degree):
+    """Damped Chebyshev coefficients of the indicator of [Emin, Emax] on
+    the spectrum enclosure [lo, hi] (host numpy, f64).
+
+    With x = (2*lam - (hi+lo))/(hi-lo) and theta = arccos(x), the exact
+    expansion of the indicator over x in [x_lo, x_hi] is
+    c_0 = (t_lo - t_hi)/pi, c_k = 2 (sin(k t_lo) - sin(k t_hi)) / (k pi),
+    where t_lo = arccos(x_lo) >= t_hi = arccos(x_hi)."""
+    m = int(degree)
+    if m < 2:
+        raise ValueError(f"cheb degree must be >= 2, got {m}")
+    x_lo = (2.0 * Emin - (hi + lo)) / (hi - lo)
+    x_hi = (2.0 * Emax - (hi + lo)) / (hi - lo)
+    x_lo, x_hi = np.clip(x_lo, -1.0, 1.0), np.clip(x_hi, -1.0, 1.0)
+    t_lo, t_hi = np.arccos(x_lo), np.arccos(x_hi)
+    k = np.arange(1, m + 1, dtype=np.float64)
+    c = np.empty(m + 1, np.float64)
+    c[0] = (t_lo - t_hi) / np.pi
+    c[1:] = 2.0 * (np.sin(k * t_lo) - np.sin(k * t_hi)) / (k * np.pi)
+    return c * _jackson_damping(m)
+
+
+def cheb_eval_scalar(coeffs, lo, hi, lam):
+    """Host evaluation of the scalar filter rho(lam) (Clenshaw) — the test
+    oracle and the normalization/quality probe."""
+    lam = np.asarray(lam, np.float64)
+    x = (2.0 * lam - (hi + lo)) / (hi - lo)
+    b1 = np.zeros_like(x)
+    b2 = np.zeros_like(x)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = 2.0 * x * b1 - b2 + ck, b1
+    return x * b1 - b2 + coeffs[0]
+
+
+def auto_cheb_degree(lo, hi, Emin, Emax, *, cap=8000, floor=32):
+    """Degree rule: the Jackson-damped indicator's edge transition width in
+    theta = arccos space is ~ 2*pi/m; ask for it to be <= ~20% of the
+    interval's theta-span so the filter plateaus inside and decays hard
+    just outside. Near the spectrum edges arccos stretches quadratically,
+    which is exactly the regime (lowest eigenpairs of a Laplacian) where
+    polynomial filtering shines."""
+    x_lo = np.clip((2.0 * Emin - (hi + lo)) / (hi - lo), -1.0, 1.0)
+    x_hi = np.clip((2.0 * Emax - (hi + lo)) / (hi - lo), -1.0, 1.0)
+    span = np.arccos(x_lo) - np.arccos(x_hi)
+    span = max(float(span), 1e-12)
+    return int(np.clip(np.ceil(10.0 * np.pi / span), floor, cap))
+
+
+def build_cheb_filter_coeffs(lo, hi, Emin, Emax, degree=None, *, cap=8000):
+    """Coefficients normalized by the PLATEAU value max_{[Emin,Emax]} rho,
+    so inside values land in ~[0.5, 1] exactly like the rational contour
+    filter (1 in the interior, 0.5 at the edges): the kernel's spurious
+    test rho > 0.25 and the fpm[14]=2 stochastic count E[v^T P v] then see
+    the same scales on either filter. Returns (coeffs, info dict with
+    degree/inside_min/outside levels)."""
+    if degree is None or int(degree) <= 0:
+        degree = auto_cheb_degree(lo, hi, Emin, Emax, cap=cap)
+    c = cheb_indicator_coeffs(lo, hi, Emin, Emax, int(degree))
+    grid = np.linspace(Emin, Emax, 257)
+    inside = cheb_eval_scalar(c, lo, hi, grid)
+    inside_min = float(np.min(inside))
+    inside_max = float(np.max(inside))
+    if inside_min <= 0.25 * inside_max or inside_max <= 0:
+        raise ValueError(
+            f"Chebyshev filter of degree {degree} cannot resolve the "
+            f"interval [{Emin}, {Emax}] inside the spectrum enclosure "
+            f"[{lo}, {hi}]; raise the degree cap")
+    c = c / inside_max
+    inside_min = inside_min / inside_max
+    # quality probes: filter level one interval-width outside each edge
+    w = Emax - Emin
+    probes = np.array([Emin - w, Emax + w])
+    probes = probes[(probes > lo) & (probes < hi)]
+    out_level = (float(np.max(np.abs(cheb_eval_scalar(c, lo, hi, probes))))
+                 if probes.size else 0.0)
+    return c, {"degree": int(degree), "inside_min": inside_min,
+               "outside_at_1w": out_level}
+
+
+def make_cheb_filter(apply_A, lo, hi, coeffs):
+    """Device filter closure Q -> rho(A) Q via the three-term recurrence
+    (one fused lax.fori_loop; ~degree matvecs). ``apply_A`` maps (N, M)
+    blocks; coeffs is a 1-D array (host numpy or jnp) whose dtype sets the
+    recurrence's real dtype."""
+    step = make_cheb_stepper(apply_A, lo, hi)
+
+    def filt(Q):
+        cs = jnp.asarray(coeffs)
+        carry = _cheb_init(apply_A, lo, hi, Q, cs)
+
+        def body(k, carry):
+            return step(carry, cs[k])
+
+        T0, T1, acc = jax.lax.fori_loop(2, cs.shape[0], body, carry)
+        return acc
+
+    return filt
+
+
+def _ahat(apply_A, lo, hi, X):
+    rdt = jnp.real(jnp.zeros((), X.dtype)).dtype
+    sc = jnp.asarray(2.0 / (hi - lo), rdt)
+    sh = jnp.asarray((hi + lo) / (hi - lo), rdt)
+    return sc * apply_A(X) - sh * X
+
+
+def _cheb_init(apply_A, lo, hi, Q, coeffs):
+    """(T0, T1, acc) after the k=0,1 terms."""
+    T0 = Q
+    T1 = _ahat(apply_A, lo, hi, Q)
+    acc = coeffs[0].astype(jnp.real(jnp.zeros((), Q.dtype)).dtype) * T0 \
+        + coeffs[1].astype(jnp.real(jnp.zeros((), Q.dtype)).dtype) * T1
+    return T0, T1, acc
+
+
+def make_cheb_stepper(apply_A, lo, hi):
+    """One recurrence step (carry, c_k) -> carry, for chunked host-driven
+    evaluation at very large N (bounded work per device dispatch)."""
+
+    def step(carry, ck):
+        T0, T1, acc = carry
+        T2 = 2.0 * _ahat(apply_A, lo, hi, T1) - T0
+        return T1, T2, acc + ck.astype(
+            jnp.real(jnp.zeros((), acc.dtype)).dtype) * T2
+
+    return step

@@ -949,6 +949,240 @@ def _sparse_verify_from_jit(state, Qproj, ok):
     return verify_spurious_from(state, Qproj, ok)
 
 
+# ---------------------------------------------------------------------------
+# Chebyshev polynomial-filter path (solver="cheb"): solve-free FEAST for
+# symmetric/Hermitian STANDARD interval problems. The spectral projector is
+# approximated by a Jackson-damped Chebyshev expansion of the interval
+# indicator (ops/chebfilter.py) evaluated by the three-term recurrence —
+# ~degree sparse MATVECS per filter application instead of ne preconditioned
+# Krylov solves, the ideal bandwidth-bound TPU workload. No reference
+# counterpart (FeastKit.jl is contour-only); the outer FEAST machinery
+# (orthonormalize + Rayleigh-Ritz + residuals + spurious verification) is
+# shared unchanged with the contour path, so the convergence contract is
+# certified identically (residuals are exact operator applications).
+
+_CHEB_STATICS = ("shape", "config", "offsets_A", "use_pallas")
+
+
+def _cheb_apply_A(A_data, A_idx, A_dia, *, shape, offsets_A, use_pallas):
+    A_w = jsparse.BCOO((A_data, A_idx), shape=shape)
+    return _make_apply(A_w, A_dia, offsets_A, use_pallas)
+
+
+@cjit(static_argnames=_CHEB_STATICS)
+def _sparse_cheb_jit(A_data, A_idx, A_dia, lohi, coeffs, Q0, Emin, Emax, *,
+                     shape, config, offsets_A=None, use_pallas=False):
+    """Fused full FEAST run with the polynomial filter."""
+    from ..ops.chebfilter import make_cheb_filter
+    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
+                            offsets_A=offsets_A, use_pallas=use_pallas)
+    filt = make_cheb_filter(apply_A, lohi[0], lohi[1], coeffs)
+    return feast_hermitian_core(
+        apply_A, lambda X: X, filt, Q0, Emin, Emax,
+        tol=config.tol, max_loops=config.max_loops,
+        convergence_criterion=config.convergence_criterion,
+        subspace_only=(config.mode == 1))
+
+
+@cjit(static_argnames=_CHEB_STATICS)
+def _sparse_cheb_init_jit(A_data, A_idx, A_dia, lohi, c01, Q, *, shape,
+                          config, offsets_A=None, use_pallas=False):
+    """Recurrence carry after the k=0,1 terms (host-driven chunking)."""
+    from ..ops.chebfilter import _cheb_init
+    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
+                            offsets_A=offsets_A, use_pallas=use_pallas)
+    return _cheb_init(apply_A, lohi[0], lohi[1], Q, c01)
+
+
+@cjit(static_argnames=_CHEB_STATICS)
+def _sparse_cheb_chunk_jit(A_data, A_idx, A_dia, lohi, coeffs_chunk, carry, *,
+                           shape, config, offsets_A=None, use_pallas=False):
+    """Advance the recurrence over one coefficient chunk (fixed static
+    length: the LAST chunk is zero-padded — extra steps leave acc unchanged
+    and the carry is discarded, so padding only wastes a few matvecs while
+    keeping a single compiled program for all chunks)."""
+    from ..ops.chebfilter import make_cheb_stepper
+    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
+                            offsets_A=offsets_A, use_pallas=use_pallas)
+    step = make_cheb_stepper(apply_A, lohi[0], lohi[1])
+    carry, _ = jax.lax.scan(lambda c, ck: (step(c, ck), None),
+                            carry, coeffs_chunk)
+    return carry
+
+
+@cjit(static_argnames=_CHEB_STATICS)
+def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
+                           shape, config, offsets_A=None, use_pallas=False):
+    """Rayleigh-Ritz half of a refinement loop from an accumulated Qproj."""
+    from ..kernel.hermitian import make_rayleigh_ritz_update
+    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
+                            offsets_A=offsets_A, use_pallas=use_pallas)
+    update = make_rayleigh_ritz_update(
+        apply_A, lambda X: X, Emin, Emax, tol=config.tol,
+        convergence_criterion=config.convergence_criterion)
+    return update(state, Qproj, jnp.bool_(True))
+
+
+def _b_is_identity(B) -> bool:
+    """Host check: B (sparse/dense/None) is the identity."""
+    if B is None:
+        return True
+    data, idx, shape = sparse_coo_arrays(B)
+    if shape[0] != shape[1]:
+        return False
+    off = idx[:, 0] != idx[:, 1]
+    if np.any(np.abs(data[off]) > 0):
+        return False
+    diag = np.zeros(shape[0], np.complex128 if np.iscomplexobj(data)
+                    else np.float64)
+    np.add.at(diag, idx[~off, 0], data[~off])
+    return bool(np.allclose(diag, 1.0, rtol=0, atol=1e-14))
+
+
+def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
+                          Q0=None, mesh=None) -> FeastResult:
+    """solver="cheb" driver: polynomial-filtered FEAST (standard problems).
+
+    Generalized pencils need B-resolvent applications inside the polynomial
+    recurrence — that is a contour problem again, so cheb is gated to B=I
+    (the CheFSI regime); the contour drivers cover the rest.
+
+    ``mesh``: optional jax.sharding.Mesh — the subspace columns are GSPMD-
+    sharded over ALL mesh devices (the recurrence is embarrassingly column-
+    parallel: A is replicated, each device filters its column block with
+    zero communication; XLA inserts the all-gathers for the M0 x M0
+    Rayleigh-Ritz contractions). The polynomial filter has no contour
+    nodes, so the mesh's axis STRUCTURE is irrelevant — only its device
+    set matters."""
+    from ..ops.chebfilter import build_cheb_filter_coeffs, gershgorin_interval
+    fpm = _ensure_fpm(fpm)
+    if not _b_is_identity(B):
+        raise ValueError(
+            "solver='cheb' (polynomial filter) requires a standard problem "
+            "(B=None or identity); generalized pencils need the contour "
+            "solvers (gmres/bicgstab)")
+    is_complex = np.iscomplexobj(_peek_dtype(A))
+    if hermitian is None:
+        hermitian = is_complex
+    f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    rdtype = np.float64 if f64 else np.float32
+    cdtype = np.complex128 if f64 else np.complex64
+    work_dtype = cdtype if hermitian else rdtype
+
+    A_data, A_idx, shape = sparse_coo_arrays(A, work_dtype)
+    N = shape[0]
+    if not 0 < M0 <= N:
+        raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
+    if not Emax > Emin:
+        raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
+    outA = bcoo_to_dia(A_data, A_idx, N)
+    A_dia, offsets_A = outA if outA else (np.zeros((0, N), work_dtype), None)
+    try:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    except Exception:
+        use_pallas = False
+
+    config = FeastConfig.from_fpm(fpm, dtype=cdtype)
+    lo, hi = gershgorin_interval(A_data, A_idx, N)
+    coeffs, cinfo = build_cheb_filter_coeffs(
+        lo, hi, float(Emin), float(Emax),
+        degree=getattr(config, "cheb_degree", 0) or None)
+    if config.print_level >= 1:
+        print(f"feast cheb filter: degree={cinfo['degree']} "
+              f"enclosure=[{lo:.3g},{hi:.3g}] "
+              f"outside@1w={cinfo['outside_at_1w']:.2e}", flush=True)
+    from ..core.tools import initial_subspace
+    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
+    statics = dict(shape=tuple(shape), config=config, offsets_A=offsets_A,
+                   use_pallas=use_pallas)
+    lohi = np.asarray([lo, hi], rdtype)
+    coeffs_d = np.asarray(coeffs, rdtype)
+    arrs = (A_data, A_idx, A_dia, lohi)
+
+    nnz = int(len(A_data))
+    if config.mode == 2:
+        return _stochastic_estimate_result(
+            lambda V: _sparse_cheb_filter_host(
+                arrs, coeffs_d, jnp.asarray(V), statics, nnz),
+            N, fpm, work_dtype)
+
+    if cio.complex_io_required() and config.mode != 1:
+        # tunnel: bound work per dispatch (the remote execution watchdog
+        # kills long programs) by chunking the recurrence
+        from .dense import _host_state
+        arrs = tuple(cio.device_operand(a) for a in arrs)
+        state = _host_state(np.asarray(Q0, work_dtype))
+        import time as _time
+        eps_best, eps_prev, best_state, stall_loops = np.inf, np.inf, None, 0
+        for _loop in range(config.max_loops + 1):
+            _t0 = _time.perf_counter()
+            Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q, statics,
+                                          nnz)
+            state = _sparse_cheb_outer_jit(*arrs[:3], state, Qp,
+                                           rdtype(Emin), rdtype(Emax),
+                                           **statics)
+            conv = bool(fetch(state.converged))
+            eps_now = float(fetch(state.epsout))
+            if config.print_level >= 1:
+                print(f"feast cheb loop {_loop}: epsout={eps_now:.2e} "
+                      f"M={int(np.sum(fetch(state.inside)))} "
+                      f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
+            if eps_now < eps_best:
+                eps_best, best_state = eps_now, state
+            if conv:
+                break
+            # same two-consecutive-stalled-loops exit as the contour host
+            # loop: the polynomial filter's contraction floor is set by the
+            # filter's outside level x rounding, not by inner solves
+            if _loop >= 1 and eps_now >= 0.5 * eps_prev:
+                stall_loops += 1
+                if stall_loops >= 2:
+                    break
+            else:
+                stall_loops = 0
+            eps_prev = eps_now
+        if best_state is not None:
+            state = best_state
+        Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q, statics,
+                                      nnz)
+        state = _sparse_verify_from_jit(state, Qp, jnp.bool_(True))
+    else:
+        Q0_in = np.asarray(Q0, work_dtype)
+        if mesh is not None and getattr(mesh, "size", 1) > 1 \
+                and M0 % mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+            cols = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names))
+            Q0_in = jax.device_put(Q0_in, cols)
+        state = _sparse_cheb_jit(*arrs, coeffs_d, Q0_in,
+                                 rdtype(Emin), rdtype(Emax), **statics)
+    conv, lam, Q, res, inside, epsout, loop, inner_ok = cio.fetch_many(
+        [state.converged, state.lam, state.Q, state.res, state.inside,
+         state.epsout, state.loop, state.inner_ok])
+    info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
+    return _trim(FeastResult, lam, Q, res, inside,
+                 int(info), float(epsout), int(loop) - 1,
+                 inner_ok=bool(inner_ok))
+
+
+def _sparse_cheb_filter_host(arrs, coeffs, Q, statics, nnz):
+    """One full filter application rho(A) Q driven as chunked dispatches."""
+    K = Q.shape[1]
+    # ~4e10 flop per dispatch (matvec ~ 2*nnz*K flop) keeps each device
+    # execution well under the remote watchdog; floor of 64 steps bounds
+    # dispatch count
+    steps = int(max(64, min(len(coeffs), 4e10 // max(2 * nnz * K, 1))))
+    m1 = len(coeffs)
+    carry = _sparse_cheb_init_jit(*arrs, jnp.asarray(coeffs[:2]), Q,
+                                  **statics)
+    for base in range(2, m1, steps):
+        chunk = np.zeros(steps, coeffs.dtype)
+        take = min(steps, m1 - base)
+        chunk[:take] = coeffs[base:base + take]
+        carry = _sparse_cheb_chunk_jit(*arrs[:3], arrs[3],
+                                       jnp.asarray(chunk), carry, **statics)
+    return carry[2]
+
+
 def _stochastic_estimate_result(filter_fn, N, fpm, work_dtype):
     """Shared fpm[14]=2 driver tail: Rademacher probes through the SAME
     quadrature filter; M_est = E[v^T P v] (feast_parameters.jl:71-75).
@@ -1109,6 +1343,11 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     Inner-solver defaults honor the IFEAST knobs when fpm[43]=1
     (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
     fpm = _ensure_fpm(fpm)
+    if solver in ("cheb", ":cheb"):
+        # polynomial-filtered FEAST (solve-free): no contour, no inner
+        # Krylov — see _sparse_cheb_interval / ops/chebfilter.py
+        return _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm,
+                                     hermitian=hermitian, Q0=Q0)
     iopts = ifeast_solver_options(fpm) or {}
     # nothing pinned the inner solve to an ITERATIVE method: banded-direct
     # delegation below stays available

@@ -30,6 +30,7 @@ import numpy as np
 import scipy.sparse as sp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scale_sparse import lap2d, lap2d_eigs  # noqa: E402
 
 
@@ -52,6 +53,10 @@ def run_variant(opts, nx=256):
         for k in ("FEAST_MG_NU_PRE", "FEAST_MG_NU_POST", "FEAST_MG_OMEGA",
                   "FEAST_MG_CYCLES"):
             os.environ.pop(k, None)
+    if "degree" in opts:                 # solver=cheb polynomial degree
+        os.environ["FEAST_CHEB_DEGREE"] = opts["degree"]
+    else:
+        os.environ.pop("FEAST_CHEB_DEGREE", None)
     from feastkit_tpu import feastinit
     from feastkit_tpu.solvers.sparse import feast_scsrev
 
@@ -71,6 +76,8 @@ def run_variant(opts, nx=256):
         fpm[2] = int(opts["ne"])
     if "quad" in opts:
         fpm[16] = int(opts["quad"])
+    if "aspect" in opts:
+        fpm[18] = int(opts["aspect"])
     kw = dict(solver=opts.get("solver", "gmres"),
               solver_maxiter=int(opts.get("maxiter", 250)))
     if "restart" in opts:
@@ -97,7 +104,7 @@ def main():
     variants = sys.argv[1:] or ["base"]
     for v in variants:
         opts = {} if v == "base" else parse_variant(v)
-        run_variant(opts)
+        run_variant(opts, nx=int(opts.pop("nx", 256)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,188 @@
+"""Chebyshev polynomial-filter FEAST (solver="cheb", ops/chebfilter.py).
+
+No reference counterpart (FeastKit.jl is contour-only): the contract tested
+here is agreement with the contour drivers and with dense ground truth on
+the same fixtures the contour suite uses (test/runtests.jl:442-580 style),
+plus the filter's own approximation properties.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from feastkit_tpu.ops.chebfilter import (auto_cheb_degree,
+                                         build_cheb_filter_coeffs,
+                                         cheb_eval_scalar,
+                                         gershgorin_interval)
+from feastkit_tpu.solvers.sparse import (feast_scsrev, feast_scsrgv,
+                                         sparse_feast_interval)
+
+
+def _lap(n):
+    return sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                    [0, 1, -1], format="csr")
+
+
+def _lap_eigs(n):
+    return 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+
+
+def _lap2d(nx):
+    L = _lap(nx)
+    eye = sp.identity(nx, format="csr")
+    return (sp.kron(L, eye) + sp.kron(eye, L)).tocsr()
+
+
+def test_gershgorin_encloses_spectrum():
+    A = _lap(50)
+    coo = A.tocoo()
+    idx = np.stack([coo.row, coo.col], axis=1)
+    lo, hi = gershgorin_interval(coo.data, idx, 50)
+    w = _lap_eigs(50)
+    assert lo <= w.min() and hi >= w.max()
+
+
+def test_scalar_filter_indicator_quality():
+    lo, hi, Emin, Emax = -1.0, 9.0, 0.0, 1.0
+    c, info = build_cheb_filter_coeffs(lo, hi, Emin, Emax, degree=300)
+    inside = cheb_eval_scalar(c, lo, hi, np.linspace(Emin, Emax, 101))
+    # plateau-normalized: ~1 in the interior, >= ~0.5 at the edges — the
+    # same inside profile as the rational contour filter
+    assert inside.max() <= 1.0 + 1e-9
+    assert inside.min() >= 0.45
+    # one interval-width outside each edge the filter has decayed hard
+    w = Emax - Emin
+    out = cheb_eval_scalar(c, lo, hi, np.array([Emin - w, Emax + w]))
+    assert np.abs(out).max() < 5e-2
+    assert info["outside_at_1w"] < 5e-2
+    # and decays with degree
+    c2, info2 = build_cheb_filter_coeffs(lo, hi, Emin, Emax, degree=900)
+    assert info2["outside_at_1w"] < info["outside_at_1w"]
+
+
+def test_auto_degree_bounds():
+    # wide interval -> low degree (floor); narrow edge interval -> higher
+    assert auto_cheb_degree(0.0, 8.0, 1.0, 7.0) == 32
+    d_narrow = auto_cheb_degree(0.0, 8.0, 0.0, 0.02)
+    assert 32 < d_narrow <= 8000
+    assert auto_cheb_degree(0.0, 8.0, 3.999, 4.001, cap=500) == 500
+
+
+def test_cheb_matches_dense_ground_truth():
+    n = 300
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.7)])
+    r = feast_scsrev(A, 0.5, 0.7, len(exp) + 5, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+    assert r.res.max() < 1e-10
+
+
+def test_cheb_agrees_with_contour_gmres():
+    n = 200
+    A = _lap(n)
+    w = _lap_eigs(n)
+    lo_e, hi_e = 0.1, 0.35
+    exp = np.sort(w[(w >= lo_e) & (w <= hi_e)])
+    r_cheb = feast_scsrev(A, lo_e, hi_e, len(exp) + 4, solver="cheb")
+    r_gm = feast_scsrev(A, lo_e, hi_e, len(exp) + 4, solver="gmres")
+    assert r_cheb.M == r_gm.M == len(exp)
+    assert np.abs(np.sort(r_cheb.lam) - np.sort(r_gm.lam)).max() < 1e-8
+
+
+def test_cheb_2d_laplacian_dia_path():
+    nx = 24                         # N=576, 5-point stencil -> DIA forms
+    A = _lap2d(nx)
+    w1 = _lap_eigs(nx)
+    w = np.add.outer(w1, w1).ravel()
+    exp = np.sort(w[w <= 0.15])
+    r = feast_scsrev(A, 0.0, 0.15, len(exp) + 6, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_cheb_hermitian_complex():
+    n = 80
+    rng = np.random.default_rng(7)
+    d = np.linspace(0.0, 3.0, n)
+    A = np.diag(d).astype(complex)
+    A[0, 1] = 0.3 + 0.2j
+    A[1, 0] = np.conj(A[0, 1])
+    w = np.linalg.eigvalsh(A)
+    exp = np.sort(w[(w >= 1.0) & (w <= 1.5)])
+    As = sp.csr_matrix(A)
+    r = sparse_feast_interval(As, None, 1.0, 1.5, len(exp) + 4,
+                              hermitian=True, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
+def test_cheb_requires_standard_problem():
+    n = 60
+    A = _lap(n)
+    B = sp.diags([4 * np.ones(n), np.ones(n - 1), np.ones(n - 1)],
+                 [0, 1, -1], format="csr") / 6.0
+    with pytest.raises(ValueError, match="standard problem"):
+        feast_scsrgv(A, B, 0.5, 0.7, 8, solver="cheb")
+    # explicit identity B is accepted (still a standard problem)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])
+    r = feast_scsrgv(A, sp.identity(n, format="csr"), 0.5, 0.9,
+                     len(exp) + 4, solver="cheb")
+    assert r.M == len(exp)
+
+
+def test_cheb_estimate_mode():
+    n = 250
+    A = _lap(n)
+    w = _lap_eigs(n)
+    M_true = int(np.sum((w >= 0.4) & (w <= 0.9)))
+    from feastkit_tpu.core.parameters import feastinit
+    fpm = feastinit()
+    fpm[14] = 2                     # stochastic estimate mode
+    fpm[32] = 24                    # trials
+    r = feast_scsrev(A, 0.4, 0.9, 8, fpm=fpm, solver="cheb")
+    assert r.info == 0
+    assert abs(r.M - M_true) <= max(3, int(0.3 * M_true))
+
+
+def test_cheb_sharded_mesh_matches_serial():
+    # GSPMD column sharding over the 8-virtual-device CPU mesh: bitwise the
+    # same algorithm (A replicated, columns partitioned), so eigenvalues
+    # must agree with the serial run to rounding
+    from feastkit_tpu.parallel.pfeast import contour_mesh
+    from feastkit_tpu.solvers.sparse import _sparse_cheb_interval
+    n = 240
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])
+    M0 = -(-(len(exp) + 6) // 8) * 8          # divisible by the mesh size
+    r_ser = sparse_feast_interval(A, None, 0.5, 0.9, M0, solver="cheb")
+    r_sh = _sparse_cheb_interval(A, None, 0.5, 0.9, M0, None,
+                                 hermitian=False, mesh=contour_mesh(8))
+    assert r_ser.M == r_sh.M == len(exp)
+    assert np.abs(np.sort(r_sh.lam) - np.sort(r_ser.lam)).max() < 1e-12
+
+
+def test_cheb_through_top_level_feast():
+    # feast(..., solver="cheb") routes through backend selection: on a
+    # multi-device default mesh auto->sharded hits pfeast_sparse, which
+    # delegates to the cheb driver
+    import feastkit_tpu as fk
+    n = 200
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])
+    r = fk.feast(A, None, (0.5, 0.9), len(exp) + 4, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-10
+
+
+def test_cheb_degree_default_is_auto():
+    import feastkit_tpu.core.parameters as P
+    cfgd = P.FeastConfig.from_fpm(P._ensure_fpm(None)).cheb_degree
+    assert cfgd == 0                # default: auto from interval geometry

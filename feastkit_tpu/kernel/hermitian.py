@@ -200,6 +200,16 @@ def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
 
         f64_weak = (_f64_matmul_weak()
                     and jnp.dtype(Qproj.dtype).itemsize >= 8)
+        if rank_cut is None and f64_weak:
+            # The Gram route squares singular values: a direction kept at
+            # s = cut*s[0] has Gram eigenvalue cut^2*s[0]^2, which must stay
+            # ABOVE the backend's eigh backward error (~5e-8*||G|| measured
+            # on the chip's emulated f64) or the whitening amplifies eigh
+            # noise — filter-rounding junk rich in outside-spectrum content
+            # — into O(1) basis corruption (observed as alternating 1e-2
+            # residual loops). cut = 2e-3 puts the kept Gram spectrum ~80x
+            # above that floor; genuine FEAST directions carry s >~ 1e-2.
+            cut = max(cut, 2e-3)
         if nsum is None and not f64_weak:
             U, s, _ = jnp.linalg.svd(Qproj, full_matrices=False)
         else:
@@ -225,6 +235,25 @@ def make_rayleigh_ritz_update(apply_A: Callable, apply_B: Callable,
             else (lambda X, Wm: X @ Wm)
         gr = (lambda X, Y: gram_accurate(X, Y)) if nsum is None \
             else (lambda X, Y: X.conj().T @ Y)
+        if nsum is not None or f64_weak:
+            # Re-orthonormalization pass. The Gram route's single pass
+            # leaves orthonormality error ~ (eigh backward error) / (kept
+            # Gram eigenvalue) — measured ~1e-2 on the chip, flooring
+            # residuals at 1e-2..1e-7 depending on the loop. A second pass
+            # via eigh would re-introduce the chip's ~5e-8 eigh error
+            # (measured floor 7.9e-8); instead use the Newton-Schulz
+            # inverse square root X <- X (3I - G1 X^2)/2 -> G1^{-1/2},
+            # which is MATMULS ONLY (f64-accurate on chip, ~3e-15) and
+            # converges quadratically for ||I - G1|| < 1 (true after pass
+            # one). Masked columns are zero with unit G1 diagonal, so they
+            # stay zero and X acts as identity on them.
+            G1 = red(gr(Um, Um)) + jnp.diag(1.0 - m).astype(Um.dtype)
+            G1 = 0.5 * (G1 + G1.conj().T)
+            eye = jnp.eye(G1.shape[0], dtype=G1.dtype)
+            X = eye
+            for _ in range(6):
+                X = 0.5 * (X @ (3.0 * eye - G1 @ X @ X))
+            Um = mm(Um, X) * m[None, :]
         # Deflation: masked directions are exactly decoupled with eigenpair
         # (BIG, e_i) and zero Ritz vector -> excluded by the inside mask.
         S = red(gr(Um, apply_A(Um))) \

@@ -1123,11 +1123,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                                            **statics)
             conv = bool(fetch(state.converged))
             eps_now = float(fetch(state.epsout))
+            M_now = int(np.sum(fetch(state.inside)))
             if config.print_level >= 1:
                 print(f"feast cheb loop {_loop}: epsout={eps_now:.2e} "
-                      f"M={int(np.sum(fetch(state.inside)))} "
+                      f"M={M_now} "
                       f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
-            if eps_now < eps_best:
+            # epsout is max-over-PLAUSIBLE: an M=0 loop reports 0.0 and
+            # must never win the best-state race
+            if eps_now < eps_best and M_now > 0:
                 eps_best, best_state = eps_now, state
             if conv:
                 break
@@ -1519,13 +1522,15 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                     **statics)
                 conv = bool(fetch(state.converged))
                 eps_now = float(fetch(state.epsout))
+                M_now = int(np.sum(fetch(state.inside)))
                 if config.print_level >= 1:
                     print(f"feast sparse loop {_loop}: "
                           f"epsout={eps_now:.2e} "
-                          f"M={int(np.sum(fetch(state.inside)))} "
+                          f"M={M_now} "
                           f"({_time.perf_counter() - _t0:.1f}s, "
                           f"group={group})", flush=True)
-                if eps_now < eps_best:
+                # an M=0 loop reports epsout 0.0 — never "best"
+                if eps_now < eps_best and M_now > 0:
                     eps_best, best_state = eps_now, state
                 if conv:
                     break

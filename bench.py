@@ -337,10 +337,12 @@ def _pep_bench():
 
 def _sparse_bench():
     """BASELINE config 4 at the 65k rung, measured LIVE: 2D-Laplacian
-    lowest-52-pair sparse EVP in f64 (mixed-precision pair-IR + multigrid
-    GMRES) on the attached chip, vs a live CPU proxy running the
-    reference's algorithm (cached sparse direct LU per contour node -
-    scipy splu standing in for UMFPACK, feast_sparse.jl:294,334-348)."""
+    lowest-52-pair sparse EVP in f64 on the attached chip via the
+    Chebyshev polynomial filter (solver="cheb", ops/chebfilter.py — the
+    solve-free TPU-native path; 11x the contour path's wall time on this
+    rung, residuals 2.5e-10), vs a live CPU proxy running the reference's
+    algorithm (cached sparse direct LU per contour node - scipy splu
+    standing in for UMFPACK, feast_sparse.jl:294,334-348)."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     from feastkit_tpu import feastinit
@@ -367,8 +369,7 @@ def _sparse_bench():
     # global) because the f32 dense/banded programs must NOT promote.
     t0 = time.perf_counter()
     with jax.enable_x64(True):
-        r = feast_scsrev(A, Emin, Emax, M0, fpm, solver="gmres",
-                         solver_maxiter=250)
+        r = feast_scsrev(A, Emin, Emax, M0, fpm, solver="cheb")
     dev = time.perf_counter() - t0
     # Warm repeat when the budget allows (every other metric in this bench
     # reports min-of-warm-runs; the first sparse run carries the remaining
@@ -376,8 +377,7 @@ def _sparse_bench():
     if dev < 420.0:
         t0 = time.perf_counter()
         with jax.enable_x64(True):
-            r2 = feast_scsrev(A, Emin, Emax, M0, fpm, solver="gmres",
-                              solver_maxiter=250)
+            r2 = feast_scsrev(A, Emin, Emax, M0, fpm, solver="cheb")
         warm = time.perf_counter() - t0
         if warm < dev and int(r2.M) == int(r.M):
             dev, r = warm, r2
@@ -394,7 +394,10 @@ def _sparse_bench():
     Q = np.random.default_rng(1).standard_normal((N, M0))
     t0 = time.perf_counter()
     lus = [spla.splu((z * eye - Ac).tocsc()) for z in c.Zne]
-    for _ in range(max(int(r.loop), 1) + 1):
+    # the reference's direct-solve contour converges this config in 2
+    # refinement loops (its own minimum) — charge the proxy exactly that,
+    # NOT the polynomial filter's (cheaper but more numerous) loops
+    for _ in range(2 + 1):
         Qp = np.zeros((N, M0))
         for z, wq, lu in zip(c.Zne, c.Wne, lus):
             Qp += np.real(2.0 * wq * lu.solve(Q.astype(np.complex128)))
@@ -505,15 +508,15 @@ def main():
                                "skipped on the CPU fallback")
         dev_s, cpu_s, meta = _sparse_bench()
         results.append({
-            "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_mixed_mg",
+            "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_cheb",
             "value": round(dev_s, 1), "unit": "s",
             "vs_baseline": round(cpu_s / dev_s, 3),
             "detail": meta,
-            "note": "live run; CPU proxy = cached splu per contour node "
-                    "(UMFPACK stand-in) + same refinement loops, threaded "
-                    "BLAS. The tunneled single chip is access-path-bound "
-                    "(host link ~30 MB/s, eff. HBM ~117 GB/s, execution "
-                    "watchdog forces host-granular dispatch).",
+            "note": "live run via the Chebyshev polynomial filter "
+                    "(solver='cheb', solve-free); CPU proxy = the "
+                    "reference's algorithm, cached splu per contour node "
+                    "(UMFPACK stand-in) at its own 2-loop schedule, "
+                    "threaded BLAS.",
         })
     except Exception as e:                               # noqa: BLE001
         results.append({"metric": "sparse_bench_failed",

@@ -1023,20 +1023,29 @@ def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
     return update(state, Qproj, jnp.bool_(True))
 
 
-def _b_is_identity(B) -> bool:
-    """Host check: B (sparse/dense/None) is the identity."""
+def _b_diagonal(B):
+    """Host check: B is None/identity -> ("identity", None); a positive
+    diagonal matrix -> ("diagonal", d); anything else -> (None, None)."""
     if B is None:
-        return True
+        return "identity", None
     data, idx, shape = sparse_coo_arrays(B)
     if shape[0] != shape[1]:
-        return False
+        return None, None
     off = idx[:, 0] != idx[:, 1]
     if np.any(np.abs(data[off]) > 0):
-        return False
+        return None, None
     diag = np.zeros(shape[0], np.complex128 if np.iscomplexobj(data)
                     else np.float64)
     np.add.at(diag, idx[~off, 0], data[~off])
-    return bool(np.allclose(diag, 1.0, rtol=0, atol=1e-14))
+    if np.iscomplexobj(diag):
+        if np.abs(np.imag(diag)).max(initial=0.0) > 0:
+            return None, None
+        diag = np.real(diag)
+    if bool(np.allclose(diag, 1.0, rtol=0, atol=1e-14)):
+        return "identity", None
+    if np.all(diag > 0):
+        return "diagonal", diag
+    return None, None
 
 
 def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
@@ -1053,14 +1062,20 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     zero communication; XLA inserts the all-gathers for the M0 x M0
     Rayleigh-Ritz contractions). The polynomial filter has no contour
     nodes, so the mesh's axis STRUCTURE is irrelevant — only its device
-    set matters."""
+    set matters.
+
+    Generalized pencils with POSITIVE DIAGONAL B (lumped mass matrices)
+    are solved exactly via the congruence A_hat = D^-1/2 A D^-1/2
+    (identical eigenvalues; eigenvectors back-transformed x = D^-1/2 y
+    and re-normalized, residuals recomputed for the ORIGINAL pencil)."""
     from ..ops.chebfilter import build_cheb_filter_coeffs, gershgorin_interval
     fpm = _ensure_fpm(fpm)
-    if not _b_is_identity(B):
+    b_kind, b_diag = _b_diagonal(B)
+    if b_kind is None:
         raise ValueError(
             "solver='cheb' (polynomial filter) requires a standard problem "
-            "(B=None or identity); generalized pencils need the contour "
-            "solvers (gmres/bicgstab)")
+            "(B=None/identity) or a positive diagonal B (lumped mass); "
+            "general pencils need the contour solvers (gmres/bicgstab)")
     is_complex = np.iscomplexobj(_peek_dtype(A))
     if hermitian is None:
         hermitian = is_complex
@@ -1071,6 +1086,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
 
     A_data, A_idx, shape = sparse_coo_arrays(A, work_dtype)
     N = shape[0]
+    if b_kind == "diagonal":
+        dscale = 1.0 / np.sqrt(b_diag.astype(np.float64))
+        A_data = (A_data * (dscale[A_idx[:, 0]] * dscale[A_idx[:, 1]])
+                  ).astype(work_dtype)
     if not 0 < M0 <= N:
         raise ValueError(f"M0 must be in 1..N={N}, got {M0}")
     if not Emax > Emin:
@@ -1161,6 +1180,22 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     conv, lam, Q, res, inside, epsout, loop, inner_ok = cio.fetch_many(
         [state.converged, state.lam, state.Q, state.res, state.inside,
          state.epsout, state.loop, state.inner_ok])
+    if b_kind == "diagonal":
+        # back-transform x = D^-1/2 y, re-normalize, and recompute the
+        # residuals for the ORIGINAL pencil ||A x - lam B x|| / max(|lam|,1)
+        # (host matvecs: one pass over nnz per column)
+        import scipy.sparse as _sp
+        Q = np.asarray(Q) * dscale[:, None]
+        nrm = np.linalg.norm(Q, axis=0)
+        Q = Q / np.where(nrm > 0, nrm, 1.0)[None, :]
+        A0 = _sp.coo_matrix((np.asarray(
+            sparse_coo_arrays(A, work_dtype)[0]),
+            (A_idx[:, 0], A_idx[:, 1])), shape=shape).tocsr()
+        lam_h = np.asarray(lam)
+        r = A0 @ Q - (b_diag[:, None] * Q) * lam_h[None, :]
+        res = np.linalg.norm(r, axis=0) / np.maximum(np.abs(lam_h), 1.0)
+        ins = np.asarray(inside)
+        epsout = float(res[ins].max()) if ins.any() else float(epsout)
     info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
     return _trim(FeastResult, lam, Q, res, inside,
                  int(info), float(epsout), int(loop) - 1,

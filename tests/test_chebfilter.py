@@ -120,7 +120,7 @@ def test_cheb_hermitian_complex():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
 
 
-def test_cheb_requires_standard_problem():
+def test_cheb_requires_standard_or_diagonal_b():
     n = 60
     A = _lap(n)
     B = sp.diags([4 * np.ones(n), np.ones(n - 1), np.ones(n - 1)],
@@ -133,6 +133,30 @@ def test_cheb_requires_standard_problem():
     r = feast_scsrgv(A, sp.identity(n, format="csr"), 0.5, 0.9,
                      len(exp) + 4, solver="cheb")
     assert r.M == len(exp)
+
+
+def test_cheb_diagonal_b_lumped_mass():
+    # generalized pencil with positive diagonal B (lumped mass): solved
+    # exactly via the D^-1/2 A D^-1/2 congruence; residuals recomputed
+    # for the ORIGINAL pencil
+    import scipy.linalg as sla
+    n = 180
+    A = _lap(n)
+    rng = np.random.default_rng(3)
+    d = 0.5 + rng.random(n)
+    B = sp.diags(d, 0, format="csr")
+    w = sla.eigh(A.toarray(), np.diag(d), eigvals_only=True)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.2)])
+    r = feast_scsrgv(A, B, 0.5, 1.2, len(exp) + 5, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+    # residuals are for the original pencil
+    x = r.q
+    rr = A @ x - (d[:, None] * x) * np.asarray(r.lam)[None, :]
+    res_true = np.linalg.norm(rr, axis=0) / np.maximum(np.abs(r.lam), 1.0)
+    assert np.abs(res_true - r.res).max() < 1e-12
+    assert r.res.max() < 1e-8
 
 
 def test_cheb_estimate_mode():

@@ -159,6 +159,33 @@ def test_cheb_diagonal_b_lumped_mass():
     assert r.res.max() < 1e-8
 
 
+def test_cheb_mixed_precision_schedule(capsys):
+    # fpm[42]=2 forces the mixed recurrence schedule everywhere (auto=TPU
+    # only): early loops run the three-term recurrence in f32, the last
+    # loop(s) in f64 — Rayleigh-Ritz/residuals are exact f64 throughout,
+    # so the converged result must agree with the all-f64 path to the
+    # certification tolerance.
+    from feastkit_tpu import feastinit
+    n = 400
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.02) & (w <= 0.2)])
+    M0 = len(exp) + 6
+    fpm = feastinit()
+    fpm[1] = 1          # print loop lines (asserted below)
+    fpm[3] = 8          # 1e-8 (the north-star tolerance)
+    r64 = feast_scsrev(A, 0.02, 0.2, M0, fpm, solver="cheb")
+    fpm[42] = 2
+    r = feast_scsrev(A, 0.02, 0.2, M0, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "f32 recurrence" in out        # the schedule actually engaged
+    assert r.info == 0
+    assert r.M == r64.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+    assert np.abs(np.sort(r.lam) - np.sort(r64.lam)).max() < 1e-9
+    assert r.res.max() < 1e-8
+
+
 def test_cheb_estimate_mode():
     n = 250
     A = _lap(n)

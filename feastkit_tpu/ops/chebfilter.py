@@ -62,7 +62,15 @@ def gershgorin_interval(data, idx, N):
     radius = rowsum - np.abs(diag)
     lo = float(np.min(diag - radius))
     hi = float(np.max(diag + radius))
-    pad = 1e-3 * max(hi - lo, 1.0)      # strict enclosure after f32 rounding
+    # Gershgorin already STRICTLY encloses the spectrum, so the recurrence
+    # cannot diverge (T_k stays bounded on [-1,1] for every eigenvalue);
+    # the pad only guards the f32 rounding of the affine map's scale/shift
+    # (~1e-7 relative). Keep it TINY: for edge intervals (lowest eigenpairs
+    # of a Laplacian, exactly where polynomial filtering is used) the
+    # arccos-span of the target interval scales like sqrt(E - lo), so an
+    # oversized pad directly inflates the auto filter degree — a 1e-3
+    # relative pad cost 2-4x the matvecs on the BASELINE configs.
+    pad = 1e-6 * max(hi - lo, 1.0)
     return lo - pad, hi + pad
 
 

@@ -1134,8 +1134,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     # switch to f64 once epsout nears the f32 subspace floor. Same
     # inexact-FEAST argument as the contour pair-IR path (fpm[42] there).
     use_lp = f64 and _mixed_enabled(config, jnp.complex128)
+    lp_avail = use_lp
     lp_dtype = np.complex64 if hermitian else np.float32
-    lp_switch = max(1e-5, 30.0 * float(config.tol))
+    # Ride the f32 recurrence as deep as it will go (its measured subspace
+    # floor is below 1e-6; the stall-switch catches it early wherever the
+    # floor actually is, costing at most one cheap f32 loop) — every f64
+    # loop avoided is ~4.5x an f32 loop on the chip (emulated arithmetic,
+    # double the HBM traffic, no Pallas).
+    lp_switch = max(1e-6, 30.0 * float(config.tol))
 
     if (cio.complex_io_required() or use_lp) and config.mode != 1:
         # tunnel: bound work per dispatch (the remote execution watchdog
@@ -1212,8 +1218,17 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             eps_prev, gm_prev = eps_now, gm_now
         if best_state is not None:
             state = best_state
-        Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q, statics,
-                                      nnz)
+        # Spurious-verify filter pass: rho = ||P q|| is judged against the
+        # 0.25 threshold (genuine pairs sit >= ~0.5), so ~1e-7 f32 filter
+        # noise is irrelevant — under the mixed schedule run it in f32 and
+        # save a full f64 filter application.
+        if lp_avail:
+            Qp = _sparse_cheb_filter_host(
+                arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
+                nnz).astype(work_dtype)
+        else:
+            Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q, statics,
+                                          nnz)
         state = _sparse_verify_from_jit(state, Qp, jnp.bool_(True))
     else:
         Q0_in = np.asarray(Q0, work_dtype)

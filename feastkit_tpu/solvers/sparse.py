@@ -1023,6 +1023,85 @@ def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
     return update(state, Qproj, jnp.bool_(True))
 
 
+# Double-single (pair-of-f32) fused recurrence: the f64-phase filter
+# applications on TPU run the ops/cheb_pallas.py kernel — ~2^-49 effective
+# precision from f32 VPU arithmetic in ONE fused pass per step, instead of
+# XLA's per-op f64 emulation across separate matvec/update fusions.
+
+@cjit(static_argnames=("block", "N_tot"))
+def _cheb_ds_diags_jit(A_dia, *, block, N_tot):
+    from ..ops.cheb_pallas import pack_diags
+    return pack_diags(A_dia, dict(block=block, N_tot=N_tot))
+
+
+@cjit(static_argnames=("block", "N_tot", "Mp"))
+def _cheb_ds_init_jit(Q, c0, *, block, N_tot, Mp):
+    """(N, M) f64 -> packed carry (T0=0, T1=Q, acc=c0*Q) in DS planes."""
+    from ..ops.cheb_pallas import _ds_mul_f32, pack_state
+    qh, ql = pack_state(Q, dict(block=block, N_tot=N_tot, Mp=Mp))
+    ah, al = _ds_mul_f32(qh, ql, c0.astype(jnp.float32))
+    return jnp.zeros_like(qh), jnp.zeros_like(ql), qh, ql, ah, al
+
+
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret"))
+def _cheb_ds_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl, coeffs_chunk,
+                       sc, sh, *, block, n_blocks, offsets, interpret=False):
+    from ..ops.cheb_pallas import cheb_ds_chunk
+    return cheb_ds_chunk(
+        dgh, dgl, (t0h, t0l, t1h, t1l, ach, acl), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets),
+        interpret=interpret)
+
+
+@cjit(static_argnames=("block", "N", "M"))
+def _cheb_ds_unpack_jit(hi, lo, *, block, N, M):
+    from ..ops.cheb_pallas import unpack_state
+    return unpack_state(hi, lo, N, M, dict(block=block))
+
+
+def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
+    """Device-resident DS operands, built once per solve (the diagonals'
+    DS planes persist across refinement loops)."""
+    from ..ops.cheb_pallas import cheb_plan
+    plan = cheb_plan(statics["offsets_A"], N, M)
+    dgh, dgl = _cheb_ds_diags_jit(arrs[2], block=plan["block"],
+                                  N_tot=plan["N_tot"])
+    return dict(plan=plan, dgh=dgh, dgl=dgl,
+                coeffs=np.asarray(coeffs, np.float32),
+                sc=np.float32(2.0 / (hi - lo)),
+                sh=np.float32((hi + lo) / (hi - lo)),
+                interpret=not statics["use_pallas"], N=N, M=M)
+
+
+def _sparse_cheb_filter_host_ds(ctx, Q, nnz):
+    """One filter application rho(A) Q through the fused DS kernel, driven
+    as chunked dispatches (watchdog-bounded like the f64 path)."""
+    plan, coeffs = ctx["plan"], ctx["coeffs"]
+    st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
+              offsets=plan["offsets"], interpret=ctx["interpret"])
+    m1 = len(coeffs)
+    carry = _cheb_ds_init_jit(Q, jnp.asarray(coeffs[0]),
+                              block=plan["block"], N_tot=plan["N_tot"],
+                              Mp=plan["Mp"])
+    # k=1 via one kernel step with HALVED map scalars: T2 = 2*(sc/2 A Q -
+    # sh/2 Q) - 0 = Ahat Q (scalar rounding only perturbs WHICH polynomial
+    # in A is applied — the eigenvectors are exactly preserved)
+    carry = _cheb_ds_chunk_jit(ctx["dgh"], ctx["dgl"], *carry,
+                               jnp.asarray(coeffs[1:2]),
+                               ctx["sc"] * np.float32(0.5),
+                               ctx["sh"] * np.float32(0.5), **st)
+    steps = int(max(64, min(m1, 4e10 // max(2 * nnz * ctx["M"], 1))))
+    for base in range(2, m1, steps):
+        chunk = np.zeros(steps, np.float32)
+        take = min(steps, m1 - base)
+        chunk[:take] = coeffs[base:base + take]
+        carry = _cheb_ds_chunk_jit(ctx["dgh"], ctx["dgl"], *carry,
+                                   jnp.asarray(chunk), ctx["sc"], ctx["sh"],
+                                   **st)
+    return _cheb_ds_unpack_jit(carry[4], carry[5], block=plan["block"],
+                               N=ctx["N"], M=ctx["M"])
+
+
 def _b_diagonal(B):
     """Host check: B is None/identity -> ("identity", None); a positive
     diagonal matrix -> ("diagonal", d); anything else -> (None, None)."""
@@ -1136,12 +1215,15 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     use_lp = f64 and _mixed_enabled(config, jnp.complex128)
     lp_avail = use_lp
     lp_dtype = np.complex64 if hermitian else np.float32
-    # Ride the f32 recurrence as deep as it will go (its measured subspace
-    # floor is below 1e-6; the stall-switch catches it early wherever the
-    # floor actually is, costing at most one cheap f32 loop) — every f64
-    # loop avoided is ~4.5x an f32 loop on the chip (emulated arithmetic,
-    # double the HBM traffic, no Pallas).
-    lp_switch = max(1e-6, 30.0 * float(config.tol))
+    # Ride the f32 recurrence down to its noise floor, then switch — every
+    # f64 loop avoided is ~4.5x an f32 loop on the chip (emulated
+    # arithmetic, double the HBM traffic, no Pallas). The floor is the
+    # accumulated recurrence rounding ~ sqrt(degree) * eps_f32 (measured:
+    # 4.5e-6 at degree 1943, ~2.5e-6 at 469, consistent with C ~ 1.7);
+    # switching at 2x that predicted floor saves the one probe loop the
+    # stall-switch would otherwise burn discovering it.
+    lp_switch = max(2.0 * np.sqrt(float(cinfo["degree"])) * 6e-8,
+                    30.0 * float(config.tol))
 
     if (cio.complex_io_required() or use_lp) and config.mode != 1:
         # tunnel: bound work per dispatch (the remote execution watchdog
@@ -1154,6 +1236,21 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 np.asarray(A_data, lp_dtype), A_idx,
                 np.asarray(A_dia, lp_dtype), np.asarray(lohi, np.float32)))
             coeffs_lp = np.asarray(coeffs_d, np.float32)
+        # Fused double-single Pallas recurrence (ops/cheb_pallas.py): the
+        # middle rung of the f32 -> DS -> f64 precision ladder. Its noise
+        # floor is ~ u_ds * degree * U_k-amplification * ||A|| (measured
+        # ~2.5e-9 on the 300-dof edge fixture, ~1.5e-9 predicted at the 1M
+        # north-star) — ample for tol >= 1e-8 targets at ~1/3 the cost of
+        # an emulated-f64 loop; a stall while on the DS rung falls through
+        # to true f64 for tighter targets. DIA operators on TPU under the
+        # mixed policy; FEAST_CHEB_DS=1/0 forces/disables (interpret mode
+        # off-TPU — the CPU-testable path).
+        import os as _os
+        _ds_env = _os.environ.get("FEAST_CHEB_DS")
+        ds_on = (not hermitian and f64 and statics["offsets_A"] is not None
+                 and ((lp_avail and bool(statics["use_pallas"]))
+                      if _ds_env is None else _ds_env not in ("0", "")))
+        ds_ctx = None
         state = _host_state(np.asarray(Q0, work_dtype))
         import time as _time
         from ..kernel.hermitian import SPURIOUS_RES
@@ -1165,6 +1262,11 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 Qp = _sparse_cheb_filter_host(
                     arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
                     nnz).astype(work_dtype)
+            elif ds_on:
+                if ds_ctx is None:
+                    ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi,
+                                              N, M0, statics)
+                Qp = _sparse_cheb_filter_host_ds(ds_ctx, state.Q, nnz)
             else:
                 Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q,
                                               statics, nnz)
@@ -1176,9 +1278,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 fetch(state.res), fetch(state.inside))
             M_now = int(np.sum(ins_h))
             if config.print_level >= 1:
+                kind = "f32" if use_lp else ("ds" if ds_on else "f64")
                 print(f"feast cheb loop {_loop}: epsout={eps_now:.2e} "
                       f"M={M_now} "
-                      f"({'f32' if use_lp else 'f64'} recurrence, "
+                      f"({kind} recurrence, "
                       f"{_time.perf_counter() - _t0:.1f}s)", flush=True)
             # epsout is max-over-PLAUSIBLE: an M=0 loop reports 0.0 and
             # must never win the best-state race
@@ -1201,10 +1304,18 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 res_h[pl], 1e-300))))) if pl.any() else np.inf)
             stalled = _loop >= 1 and eps_now >= 0.5 * eps_prev \
                 and gm_now >= 0.7 * gm_prev
-            # A stall (or reaching the f32 subspace floor) while the f32
-            # recurrence is active switches to f64 instead of aborting.
+            # Precision-ladder switches: a stall (or reaching the f32
+            # subspace floor) advances f32 -> DS -> f64 instead of
+            # aborting; only a stall on the top (f64) rung counts toward
+            # the give-up exit.
             if use_lp and (stalled or eps_now <= lp_switch):
                 use_lp = False
+                stall_loops = 0
+                if config.print_level >= 1:
+                    print("feast cheb: recurrence switching to "
+                          f"{'ds' if ds_on else 'f64'}", flush=True)
+            elif ds_on and stalled:
+                ds_on = False
                 stall_loops = 0
                 if config.print_level >= 1:
                     print("feast cheb: recurrence switching to f64",

@@ -1,0 +1,168 @@
+"""Fused double-single Chebyshev-step Pallas kernel (ops/cheb_pallas.py).
+
+No reference counterpart (TPU-first extension); the contract is agreement
+with the f64 three-term recurrence to the DS precision (~2^-45 relative)
+on the same DIA fixtures the cheb filter uses.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from feastkit_tpu.ops.cheb_pallas import (cheb_ds_chunk, cheb_plan,
+                                          ds_split, pack_diags, pack_state,
+                                          unpack_state)
+from feastkit_tpu.ops.pallas_kernels import dia_matvec_reference
+
+
+def _lap_dia(n):
+    d = np.zeros((3, n))
+    d[0, 1:] = -1.0          # offset -1, row-aligned
+    d[1, :] = 2.0
+    d[2, :-1] = -1.0         # offset +1
+    return d, (-1, 0, 1)
+
+
+def _lap2d_dia(nx):
+    n = nx * nx
+    d = np.zeros((5, n))
+    offs = (-nx, -1, 0, 1, nx)
+    d[2, :] = 4.0
+    d[1, :] = -1.0
+    d[1, ::nx] = 0.0         # row-aligned: entry (i, i-1) vanishes at col 0
+    d[3, :] = -1.0
+    d[3, nx - 1::nx] = 0.0
+    d[0, nx:] = -1.0
+    d[4, :-nx] = -1.0
+    return d, offs
+
+
+def test_ds_split_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(1000) * 10.0 ** rng.integers(
+        -6, 6, 1000))
+    hi, lo = ds_split(x)
+    err = np.abs(np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+                 - np.asarray(x))
+    assert err.max() <= np.abs(np.asarray(x)).max() * 2.0 ** -49
+
+
+@pytest.mark.parametrize("fixture", ["lap1d", "lap2d"])
+def test_cheb_ds_chunk_matches_f64(fixture):
+    # a short recurrence driven through the interpret-mode kernel must
+    # match the f64 three-term recurrence to DS precision
+    if fixture == "lap1d":
+        dia, offs = _lap_dia(300)
+        N = 300
+    else:
+        dia, offs = _lap2d_dia(18)
+        N = 18 * 18
+    M = 11
+    rng = np.random.default_rng(1)
+    Q = rng.standard_normal((N, M))
+    lo_e, hi_e = -0.1, 8.1
+    sc = 2.0 / (hi_e - lo_e)
+    sh = (hi_e + lo_e) / (hi_e - lo_e)
+    coeffs = rng.standard_normal(14) * 0.1
+
+    # f64 oracle: T0 = Q, T1 = Ahat Q, acc = 0; then steps for k = 2..
+    dia_j = jnp.asarray(dia)
+    T0 = jnp.asarray(Q)
+    T1 = sc * dia_matvec_reference(dia_j, T0, offs) - sh * T0
+    acc = jnp.zeros_like(T0)
+    t0, t1, ac = T0, T1, acc
+    for ck in coeffs:
+        t2 = 2.0 * (sc * dia_matvec_reference(dia_j, t1, offs) - sh * t1) \
+            - t0
+        ac = ac + ck * t2
+        t0, t1 = t1, t2
+
+    plan = cheb_plan(offs, N, M)
+    dgh, dgl = pack_diags(dia_j, plan)
+    t0h, t0l = pack_state(T0, plan)
+    t1h, t1l = pack_state(T1, plan)
+    ah, al = pack_state(acc, plan)
+    carry = cheb_ds_chunk(dgh, dgl, (t0h, t0l, t1h, t1l, ah, al),
+                          jnp.asarray(coeffs, jnp.float32),
+                          sc, sh, plan=plan, interpret=True)
+    acc_k = unpack_state(carry[4], carry[5], N, M, plan)
+    t1_k = unpack_state(carry[2], carry[3], N, M, plan)
+    scale = float(jnp.abs(ac).max())
+    # scalars/coeffs are f32-rounded in the kernel (benign: a perturbed
+    # polynomial of the SAME matrix), so compare against the f64 oracle
+    # rerun with the rounded scalars
+    sc32, sh32 = float(np.float32(sc)), float(np.float32(sh))
+    c32 = np.float32(coeffs)
+    t0, t1, ac = T0, sc32 * dia_matvec_reference(dia_j, T0, offs) - sh32 * T0, acc
+    for ck in c32:
+        t2 = 2.0 * (sc32 * dia_matvec_reference(dia_j, t1, offs)
+                    - sh32 * t1) - t0
+        ac = ac + float(ck) * t2
+        t0, t1 = t1, t2
+    # kernel init carry used the UNROUNDED T1; rebuild with the same T1
+    t0b, t1b, acb = T0, T1, acc
+    for ck in c32:
+        t2 = 2.0 * (sc32 * dia_matvec_reference(dia_j, t1b, offs)
+                    - sh32 * t1b) - t0b
+        acb = acb + float(ck) * t2
+        t0b, t1b = t1b, t2
+    err_acc = float(jnp.abs(acc_k - acb).max()) / max(scale, 1e-30)
+    err_t = float(jnp.abs(t1_k - t1b).max()) / float(jnp.abs(t1b).max())
+    assert err_acc < 1e-11
+    assert err_t < 1e-11
+
+
+def test_cheb_ds_end_to_end_ladder(monkeypatch, capsys):
+    # FEAST_CHEB_DS=1 forces the fused DS kernel rung (interpret mode
+    # off-TPU); with fpm[42]=2 the precision ladder is f32 -> DS -> f64.
+    # tol=1e-10 sits BELOW the DS noise floor (~2.5e-9 on this fixture:
+    # u_ds * degree * edge amplification * ||A||), so the run must climb
+    # through every rung and land the final accuracy on true f64 —
+    # residuals certified by exact f64 operator applications throughout.
+    import scipy.sparse as sp
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 300
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    exp = np.sort(w[w <= 0.01])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 10
+    fpm[42] = 2
+    monkeypatch.setenv("FEAST_CHEB_DS", "1")
+    r = feast_scsrev(A, 0.0, 0.01, len(exp) + 4, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "f32 recurrence" in out
+    assert "ds recurrence" in out
+    assert "f64 recurrence" in out        # DS floored above tol -> fell
+    assert r.info == 0                    # through to the f64 rung
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-11
+    assert r.res.max() < 1e-10
+
+
+def test_cheb_ds_suffices_at_1e8(monkeypatch, capsys):
+    # at the north-star tolerance the DS rung alone must close the run —
+    # no f64 recurrence loop at all (the schedule the chip actually runs)
+    import scipy.sparse as sp
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 300
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    exp = np.sort(w[w <= 0.01])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 8
+    fpm[42] = 2
+    monkeypatch.setenv("FEAST_CHEB_DS", "1")
+    r = feast_scsrev(A, 0.0, 0.01, len(exp) + 4, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "ds recurrence" in out
+    assert "f64 recurrence" not in out
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert r.res.max() < 1e-8

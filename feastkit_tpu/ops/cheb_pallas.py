@@ -163,12 +163,18 @@ def pack_diags(dia64, plan):
 
 def _shifted(left, center, right, off, block):
     """Lanes [block+off, 2*block+off) of the 3-block slab, without
-    materializing the concatenation (spans at most two refs)."""
+    materializing the concatenation (spans at most two refs). Zero-width
+    pieces (|off| == block, e.g. a Laplacian's +-n offset with n <= the
+    128-aligned block) must be skipped: Mosaic rejects 0-size vectors."""
     if off == 0:
         return center
     if off > 0:
+        if off >= block:
+            return right
         return jnp.concatenate(
             [center[:, off:], right[:, :off]], axis=1)
+    if -off >= block:
+        return left
     return jnp.concatenate(
         [left[:, block + off:], center[:, :block + off]], axis=1)
 

@@ -47,13 +47,27 @@ def test_ds_split_roundtrip():
     assert err.max() <= np.abs(np.asarray(x)).max() * 2.0 ** -49
 
 
-@pytest.mark.parametrize("fixture", ["lap1d", "lap2d"])
+@pytest.mark.parametrize("fixture", ["lap1d", "lap2d", "off_eq_block"])
 def test_cheb_ds_chunk_matches_f64(fixture):
     # a short recurrence driven through the interpret-mode kernel must
     # match the f64 three-term recurrence to DS precision
     if fixture == "lap1d":
         dia, offs = _lap_dia(300)
         N = 300
+    elif fixture == "off_eq_block":
+        # |offset| == the 128-aligned lane block (a 2D Laplacian whose
+        # grid side equals the block): the shifted read is EXACTLY the
+        # neighbor block — the zero-width concat piece Mosaic rejects
+        N = 1024
+        offs = (-256, -1, 0, 1, 256)
+        rng0 = np.random.default_rng(7)
+        dia = np.zeros((5, N))
+        dia[2] = 4.0 + rng0.random(N)
+        for k, d in zip((0, 1, 3, 4), (-256, -1, 1, 256)):
+            if d > 0:
+                dia[k, :N - d] = -rng0.random(N - d)
+            else:
+                dia[k, -d:] = -rng0.random(N + d)
     else:
         dia, offs = _lap2d_dia(18)
         N = 18 * 18

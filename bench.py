@@ -338,11 +338,13 @@ def _pep_bench():
 def _sparse_bench():
     """BASELINE config 4 at the 65k rung, measured LIVE: 2D-Laplacian
     lowest-52-pair sparse EVP in f64 on the attached chip via the
-    Chebyshev polynomial filter (solver="cheb", ops/chebfilter.py — the
-    solve-free TPU-native path; 11x the contour path's wall time on this
-    rung, residuals 2.5e-10), vs a live CPU proxy running the reference's
-    algorithm (cached sparse direct LU per contour node - scipy splu
-    standing in for UMFPACK, feast_sparse.jl:294,334-348)."""
+    Chebyshev polynomial filter (solver="cheb", ops/chebfilter.py) with
+    the f32 -> double-single -> f64 precision ladder (fused Pallas
+    recurrence kernel, ops/cheb_pallas.py) — the solve-free TPU-native
+    path; ~70x the contour path's wall time on this rung, residuals
+    ~4e-9 — vs a live CPU proxy running the reference's algorithm
+    (cached sparse direct LU per contour node - scipy splu standing in
+    for UMFPACK, feast_sparse.jl:294,334-348)."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     from feastkit_tpu import feastinit

@@ -58,7 +58,8 @@ except Exception:                                  # pragma: no cover
 
 __all__ = [
     "ds_split", "cheb_plan", "pack_state", "unpack_state", "pack_diags",
-    "cheb_ds_chunk", "cheb_ds_step_reference",
+    "cheb_ds_chunk", "cheb_ds_step_reference", "pack_state32",
+    "unpack_state32", "pack_diags32", "cheb_f32_chunk",
 ]
 
 
@@ -157,6 +158,25 @@ def pack_diags(dia64, plan):
     buf = jnp.zeros((nd, plan["N_tot"]), jnp.float64)
     buf = jax.lax.dynamic_update_slice(buf, dia64, (0, plan["block"]))
     return ds_split(buf)
+
+
+def pack_state32(X, plan):
+    """(N, M) real -> one (Mp, N_tot) f32 plane (transposed, margins 0)."""
+    Xt = jnp.swapaxes(X.astype(jnp.float32), 0, 1)
+    buf = jnp.zeros((plan["Mp"], plan["N_tot"]), jnp.float32)
+    return jax.lax.dynamic_update_slice(buf, Xt, (0, plan["block"]))
+
+
+def unpack_state32(buf, N, M, plan):
+    b = plan["block"]
+    return jnp.swapaxes(buf[:M, b:b + N], 0, 1)
+
+
+def pack_diags32(dia, plan):
+    nd, N = dia.shape
+    buf = jnp.zeros((nd, plan["N_tot"]), jnp.float32)
+    return jax.lax.dynamic_update_slice(buf, dia.astype(jnp.float32),
+                                        (0, plan["block"]))
 
 
 # ---------------------------------------------------------------- kernel
@@ -262,6 +282,71 @@ def cheb_ds_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
             offsets=offsets, block=block, n_blocks=n_blocks,
             interpret=interpret)
         return (t1h, t1l, t2h, t2l, a2h, a2l), None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, coeffs_chunk)
+    return carry
+
+
+# -------------------------------------------------------- f32 variant
+
+def _cheb_f32_kernel(scal_ref, dg_ref, t0_ref, ac_ref, x_l, x_c, x_r,
+                     t2_ref, a2_ref, *, offsets, block):
+    """Plain-f32 fused step: same structure as the DS kernel, one plane
+    per vector — DIA matvec + three-term update + accumulator update in a
+    single VMEM pass (5 planes of traffic vs the ~7 the unfused XLA path
+    streams per step)."""
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck = scal_ref[0, 2]
+    xl, xc, xr = x_l[...], x_c[...], x_r[...]
+    y = jnp.zeros(t0_ref.shape, jnp.float32)
+    for k, off in enumerate(offsets):
+        y = y + dg_ref[k, :][None, :] * _shifted(xl, xc, xr, off, block)
+    t2 = 2.0 * (sc * y - sh * xc) - t0_ref[...]
+    t2_ref[...] = t2
+    a2_ref[...] = ac_ref[...] + ck * t2
+
+
+def _cheb_f32_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
+                   interpret):
+    Mp, N_tot = t0.shape
+    blk = lambda i_off: pl.BlockSpec(       # noqa: E731
+        (Mp, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    t2, a2 = pl.pallas_call(
+        functools.partial(_cheb_f32_kernel, offsets=offsets, block=block),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((dg.shape[0], block), lambda j: (0, j + 1),
+                         memory_space=pltpu.VMEM),
+            blk(1), blk(1),                  # T0, acc
+            blk(0), blk(1), blk(2),          # T1 3-slab
+        ],
+        out_specs=[blk(1), blk(1)],
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 2,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(scal, dg, t0, ac, t1, t1, t1)
+    return t2, a2
+
+
+def cheb_f32_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
+                   interpret=False):
+    """Advance the f32 recurrence over one coefficient chunk; carry =
+    (t0, t1, ac) packed planes."""
+    offsets = plan["offsets"]
+    block, n_blocks = plan["block"], plan["n_blocks"]
+
+    def body(c, ck):
+        t0, t1, ac = c
+        scal = jnp.stack([jnp.float32(sc), jnp.float32(sh),
+                          ck.astype(jnp.float32), jnp.float32(0)])[None, :]
+        t2, a2 = _cheb_f32_step(scal, dg, t0, ac, t1, offsets=offsets,
+                                block=block, n_blocks=n_blocks,
+                                interpret=interpret)
+        return (t1, t2, a2), None
 
     with jax.enable_x64(False):
         carry, _ = jax.lax.scan(body, carry, coeffs_chunk)

@@ -1059,6 +1059,30 @@ def _cheb_ds_unpack_jit(hi, lo, *, block, N, M):
     return unpack_state(hi, lo, N, M, dict(block=block))
 
 
+@cjit(static_argnames=("block", "N_tot", "Mp"))
+def _cheb_f32_init_jit(Q, c0, *, block, N_tot, Mp):
+    """(N, M) -> packed f32 carry (T0=0, T1=Q, acc=c0*Q)."""
+    from ..ops.cheb_pallas import pack_state32
+    q = pack_state32(Q, dict(block=block, N_tot=N_tot, Mp=Mp))
+    return jnp.zeros_like(q), q, c0.astype(jnp.float32) * q
+
+
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret"))
+def _cheb_f32_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
+                        n_blocks, offsets, interpret=False):
+    from ..ops.cheb_pallas import cheb_f32_chunk
+    return cheb_f32_chunk(
+        dg, (t0, t1, ac), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets),
+        interpret=interpret)
+
+
+@cjit(static_argnames=("block", "N", "M"))
+def _cheb_f32_unpack_jit(buf, *, block, N, M):
+    from ..ops.cheb_pallas import unpack_state32
+    return unpack_state32(buf, N, M, dict(block=block))
+
+
 def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
     """Device-resident DS operands, built once per solve (the diagonals'
     DS planes persist across refinement loops)."""
@@ -1071,6 +1095,36 @@ def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
                 sc=np.float32(2.0 / (hi - lo)),
                 sh=np.float32((hi + lo) / (hi - lo)),
                 interpret=not statics["use_pallas"], N=N, M=M)
+
+
+def _sparse_cheb_filter_host_f32(ctx, Q, nnz):
+    """One filter application through the fused single-f32 kernel (the
+    f32 rung): DIA matvec + recurrence + accumulator in one VMEM pass per
+    step — 5 planes of traffic vs ~7 for the unfused XLA path. The DS
+    context's hi diagonal plane IS the f32-rounded operator."""
+    plan, coeffs = ctx["plan"], ctx["coeffs"]
+    st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
+              offsets=plan["offsets"], interpret=ctx["interpret"])
+    m1 = len(coeffs)
+    carry = _cheb_f32_init_jit(Q, jnp.asarray(coeffs[0]),
+                               block=plan["block"], N_tot=plan["N_tot"],
+                               Mp=plan["Mp"])
+    carry = _cheb_f32_chunk_jit(ctx["dgh"], *carry,
+                                jnp.asarray(coeffs[1:2]),
+                                ctx["sc"] * np.float32(0.5),
+                                ctx["sh"] * np.float32(0.5), **st)
+    # fused f32 steps are ~4x cheaper than the f64 budget the 4e10 figure
+    # was calibrated for — bigger chunks amortize the per-dispatch RTT
+    # (~0.1 s through the tunnel) while staying far under the watchdog
+    steps = int(max(64, min(m1, 1.6e11 // max(2 * nnz * ctx["M"], 1))))
+    for base in range(2, m1, steps):
+        chunk = np.zeros(steps, np.float32)
+        take = min(steps, m1 - base)
+        chunk[:take] = coeffs[base:base + take]
+        carry = _cheb_f32_chunk_jit(ctx["dgh"], *carry, jnp.asarray(chunk),
+                                    ctx["sc"], ctx["sh"], **st)
+    return _cheb_f32_unpack_jit(carry[2], block=plan["block"],
+                                N=ctx["N"], M=ctx["M"])
 
 
 def _sparse_cheb_filter_host_ds(ctx, Q, nnz):
@@ -1090,7 +1144,9 @@ def _sparse_cheb_filter_host_ds(ctx, Q, nnz):
                                jnp.asarray(coeffs[1:2]),
                                ctx["sc"] * np.float32(0.5),
                                ctx["sh"] * np.float32(0.5), **st)
-    steps = int(max(64, min(m1, 4e10 // max(2 * nnz * ctx["M"], 1))))
+    # the fused DS step is ~3x cheaper than emulated f64 — bigger chunks
+    # amortize the per-dispatch RTT, still well under the watchdog
+    steps = int(max(64, min(m1, 8e10 // max(2 * nnz * ctx["M"], 1))))
     for base in range(2, m1, steps):
         chunk = np.zeros(steps, np.float32)
         take = min(steps, m1 - base)
@@ -1190,6 +1246,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
               f"enclosure=[{lo:.3g},{hi:.3g}] "
               f"outside@1w={cinfo['outside_at_1w']:.2e}", flush=True)
     from ..core.tools import initial_subspace
+    rand_q0 = Q0 is None and int(fpm[5]) == 0    # seeded random subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
     statics = dict(shape=tuple(shape), config=config, offsets_A=offsets_A,
                    use_pallas=use_pallas)
@@ -1247,26 +1304,45 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # off-TPU — the CPU-testable path).
         import os as _os
         _ds_env = _os.environ.get("FEAST_CHEB_DS")
-        ds_on = (not hermitian and f64 and statics["offsets_A"] is not None
-                 and ((lp_avail and bool(statics["use_pallas"]))
-                      if _ds_env is None else _ds_env not in ("0", "")))
+        fused_ok = (not hermitian and f64
+                    and statics["offsets_A"] is not None
+                    and ((lp_avail and bool(statics["use_pallas"]))
+                         if _ds_env is None else _ds_env not in ("0", "")))
+        ds_on = fused_ok
         ds_ctx = None
-        state = _host_state(np.asarray(Q0, work_dtype))
+
+        def _fused_ctx():
+            nonlocal ds_ctx
+            if ds_ctx is None:
+                ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi, N, M0,
+                                          statics)
+            return ds_ctx
+        if rand_q0 and f64 and not hermitian:
+            # the seeded subspace is Gaussian noise: its f64 mantissa tail
+            # carries no information, but uploading it doubles the largest
+            # host->device transfer of the whole solve (~600 MB at 1M dof
+            # through the ~30 MB/s tunnel) — ship f32 bits, widen on device
+            q0_dev = jax.device_put(
+                np.asarray(Q0, np.float32)).astype(np.float64)
+            state = _host_state(q0_dev)
+        else:
+            state = _host_state(np.asarray(Q0, work_dtype))
         import time as _time
         from ..kernel.hermitian import SPURIOUS_RES
         eps_best, eps_prev, best_state, stall_loops = np.inf, np.inf, None, 0
         gm_prev = np.inf
         for _loop in range(config.max_loops + 1):
             _t0 = _time.perf_counter()
-            if use_lp:
+            if use_lp and fused_ok:
+                Qp = _sparse_cheb_filter_host_f32(
+                    _fused_ctx(), state.Q, nnz).astype(work_dtype)
+            elif use_lp:
                 Qp = _sparse_cheb_filter_host(
                     arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
                     nnz).astype(work_dtype)
             elif ds_on:
-                if ds_ctx is None:
-                    ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi,
-                                              N, M0, statics)
-                Qp = _sparse_cheb_filter_host_ds(ds_ctx, state.Q, nnz)
+                Qp = _sparse_cheb_filter_host_ds(_fused_ctx(), state.Q,
+                                                 nnz)
             else:
                 Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q,
                                               statics, nnz)
@@ -1333,7 +1409,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # 0.25 threshold (genuine pairs sit >= ~0.5), so ~1e-7 f32 filter
         # noise is irrelevant — under the mixed schedule run it in f32 and
         # save a full f64 filter application.
-        if lp_avail:
+        if fused_ok:
+            Qp = _sparse_cheb_filter_host_f32(
+                _fused_ctx(), state.Q, nnz).astype(work_dtype)
+        elif lp_avail:
             Qp = _sparse_cheb_filter_host(
                 arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
                 nnz).astype(work_dtype)

@@ -126,6 +126,43 @@ def test_cheb_ds_chunk_matches_f64(fixture):
     assert err_t < 1e-11
 
 
+def test_cheb_f32_chunk_matches_f64_at_f32_precision():
+    # the fused single-f32 kernel agrees with the f64 recurrence to f32
+    # accumulation accuracy (same math, fused rounding order)
+    from feastkit_tpu.ops.cheb_pallas import (cheb_f32_chunk, pack_diags32,
+                                              pack_state32, unpack_state32)
+    dia, offs = _lap2d_dia(18)
+    N, M = 18 * 18, 11
+    rng = np.random.default_rng(2)
+    Q = rng.standard_normal((N, M))
+    lo_e, hi_e = -0.1, 8.1
+    sc32 = float(np.float32(2.0 / (hi_e - lo_e)))
+    sh32 = float(np.float32((hi_e + lo_e) / (hi_e - lo_e)))
+    coeffs = np.float32(rng.standard_normal(12) * 0.1)
+    dia_j = jnp.asarray(dia)
+    T0 = jnp.asarray(Q)
+    T1 = sc32 * dia_matvec_reference(dia_j, T0, offs) - sh32 * T0
+    acc = jnp.zeros_like(T0)
+    t0, t1, ac = T0, T1, acc
+    for ck in coeffs:
+        t2 = 2.0 * (sc32 * dia_matvec_reference(dia_j, t1, offs)
+                    - sh32 * t1) - t0
+        ac = ac + float(ck) * t2
+        t0, t1 = t1, t2
+    plan = cheb_plan(offs, N, M)
+    dg = pack_diags32(dia_j, plan)
+    carry = (jnp.zeros((plan["Mp"], plan["N_tot"]), jnp.float32)
+             .at[:, :].set(0.0),)
+    c0 = pack_state32(T0, plan)
+    c1 = pack_state32(T1, plan)
+    ca = pack_state32(acc, plan)
+    out = cheb_f32_chunk(dg, (c0, c1, ca), jnp.asarray(coeffs),
+                         sc32, sh32, plan=plan, interpret=True)
+    acc_k = unpack_state32(out[2], N, M, plan)
+    err = float(jnp.abs(acc_k - ac).max() / jnp.abs(ac).max())
+    assert err < 5e-5
+
+
 def test_cheb_ds_end_to_end_ladder(monkeypatch, capsys):
     # FEAST_CHEB_DS=1 forces the fused DS kernel rung (interpret mode
     # off-TPU); with fpm[42]=2 the precision ladder is f32 -> DS -> f64.

@@ -341,7 +341,7 @@ def _sparse_bench():
     Chebyshev polynomial filter (solver="cheb", ops/chebfilter.py) with
     the f32 -> double-single -> f64 precision ladder (fused Pallas
     recurrence kernel, ops/cheb_pallas.py) — the solve-free TPU-native
-    path; ~70x the contour path's wall time on this rung, residuals
+    path; ~79x the contour path's wall time on this rung, residuals
     ~4e-9 — vs a live CPU proxy running the reference's algorithm
     (cached sparse direct LU per contour node - scipy splu standing in
     for UMFPACK, feast_sparse.jl:294,334-348)."""

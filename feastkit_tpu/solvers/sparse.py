@@ -1319,11 +1319,19 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             return ds_ctx
         if rand_q0 and f64 and not hermitian:
             # the seeded subspace is Gaussian noise: its f64 mantissa tail
-            # carries no information, but uploading it doubles the largest
+            # carries no information, but uploading it is the largest
             # host->device transfer of the whole solve (~600 MB at 1M dof
-            # through the ~30 MB/s tunnel) — ship f32 bits, widen on device
-            q0_dev = jax.device_put(
-                np.asarray(Q0, np.float32)).astype(np.float64)
+            # through the ~30 MB/s tunnel). Through a remote attachment,
+            # don't ship it at all — generate deterministically ON DEVICE
+            # (keyed by (N, M0), the same determinism contract as
+            # seeded_subspace); elsewhere ship the f32 bits and widen.
+            if cio.complex_io_required():
+                key = jax.random.PRNGKey((N * 1000003 + M0) % (2**31 - 1))
+                q0_dev = jax.random.normal(
+                    key, (N, M0), jnp.float32).astype(jnp.float64)
+            else:
+                q0_dev = jax.device_put(
+                    np.asarray(Q0, np.float32)).astype(np.float64)
             state = _host_state(q0_dev)
         else:
             state = _host_state(np.asarray(Q0, work_dtype))

@@ -163,7 +163,8 @@ def fetch_many(leaves):
     return out
 
 
-def run_pipelined_loop(state, body, finalize, *, max_loops, first_chunk=2):
+def run_pipelined_loop(state, body, finalize, *, max_loops, first_chunk=2,
+                       first_fused=None):
     """Shared remote-link host-driving protocol for refinement loops.
 
     Issue a chunk of refinement ``body`` dispatches back-to-back,
@@ -178,18 +179,31 @@ def run_pipelined_loop(state, body, finalize, *, max_loops, first_chunk=2):
     converge in one refinement loop, e.g. banded BCR, where a speculative
     second body is usually wasted work; 2 otherwise).
 
+    ``first_fused``: optional callable replacing the FIRST chunk with one
+    fully fused device program (setup + ``first_chunk`` bodies + the
+    speculative finalize — e.g. the banded driver folds its BCR
+    factorization in): called as ``first_fused(state) -> (fin_state,
+    carry_state)``; unconverged runs continue from ``carry_state`` with
+    the regular body/finalize. Each separate dispatch costs a network
+    send through a remote attachment, so the fused first chunk turns the
+    common converge-in-one-loop case into one dispatch + one fetch.
+
     Returns ``(fin_state, fetched)`` with ``fetched = [converged, lam, Q,
     res, inside, epsout, loop]``. Used by the dense, dense-general, and
     banded interval drivers — keep their driving semantics identical here.
     """
     loops_done = 0
     while True:
-        k = min(first_chunk if loops_done == 0 else 2,
-                max_loops + 1 - loops_done)
-        for _ in range(k):
-            state = body(state)
-        loops_done += k
-        fin = finalize(state)
+        if loops_done == 0 and first_fused is not None:
+            fin, state = first_fused(state)
+            loops_done += first_chunk
+        else:
+            k = min(first_chunk if loops_done == 0 else 2,
+                    max_loops + 1 - loops_done)
+            for _ in range(k):
+                state = body(state)
+            loops_done += k
+            fin = finalize(state)
         fetched = fetch_many([fin.converged, fin.lam, fin.Q, fin.res,
                               fin.inside, fin.epsout, fin.loop])
         if bool(fetched[0]) or loops_done > max_loops:

@@ -279,3 +279,30 @@ def test_run_pipelined_loop_protocol():
     s0, body, fin, calls = mk(0, converge_at=10**9)
     _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=3)
     assert not bool(fetched[0]) and calls["body"] == 4
+
+    # first_fused replaces the FIRST chunk only (one fused program =
+    # setup + first_chunk bodies + finalize); converged -> no regular
+    # body/finalize at all, unconverged -> the regular protocol continues
+    # from the carry state
+    s0, body, fin, calls = mk(1, converge_at=1)
+    fused_calls = {"n": 0}
+
+    def first_fused(s):
+        fused_calls["n"] += 1
+        mid = s._replace(loop=s.loop + 1)
+        return fin(mid), mid
+
+    _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=20,
+                                        first_chunk=1,
+                                        first_fused=first_fused)
+    assert bool(fetched[0])
+    assert fused_calls == {"n": 1} and calls == {"body": 0, "fin": 1}
+
+    s0, body, fin, calls = mk(1, converge_at=3)
+    fused_calls = {"n": 0}
+    _, fetched = cio.run_pipelined_loop(s0, body, fin, max_loops=20,
+                                        first_chunk=1,
+                                        first_fused=first_fused)
+    assert bool(fetched[0])
+    assert fused_calls == {"n": 1}
+    assert calls["body"] == 2        # one regular 2-body chunk after

@@ -341,8 +341,8 @@ def _sparse_bench():
     Chebyshev polynomial filter (solver="cheb", ops/chebfilter.py) with
     the f32 -> double-single -> f64 precision ladder (fused Pallas
     recurrence kernel, ops/cheb_pallas.py) — the solve-free TPU-native
-    path; ~79x the contour path's wall time on this rung, residuals
-    ~4e-9 — vs a live CPU proxy running the reference's algorithm
+    path; ~125x the contour path's wall time on this rung, residuals
+    ~5e-10 — vs a live CPU proxy running the reference's algorithm
     (cached sparse direct LU per contour node - scipy splu standing in
     for UMFPACK, feast_sparse.jl:294,334-348)."""
     import scipy.sparse as sp
@@ -524,20 +524,21 @@ def main():
         results.append({"metric": "sparse_bench_failed",
                         "error": str(e)[:250]})
     results.append({
-        "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_mixed_mg",
-        "value": 3441.5, "unit": "s_cold",
+        "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
+        "value": 132.7, "unit": "s_warm",
         "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
                 "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
-                "5.1e-10, eigenvalue error 2.5e-12, inner solves "
-                "certified; 2 refinement loops; warm repeat 2768 s. "
-                "measured 2026-08-17, scripts/scale_sparse.py "
-                "10 gmres. Wall time is set by the single tunneled chip "
-                "(effective ~117 GB/s, per-dispatch overhead, execution "
-                "watchdog forcing host-granular dispatches) - the "
-                "algorithm runs the theoretical-minimum 2 refinement "
-                "loops; on a native v5e-8 (8x819 GB/s, in-process "
-                "dispatch) the same schedule lands in the tens of "
-                "seconds",
+                "8.2e-10, eigenvalue error 8.3e-16; solver='cheb' with "
+                "the f32 -> double-single -> f64 precision ladder (fused "
+                "Pallas recurrence kernels). measured 2026-08-18, "
+                "scripts/scale_sparse.py 10 cheb (cold 194.3 s). 20.9x "
+                "the round-2 contour result (2768 s warm) on the same "
+                "tunneled single chip; the recurrence is pure streaming "
+                "HBM traffic, so a native v5e runs it ~2.6x faster "
+                "(measured ~310 GB/s effective vs 819 native) and the "
+                "subspace columns shard over a v5e-8 with zero per-step "
+                "communication — the same schedule lands in the tens of "
+                "seconds on one native chip and ~seconds on a v5e-8",
     })
 
     # 8-virtual-device CPU-mesh certification of the sharded sparse driver

@@ -455,6 +455,15 @@ def main():
                 "value": round(dev_b, 4),
                 "unit": "s",
                 "vs_baseline": round(cpu_b / dev_b, 2),
+                "note": "access-path-floor config: the fused "
+                        "factor+body+finalize program's arithmetic is "
+                        "~ms, but the tunneled runtime adds ~10-30us per "
+                        "op across its ~1000 small HLO ops (~30-50 ms "
+                        "measured) + one 31 ms fetch; the threaded-LAPACK "
+                        "proxy of this small config runs in the same "
+                        "range, so the ratio hovers ~1 and varies with "
+                        "host load — parity at the latency floor, not a "
+                        "compute deficit.",
             })
         except Exception as e:                       # noqa: BLE001
             results.append({"metric": "banded_bench_failed",

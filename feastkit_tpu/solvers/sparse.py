@@ -1215,6 +1215,15 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     if hermitian is None:
         hermitian = is_complex
     f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    if hermitian and f64 and cio.complex_io_required():
+        # the XLA:TPU x64 rewriter cannot compile programs carrying
+        # complex128 tensors (platform limit, see utils/cio.py) — fail
+        # with the remediation instead of a deep XLA RET_CHECK
+        raise RuntimeError(
+            "solver='cheb' on a complex Hermitian operator in float64 "
+            "cannot compile on this TPU attachment (XLA x64 rewriter has "
+            "no complex128 support); run with jax_enable_x64 disabled "
+            "(complex64 work precision) or on the CPU backend")
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -1288,11 +1297,6 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # also drives the mixed-precision schedule (per-loop dtype choice).
         from .dense import _host_state
         arrs = tuple(cio.device_operand(a) for a in arrs)
-        if use_lp:
-            arrs_lp = tuple(cio.device_operand(a) for a in (
-                np.asarray(A_data, lp_dtype), A_idx,
-                np.asarray(A_dia, lp_dtype), np.asarray(lohi, np.float32)))
-            coeffs_lp = np.asarray(coeffs_d, np.float32)
         # Fused double-single Pallas recurrence (ops/cheb_pallas.py): the
         # middle rung of the f32 -> DS -> f64 precision ladder. Its noise
         # floor is ~ u_ds * degree * U_k-amplification * ||A|| (measured
@@ -1309,6 +1313,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                     and ((lp_avail and bool(statics["use_pallas"]))
                          if _ds_env is None else _ds_env not in ("0", "")))
         ds_on = fused_ok
+        if use_lp and not fused_ok:
+            # unfused low-precision operand set (hermitian / non-DIA
+            # operators); the fused rungs read the DS context instead, so
+            # skip this device upload when they will carry the run
+            arrs_lp = tuple(cio.device_operand(a) for a in (
+                np.asarray(A_data, lp_dtype), A_idx,
+                np.asarray(A_dia, lp_dtype), np.asarray(lohi, np.float32)))
+            coeffs_lp = np.asarray(coeffs_d, np.float32)
         ds_ctx = None
 
         def _fused_ctx():

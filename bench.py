@@ -562,6 +562,14 @@ def main():
                         "value": scaling})
     except Exception:                                    # noqa: BLE001
         pass
+    try:
+        import pathlib as _pl
+        scaling_c = json.loads(
+            (_pl.Path(__file__).parent / "SCALING_CHEB.json").read_text())
+        results.append({"metric": "sharded_cheb_mesh_certification",
+                        "value": scaling_c})
+    except Exception:                                    # noqa: BLE001
+        pass
 
     import pathlib
     pathlib.Path("BENCH_LOCAL.json").write_text(json.dumps(results, indent=1))

@@ -136,6 +136,16 @@ def cheb_plan(offsets, N, M):
                 offsets=tuple(int(d) for d in offsets))
 
 
+def cheb_plan_fits(offsets, N, M, vmem_budget=12 << 20):
+    """True when the fused kernels' VMEM working set fits. block = halo =
+    the largest |offset| (128-rounded): a 3D Laplacian's +-nx^2 offsets
+    force multi-MB lane blocks whose ~17 double-buffered (Mp, block) f32
+    planes exceed the ~16 MB VMEM — those operators take the unfused
+    chunked path instead (correct, just not fused)."""
+    plan = cheb_plan(offsets, N, M)
+    return 17 * 2 * plan["Mp"] * plan["block"] * 4 <= vmem_budget
+
+
 def pack_state(X64, plan):
     """(N, M) f64 -> two (Mp, N_tot) f32 planes (transposed, margins 0)."""
     N, M = X64.shape

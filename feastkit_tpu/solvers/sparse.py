@@ -1307,9 +1307,11 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # mixed policy; FEAST_CHEB_DS=1/0 forces/disables (interpret mode
         # off-TPU — the CPU-testable path).
         import os as _os
+        from ..ops.cheb_pallas import cheb_plan_fits
         _ds_env = _os.environ.get("FEAST_CHEB_DS")
         fused_ok = (not hermitian and f64
                     and statics["offsets_A"] is not None
+                    and cheb_plan_fits(statics["offsets_A"], N, M0)
                     and ((lp_avail and bool(statics["use_pallas"]))
                          if _ds_env is None else _ds_env not in ("0", "")))
         ds_on = fused_ok

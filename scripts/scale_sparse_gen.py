@@ -1,0 +1,86 @@
+"""North-star GENERALIZED rung: feast_scsrgv on a 1M-dof lumped-mass pencil.
+
+BASELINE config 4 reads "Sparse CSR generalized feast_scsrgv on 2D/3D
+Laplacian"; this script runs the generalized form A x = lam B x with a
+smooth positive lumped-mass diagonal B (the FEM mass-lumping shape) through
+the polynomial-filter path: the pencil is solved exactly via the
+congruence D^-1/2 A D^-1/2, eigenvectors back-transformed and residuals
+recomputed for the ORIGINAL pencil.
+
+Ground truth: pass a JSON file of the pencil's lowest eigenvalues
+(scipy shift-invert eigsh with M=B — ~7 min on the host CPU at 1M dof):
+
+    python - <<'PY' > /tmp/gen_truth.json
+    import numpy as np, scipy.sparse as sp, scipy.sparse.linalg as spla, json
+    nx = 1024; n = nx*nx
+    Dx = sp.diags([-1.0,2.0,-1.0],[-1,0,1],shape=(nx,nx))
+    A = (sp.kron(Dx, sp.eye(nx)) + sp.kron(sp.eye(nx), Dx)).tocsr()
+    i = np.arange(n)
+    d = 1.0 + 0.25*np.sin(2*np.pi*i/n)*np.cos(6*np.pi*i/n)
+    w, _ = spla.eigsh(A, k=64, M=sp.diags(d,0,format="csr"), sigma=0.0)
+    print(json.dumps({"w": np.sort(w).tolist()}))
+    PY
+    python scripts/scale_sparse_gen.py 10 /tmp/gen_truth.json
+
+Without a truth file the run still certifies via exact residuals; the
+eigenvalue comparison is skipped.
+"""
+import json
+import sys
+import time
+
+import jax
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main(p, truth_path=None):
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrgv
+
+    nx = 2 ** p
+    N = nx * nx
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    A = (sp.kron(Dx, sp.eye(nx)) + sp.kron(sp.eye(nx), Dx)).tocsr()
+    i = np.arange(N)
+    d = 1.0 + 0.25 * np.sin(2 * np.pi * i / N) * np.cos(6 * np.pi * i / N)
+    B = sp.diags(d, 0, format="csr")
+
+    w = None
+    if truth_path:
+        w = np.asarray(json.load(open(truth_path))["w"])
+        gaps = np.nonzero(np.diff(w) > 1e-12)[0]
+        hi = gaps[np.searchsorted(gaps, 50)]
+        Emax = float(0.5 * (w[hi] + w[hi + 1]))
+        exp = w[w <= Emax]
+    else:
+        # Gershgorin-free heuristic: the pencil's lowest ~52 eigenvalues of
+        # the unit-mass Laplacian scaled by the mass range
+        wx = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
+        wl = np.sort((wx[:, None] + wx[None, :]).ravel())
+        Emax = float(1.05 * wl[52])
+        exp = None
+
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 8
+    print(f"N={N} generalized (lumped-mass diag B in [0.75,1.25]) "
+          f"target {len(exp) if exp is not None else '?'} pairs "
+          f"interval=(0,{Emax:.3e})", flush=True)
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        r = feast_scsrgv(A, B, 0.0, Emax, 72, fpm, solver="cheb")
+        t = time.perf_counter() - t0
+        line = (f"  {tag} {t:.1f}s  M={r.M} info={int(r.info)} "
+                f"epsout={r.epsout:.2e} loops={r.loop}")
+        if exp is not None and r.M == len(exp):
+            line += f" lam_err={np.abs(np.sort(r.lam) - exp).max():.2e}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    p = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    truth = sys.argv[2] if len(sys.argv) > 2 else None
+    main(p, truth)

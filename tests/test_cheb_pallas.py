@@ -163,6 +163,44 @@ def test_cheb_f32_chunk_matches_f64_at_f32_precision():
     assert err < 5e-5
 
 
+def test_cheb_plan_fits_vmem_gate():
+    from feastkit_tpu.ops.cheb_pallas import cheb_plan_fits
+    # 1D and the 1M-dof 2D north-star fit
+    assert cheb_plan_fits((-1, 0, 1), 1000, 72)
+    assert cheb_plan_fits((-1024, -1, 0, 1, 1024), 1 << 20, 72)
+    # a large 3D Laplacian's +-nx^2 offsets force lane blocks whose
+    # double-buffered planes exceed VMEM -> unfused fallback
+    assert not cheb_plan_fits((-160000, -400, -1, 0, 1, 400, 160000),
+                              64_000_000, 72)
+
+
+def test_cheb_fused_gate_falls_back_unfused(monkeypatch, capsys):
+    # when the VMEM gate rejects the operator, the ladder still runs
+    # through the UNFUSED f32/f64 chunked path and converges identically
+    import scipy.sparse as sp
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.ops import cheb_pallas
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    monkeypatch.setattr(cheb_pallas, "cheb_plan_fits",
+                        lambda *a, **k: False)
+    monkeypatch.setenv("FEAST_CHEB_DS", "1")
+    n = 300
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    exp = np.sort(w[w <= 0.01])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 8
+    fpm[42] = 2
+    r = feast_scsrev(A, 0.0, 0.01, len(exp) + 4, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "ds recurrence" not in out
+    assert "f32 recurrence" in out
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
+
+
 def test_cheb_ds_end_to_end_ladder(monkeypatch, capsys):
     # FEAST_CHEB_DS=1 forces the fused DS kernel rung (interpret mode
     # off-TPU); with fpm[42]=2 the precision ladder is f32 -> DS -> f64.

@@ -549,6 +549,18 @@ def main():
                 "communication — the same schedule lands in the tens of "
                 "seconds on one native chip and ~seconds on a v5e-8",
     })
+    results.append({
+        "metric": "sparse_scsrgv_2Dlap_n1048576_lumpedmass_f64_cheb",
+        "value": 185.6, "unit": "s_warm",
+        "note": "the north-star's literal GENERALIZED wording: 1M-dof "
+                "pencil A x = lam B x with a lumped-mass diagonal B in "
+                "[0.75, 1.25], solved exactly via the congruence "
+                "D^-1/2 A D^-1/2 (residuals recomputed for the original "
+                "pencil). 51/51 pairs, info=SUCCESS, epsout 7.2e-10, "
+                "eigenvalue error 2.1e-15 vs shift-invert eigsh ground "
+                "truth. measured 2026-08-18, scripts/scale_sparse_gen.py "
+                "10 (cold 328.9 s)",
+    })
 
     # 8-virtual-device CPU-mesh certification of the sharded sparse driver
     # (scripts/scale_mesh.py): serial == 1/2/4/8-device on the full

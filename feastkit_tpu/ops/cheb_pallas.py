@@ -57,9 +57,9 @@ except Exception:                                  # pragma: no cover
     _PALLAS_OK = False
 
 __all__ = [
-    "ds_split", "cheb_plan", "pack_state", "unpack_state", "pack_diags",
-    "cheb_ds_chunk", "cheb_ds_step_reference", "pack_state32",
-    "unpack_state32", "pack_diags32", "cheb_f32_chunk",
+    "ds_split", "cheb_plan", "cheb_plan_fits", "pack_state",
+    "unpack_state", "pack_diags", "cheb_ds_chunk", "cheb_ds_step_reference",
+    "pack_state32", "unpack_state32", "pack_diags32", "cheb_f32_chunk",
 ]
 
 
@@ -136,14 +136,18 @@ def cheb_plan(offsets, N, M):
                 offsets=tuple(int(d) for d in offsets))
 
 
-def cheb_plan_fits(offsets, N, M, vmem_budget=12 << 20):
-    """True when the fused kernels' VMEM working set fits. block = halo =
+def cheb_plan_fits(offsets, N, M, *, ds=True, vmem_budget=12 << 20):
+    """True when the fused kernel's VMEM working set fits. block = halo =
     the largest |offset| (128-rounded): a 3D Laplacian's +-nx^2 offsets
-    force multi-MB lane blocks whose ~17 double-buffered (Mp, block) f32
-    planes exceed the ~16 MB VMEM — those operators take the unfused
-    chunked path instead (correct, just not fused)."""
+    force multi-MB lane blocks whose double-buffered f32 planes exceed the
+    ~16 MB VMEM — those operators take the unfused chunked path instead
+    (correct, just not fused). Plane count per grid step: the DS kernel
+    holds 14 (Mp, block) state planes + 2 (nd, block) diagonal planes,
+    the f32 kernel 7 + 1; x2 for the pipeline's double buffering."""
     plan = cheb_plan(offsets, N, M)
-    return 17 * 2 * plan["Mp"] * plan["block"] * 4 <= vmem_budget
+    nd = len(plan["offsets"])
+    rows = (14 * plan["Mp"] + 2 * nd) if ds else (7 * plan["Mp"] + nd)
+    return 2 * rows * plan["block"] * 4 <= vmem_budget
 
 
 def pack_state(X64, plan):

@@ -1097,65 +1097,58 @@ def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
                 interpret=not statics["use_pallas"], N=N, M=M)
 
 
-def _sparse_cheb_filter_host_f32(ctx, Q, nnz):
-    """One filter application through the fused single-f32 kernel (the
-    f32 rung): DIA matvec + recurrence + accumulator in one VMEM pass per
-    step — 5 planes of traffic vs ~7 for the unfused XLA path. The DS
-    context's hi diagonal plane IS the f32-rounded operator."""
+def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M):
+    """Shared chunk loop for every host-driven recurrence: fixed static
+    chunk length (the LAST chunk zero-padded — padded steps leave acc
+    unchanged and the discarded T carry only wastes a few matvecs, keeping
+    ONE compiled program for all chunks), sized so each dispatch's work
+    stays under the remote execution watchdog while amortizing the
+    ~0.1 s per-dispatch tunnel RTT."""
+    m1 = len(coeffs)
+    steps = int(max(64, min(m1, budget // max(2 * nnz * M, 1))))
+    for base in range(start, m1, steps):
+        chunk = np.zeros(steps, coeffs.dtype)
+        take = min(steps, m1 - base)
+        chunk[:take] = coeffs[base:base + take]
+        carry = chunk_fn(jnp.asarray(chunk), carry)
+    return carry
+
+
+def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
+    """One filter application rho(A) Q through a fused Pallas kernel
+    (ops/cheb_pallas.py): DIA matvec + three-term update + accumulator in
+    one VMEM pass per step. ds=False: the single-f32 rung (the DS
+    context's hi diagonal plane IS the f32-rounded operator); ds=True:
+    double-single pairs (~2^-49). The k=1 init runs one kernel step with
+    HALVED map scalars: T2 = 2*(sc/2 A Q - sh/2 Q) - 0 = Ahat Q (scalar
+    rounding only perturbs WHICH polynomial in A is applied — the
+    eigenvectors are exactly preserved). Budgets: the fused steps are
+    ~4x (f32) / ~2x (DS) cheaper than the f64 figure the unfused path's
+    4e10 was calibrated for."""
     plan, coeffs = ctx["plan"], ctx["coeffs"]
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
               offsets=plan["offsets"], interpret=ctx["interpret"])
-    m1 = len(coeffs)
-    carry = _cheb_f32_init_jit(Q, jnp.asarray(coeffs[0]),
-                               block=plan["block"], N_tot=plan["N_tot"],
-                               Mp=plan["Mp"])
-    carry = _cheb_f32_chunk_jit(ctx["dgh"], *carry,
-                                jnp.asarray(coeffs[1:2]),
-                                ctx["sc"] * np.float32(0.5),
-                                ctx["sh"] * np.float32(0.5), **st)
-    # fused f32 steps are ~4x cheaper than the f64 budget the 4e10 figure
-    # was calibrated for — bigger chunks amortize the per-dispatch RTT
-    # (~0.1 s through the tunnel) while staying far under the watchdog
-    steps = int(max(64, min(m1, 1.6e11 // max(2 * nnz * ctx["M"], 1))))
-    for base in range(2, m1, steps):
-        chunk = np.zeros(steps, np.float32)
-        take = min(steps, m1 - base)
-        chunk[:take] = coeffs[base:base + take]
-        carry = _cheb_f32_chunk_jit(ctx["dgh"], *carry, jnp.asarray(chunk),
-                                    ctx["sc"], ctx["sh"], **st)
+    pk = dict(block=plan["block"], N_tot=plan["N_tot"], Mp=plan["Mp"])
+    if ds:
+        carry = _cheb_ds_init_jit(Q, jnp.asarray(coeffs[0]), **pk)
+        chunk = lambda ch, c, s0, s1: _cheb_ds_chunk_jit(   # noqa: E731
+            ctx["dgh"], ctx["dgl"], *c, ch, s0, s1, **st)
+        budget = 8e10
+    else:
+        carry = _cheb_f32_init_jit(Q, jnp.asarray(coeffs[0]), **pk)
+        chunk = lambda ch, c, s0, s1: _cheb_f32_chunk_jit(   # noqa: E731
+            ctx["dgh"], *c, ch, s0, s1, **st)
+        budget = 1.6e11
+    carry = chunk(jnp.asarray(coeffs[1:2]), carry,
+                  ctx["sc"] * np.float32(0.5), ctx["sh"] * np.float32(0.5))
+    carry = _run_cheb_chunks(
+        carry, lambda ch, c: chunk(ch, c, ctx["sc"], ctx["sh"]),
+        coeffs, 2, budget, nnz, ctx["M"])
+    if ds:
+        return _cheb_ds_unpack_jit(carry[4], carry[5], block=plan["block"],
+                                   N=ctx["N"], M=ctx["M"])
     return _cheb_f32_unpack_jit(carry[2], block=plan["block"],
                                 N=ctx["N"], M=ctx["M"])
-
-
-def _sparse_cheb_filter_host_ds(ctx, Q, nnz):
-    """One filter application rho(A) Q through the fused DS kernel, driven
-    as chunked dispatches (watchdog-bounded like the f64 path)."""
-    plan, coeffs = ctx["plan"], ctx["coeffs"]
-    st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
-              offsets=plan["offsets"], interpret=ctx["interpret"])
-    m1 = len(coeffs)
-    carry = _cheb_ds_init_jit(Q, jnp.asarray(coeffs[0]),
-                              block=plan["block"], N_tot=plan["N_tot"],
-                              Mp=plan["Mp"])
-    # k=1 via one kernel step with HALVED map scalars: T2 = 2*(sc/2 A Q -
-    # sh/2 Q) - 0 = Ahat Q (scalar rounding only perturbs WHICH polynomial
-    # in A is applied — the eigenvectors are exactly preserved)
-    carry = _cheb_ds_chunk_jit(ctx["dgh"], ctx["dgl"], *carry,
-                               jnp.asarray(coeffs[1:2]),
-                               ctx["sc"] * np.float32(0.5),
-                               ctx["sh"] * np.float32(0.5), **st)
-    # the fused DS step is ~3x cheaper than emulated f64 — bigger chunks
-    # amortize the per-dispatch RTT, still well under the watchdog
-    steps = int(max(64, min(m1, 8e10 // max(2 * nnz * ctx["M"], 1))))
-    for base in range(2, m1, steps):
-        chunk = np.zeros(steps, np.float32)
-        take = min(steps, m1 - base)
-        chunk[:take] = coeffs[base:base + take]
-        carry = _cheb_ds_chunk_jit(ctx["dgh"], ctx["dgl"], *carry,
-                                   jnp.asarray(chunk), ctx["sc"], ctx["sh"],
-                                   **st)
-    return _cheb_ds_unpack_jit(carry[4], carry[5], block=plan["block"],
-                               N=ctx["N"], M=ctx["M"])
 
 
 def _b_diagonal(B):
@@ -1256,7 +1249,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
               f"outside@1w={cinfo['outside_at_1w']:.2e}", flush=True)
     from ..core.tools import initial_subspace
     rand_q0 = Q0 is None and int(fpm[5]) == 0    # seeded random subspace
-    Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
+    _q0_arg = Q0
+
+    def _materialize_q0():
+        # DEFERRED: the estimate path never reads Q0, and the
+        # remote-attachment path generates the random subspace on device —
+        # drawing (and holding) a ~600 MB host Gaussian at 1M dof only to
+        # discard it would waste seconds and memory on exactly those paths
+        return initial_subspace(fpm, _q0_arg, N, M0, work_dtype)
     statics = dict(shape=tuple(shape), config=config, offsets_A=offsets_A,
                    use_pallas=use_pallas)
     lohi = np.asarray([lo, hi], rdtype)
@@ -1307,15 +1307,19 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # mixed policy; FEAST_CHEB_DS=1/0 forces/disables (interpret mode
         # off-TPU — the CPU-testable path).
         import os as _os
-        from ..ops.cheb_pallas import cheb_plan_fits
+        from ..ops import cheb_pallas as _cp
         _ds_env = _os.environ.get("FEAST_CHEB_DS")
-        fused_ok = (not hermitian and f64
-                    and statics["offsets_A"] is not None
-                    and cheb_plan_fits(statics["offsets_A"], N, M0)
-                    and ((lp_avail and bool(statics["use_pallas"]))
-                         if _ds_env is None else _ds_env not in ("0", "")))
-        ds_on = fused_ok
-        if use_lp and not fused_ok:
+        _fuse_base = (not hermitian and f64
+                      and statics["offsets_A"] is not None
+                      and ((lp_avail and bool(statics["use_pallas"]))
+                           if _ds_env is None else _ds_env not in ("0", "")))
+        # per-kernel VMEM gates: the f32 kernel's working set is ~half the
+        # DS kernel's, so it stays fused on operators where DS cannot
+        f32_fused = _fuse_base and _cp.cheb_plan_fits(
+            statics["offsets_A"], N, M0, ds=False)
+        ds_on = _fuse_base and _cp.cheb_plan_fits(
+            statics["offsets_A"], N, M0, ds=True)
+        if use_lp and not f32_fused:
             # unfused low-precision operand set (hermitian / non-DIA
             # operators); the fused rungs read the DS context instead, so
             # skip this device upload when they will carry the run
@@ -1345,26 +1349,28 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                     key, (N, M0), jnp.float32).astype(jnp.float64)
             else:
                 q0_dev = jax.device_put(
-                    np.asarray(Q0, np.float32)).astype(np.float64)
+                    np.asarray(_materialize_q0(),
+                               np.float32)).astype(np.float64)
             state = _host_state(q0_dev)
         else:
-            state = _host_state(np.asarray(Q0, work_dtype))
+            state = _host_state(np.asarray(_materialize_q0(), work_dtype))
         import time as _time
         from ..kernel.hermitian import SPURIOUS_RES
         eps_best, eps_prev, best_state, stall_loops = np.inf, np.inf, None, 0
         gm_prev = np.inf
         for _loop in range(config.max_loops + 1):
             _t0 = _time.perf_counter()
-            if use_lp and fused_ok:
-                Qp = _sparse_cheb_filter_host_f32(
-                    _fused_ctx(), state.Q, nnz).astype(work_dtype)
+            if use_lp and f32_fused:
+                Qp = _sparse_cheb_filter_host_fused(
+                    _fused_ctx(), state.Q, nnz, ds=False
+                ).astype(work_dtype)
             elif use_lp:
                 Qp = _sparse_cheb_filter_host(
                     arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
                     nnz).astype(work_dtype)
             elif ds_on:
-                Qp = _sparse_cheb_filter_host_ds(_fused_ctx(), state.Q,
-                                                 nnz)
+                Qp = _sparse_cheb_filter_host_fused(_fused_ctx(), state.Q,
+                                                    nnz, ds=True)
             else:
                 Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q,
                                               statics, nnz)
@@ -1431,9 +1437,9 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # 0.25 threshold (genuine pairs sit >= ~0.5), so ~1e-7 f32 filter
         # noise is irrelevant — under the mixed schedule run it in f32 and
         # save a full f64 filter application.
-        if fused_ok:
-            Qp = _sparse_cheb_filter_host_f32(
-                _fused_ctx(), state.Q, nnz).astype(work_dtype)
+        if f32_fused:
+            Qp = _sparse_cheb_filter_host_fused(
+                _fused_ctx(), state.Q, nnz, ds=False).astype(work_dtype)
         elif lp_avail:
             Qp = _sparse_cheb_filter_host(
                 arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
@@ -1443,7 +1449,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                                           nnz)
         state = _sparse_verify_from_jit(state, Qp, jnp.bool_(True))
     else:
-        Q0_in = np.asarray(Q0, work_dtype)
+        Q0_in = np.asarray(_materialize_q0(), work_dtype)
         if mesh is not None and getattr(mesh, "size", 1) > 1 \
                 and M0 % mesh.size == 0:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -1487,22 +1493,15 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
 
 
 def _sparse_cheb_filter_host(arrs, coeffs, Q, statics, nnz):
-    """One full filter application rho(A) Q driven as chunked dispatches."""
-    K = Q.shape[1]
-    # ~4e10 flop per dispatch (matvec ~ 2*nnz*K flop) keeps each device
-    # execution well under the remote watchdog; floor of 64 steps bounds
-    # dispatch count
-    steps = int(max(64, min(len(coeffs), 4e10 // max(2 * nnz * K, 1))))
-    m1 = len(coeffs)
+    """One full filter application rho(A) Q driven as chunked dispatches
+    (the UNFUSED XLA path: any dtype, any operator form)."""
     carry = _sparse_cheb_init_jit(*arrs, jnp.asarray(coeffs[:2]), Q,
                                   **statics)
-    for base in range(2, m1, steps):
-        chunk = np.zeros(steps, coeffs.dtype)
-        take = min(steps, m1 - base)
-        chunk[:take] = coeffs[base:base + take]
-        carry = _sparse_cheb_chunk_jit(*arrs[:3], arrs[3],
-                                       jnp.asarray(chunk), carry, **statics)
-    return carry[2]
+    return _run_cheb_chunks(
+        carry,
+        lambda ch, c: _sparse_cheb_chunk_jit(*arrs[:3], arrs[3], ch, c,
+                                             **statics),
+        coeffs, 2, 4e10, nnz, Q.shape[1])[2]
 
 
 def _stochastic_estimate_result(filter_fn, N, fpm, work_dtype):

@@ -172,6 +172,12 @@ def test_cheb_plan_fits_vmem_gate():
     # double-buffered planes exceed VMEM -> unfused fallback
     assert not cheb_plan_fits((-160000, -400, -1, 0, 1, 400, 160000),
                               64_000_000, 72)
+    # per-kernel sizing: a small-M0 operator in the window where the f32
+    # kernel (7 planes + diag) fits but the DS kernel (14 + 2 diag) does
+    # not — the f32 rung stays fused while DS falls back
+    offs = (-13700, 0, 13700)
+    assert cheb_plan_fits(offs, 1_000_000, 8, ds=False)
+    assert not cheb_plan_fits(offs, 1_000_000, 8, ds=True)
 
 
 def test_cheb_fused_gate_falls_back_unfused(monkeypatch, capsys):

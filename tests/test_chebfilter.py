@@ -60,11 +60,22 @@ def test_scalar_filter_indicator_quality():
 
 
 def test_auto_degree_bounds():
-    # wide interval -> low degree (floor); narrow edge interval -> higher
-    assert auto_cheb_degree(0.0, 8.0, 1.0, 7.0) == 32
+    # wide interval -> low degree; narrow edge interval -> higher; interior
+    # intervals get 2x the sharpness of edge-hugging ones (no arccos
+    # stretching there, so same-width transitions hold more eigenvalues)
+    d_wide = auto_cheb_degree(0.0, 8.0, 1.0, 7.0)
+    assert 32 <= d_wide < 64
     d_narrow = auto_cheb_degree(0.0, 8.0, 0.0, 0.02)
-    assert 32 < d_narrow <= 8000
+    assert d_wide < d_narrow <= 8000
     assert auto_cheb_degree(0.0, 8.0, 3.999, 4.001, cap=500) == 500
+    # interior vs edge sharpness: same theta-span, ~2x the degree
+    d_edge = auto_cheb_degree(0.0, 8.0, 0.0, 0.5)
+    d_int = auto_cheb_degree(0.0, 8.0, 2.0, 2.0 + 0.5)
+    span_e = np.arccos(-1.0) - np.arccos((2 * 0.5 - 8) / 8)
+    span_i = (np.arccos((2 * 2.0 - 8) / 8)
+              - np.arccos((2 * 2.5 - 8) / 8))
+    assert abs(d_edge * span_e / 10 - np.pi) < 0.5        # 10pi rule
+    assert abs(d_int * span_i / 20 - np.pi) < 0.5         # 20pi rule
 
 
 def test_cheb_matches_dense_ground_truth():

@@ -197,6 +197,24 @@ def test_cheb_mixed_precision_schedule(capsys):
     assert r.res.max() < 1e-8
 
 
+def test_cheb_interior_interval_tight_tol():
+    # interior interval at tol 1e-10: unreachable in 20 loops under the
+    # edge-tuned degree rule (stalled ~5e-10 at max_loops); the 2x interior
+    # sharpness converges with loops to spare
+    from feastkit_tpu import feastinit
+    n = 400
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.02) & (w <= 0.2)])
+    fpm = feastinit()
+    fpm[3] = 10
+    r = feast_scsrev(A, 0.02, 0.2, len(exp) + 6, fpm, solver="cheb")
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert r.res.max() < 1e-10
+    assert r.loop <= 12
+
+
 def test_cheb_estimate_mode():
     n = 250
     A = _lap(n)

@@ -611,13 +611,13 @@ def main():
                         "error": str(e)[:250]})
     results.append({
         "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
-        "value": 132.7, "unit": "s_warm",
+        "value": 126.9, "unit": "s_warm",
         "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
                 "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
                 "8.2e-10, eigenvalue error 8.3e-16; solver='cheb' with "
                 "the f32 -> double-single -> f64 precision ladder (fused "
                 "Pallas recurrence kernels). measured 2026-08-18, "
-                "scripts/scale_sparse.py 10 cheb (cold 194.3 s). 20.9x "
+                "scripts/scale_sparse.py 10 cheb (cold 184.9 s). 21.8x "
                 "the round-2 contour result (2768 s warm) on the same "
                 "tunneled single chip; the recurrence is pure streaming "
                 "HBM traffic, so a native v5e runs it ~2.6x faster "

@@ -60,6 +60,7 @@ __all__ = [
     "ds_split", "cheb_plan", "cheb_plan_fits", "pack_state",
     "unpack_state", "pack_diags", "cheb_ds_chunk", "cheb_ds_step_reference",
     "pack_state32", "unpack_state32", "pack_diags32", "cheb_f32_chunk",
+    "cheb_ds2_chunk", "cheb_f32_2_chunk",
 ]
 
 
@@ -122,30 +123,52 @@ def ds_split(x64):
 
 # ------------------------------------------------------------------ plan
 
-def cheb_plan(offsets, N, M):
+def cheb_plan(offsets, N, M, margin=1):
     """Static layout plan. block = lane block = halo (one-block halo keeps
     every BlockSpec index integral); both 128-aligned for the DMA lane
-    granularity."""
+    granularity. ``margin`` is the number of zero blocks padding EACH side
+    of the data lanes: 1 for the single-step kernels (shifted reads reach
+    one block), 2 for the two-step-fused kernels (the intermediate level's
+    shifted reads extend the reach to two blocks)."""
     max_off = max((abs(int(d)) for d in offsets), default=1)
     block = max(256, -(-max_off // 128) * 128)
     n_blocks = -(-N // block)
     N_pad = n_blocks * block
     Mp = -(-M // 8) * 8
     return dict(block=block, n_blocks=n_blocks, N_pad=N_pad,
-                N_tot=N_pad + 2 * block, Mp=Mp,
+                N_tot=N_pad + 2 * margin * block, Mp=Mp, margin=margin,
                 offsets=tuple(int(d) for d in offsets))
 
 
-def cheb_plan_fits(offsets, N, M, *, ds=True, vmem_budget=12 << 20):
+def _margin(plan):
+    return int(plan.get("margin", 1))
+
+
+def _grid_1step(plan):
+    """Grid count for the single-step kernels on a margin-m layout: write
+    centers are blocks 1..n_blocks+2(m-1), covering all data blocks (the
+    extra margin centers compute exact zeros from zero inputs)."""
+    return plan["n_blocks"] + 2 * (_margin(plan) - 1)
+
+
+def cheb_plan_fits(offsets, N, M, *, ds=True, steps=1,
+                   vmem_budget=12 << 20):
     """True when the fused kernel's VMEM working set fits. block = halo =
     the largest |offset| (128-rounded): a 3D Laplacian's +-nx^2 offsets
     force multi-MB lane blocks whose double-buffered f32 planes exceed the
     ~16 MB VMEM — those operators take the unfused chunked path instead
     (correct, just not fused). Plane count per grid step: the DS kernel
     holds 14 (Mp, block) state planes + 2 (nd, block) diagonal planes,
-    the f32 kernel 7 + 1; x2 for the pipeline's double buffering."""
+    the f32 kernel 7 + 1; x2 for the pipeline's double buffering. The
+    two-step kernels (steps=2) trade slab re-reads for VMEM scratch
+    rings: DS 12 ring + 12 in + 12 out planes (+ 8 diag rows), f32 6 + 6
+    + 6 (+ 4)."""
     plan = cheb_plan(offsets, N, M)
     nd = len(plan["offsets"])
+    if steps == 2:
+        rows = (36 * plan["Mp"] + 8 * nd) if ds else (18 * plan["Mp"]
+                                                      + 4 * nd)
+        return rows * plan["block"] * 4 <= vmem_budget
     rows = (14 * plan["Mp"] + 2 * nd) if ds else (7 * plan["Mp"] + nd)
     return 2 * rows * plan["block"] * 4 <= vmem_budget
 
@@ -155,13 +178,14 @@ def pack_state(X64, plan):
     N, M = X64.shape
     Xt = jnp.swapaxes(X64, 0, 1)
     buf = jnp.zeros((plan["Mp"], plan["N_tot"]), jnp.float64)
-    buf = jax.lax.dynamic_update_slice(buf, Xt, (0, plan["block"]))
+    buf = jax.lax.dynamic_update_slice(
+        buf, Xt, (0, _margin(plan) * plan["block"]))
     return ds_split(buf)
 
 
 def unpack_state(hi, lo, N, M, plan):
     """(hi, lo) planes -> (N, M) f64."""
-    b = plan["block"]
+    b = _margin(plan) * plan["block"]
     buf = hi.astype(jnp.float64) + lo.astype(jnp.float64)
     return jnp.swapaxes(buf[:M, b:b + N], 0, 1)
 
@@ -170,7 +194,8 @@ def pack_diags(dia64, plan):
     """(nd, N) f64 row-aligned diagonals -> (nd, N_tot) f32 DS planes."""
     nd, N = dia64.shape
     buf = jnp.zeros((nd, plan["N_tot"]), jnp.float64)
-    buf = jax.lax.dynamic_update_slice(buf, dia64, (0, plan["block"]))
+    buf = jax.lax.dynamic_update_slice(
+        buf, dia64, (0, _margin(plan) * plan["block"]))
     return ds_split(buf)
 
 
@@ -178,19 +203,21 @@ def pack_state32(X, plan):
     """(N, M) real -> one (Mp, N_tot) f32 plane (transposed, margins 0)."""
     Xt = jnp.swapaxes(X.astype(jnp.float32), 0, 1)
     buf = jnp.zeros((plan["Mp"], plan["N_tot"]), jnp.float32)
-    return jax.lax.dynamic_update_slice(buf, Xt, (0, plan["block"]))
+    return jax.lax.dynamic_update_slice(
+        buf, Xt, (0, _margin(plan) * plan["block"]))
 
 
 def unpack_state32(buf, N, M, plan):
-    b = plan["block"]
+    b = _margin(plan) * plan["block"]
     return jnp.swapaxes(buf[:M, b:b + N], 0, 1)
 
 
 def pack_diags32(dia, plan):
     nd, N = dia.shape
     buf = jnp.zeros((nd, plan["N_tot"]), jnp.float32)
-    return jax.lax.dynamic_update_slice(buf, dia.astype(jnp.float32),
-                                        (0, plan["block"]))
+    return jax.lax.dynamic_update_slice(
+        buf, dia.astype(jnp.float32),
+        (0, _margin(plan) * plan["block"]))
 
 
 # ---------------------------------------------------------------- kernel
@@ -285,7 +312,7 @@ def cheb_ds_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
     exact no-ops on acc and the discarded T carry). Traced with x64 OFF
     (all-f32 data; Mosaic cannot legalize i64 grid indices)."""
     offsets = plan["offsets"]
-    block, n_blocks = plan["block"], plan["n_blocks"]
+    block, n_blocks = plan["block"], _grid_1step(plan)
 
     def body(c, ck):
         t0h, t0l, t1h, t1l, ach, acl = c
@@ -299,6 +326,157 @@ def cheb_ds_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
 
     with jax.enable_x64(False):
         carry, _ = jax.lax.scan(body, carry, coeffs_chunk)
+    return carry
+
+
+# ------------------------------------------------- two-step DS variant
+#
+# The 1-step kernel's BlockSpec 3-slab fetches every T1 block THREE times
+# (as left/center/right of successive grid steps): 14 f32 planes of HBM
+# traffic per recurrence step. TPU grid iterations execute sequentially,
+# so revolving VMEM scratch rings can hold the trailing blocks instead:
+# each T1 block is fetched ONCE, the intermediate level T2 never touches
+# HBM except as the carry, and two recurrence steps share one pass —
+# 12 planes per TWO steps (T0+T1+acc in, T2+T3+acc out), i.e. 6/step,
+# a 2.33x traffic cut on the HBM-bound recurrence. Requires the margin-2
+# layout (the fused double step reaches two blocks); grid covers
+# n_blocks+2 centers (the two margin centers compute exact zeros).
+#
+# Ring discipline at grid step j (output center = block j):
+#   r1 = T1 blocks [j, j+1, j+2]   (fresh fetch j+2, rotate left)
+#   r2 = T2 blocks [j-1, j, j+1]   (computed this step: j+1)
+#   T2[j+1] from r1 slabs + diag block j+1 + T0 block j+1 (fresh)
+#   T3[j]   from r2 slabs + diag block j   + T1 block j (= r1[0])
+#   acc[j] += ck0 T2[j] + ck1 T3[j]; write T2[j] (= r2[1]) and T3[j]
+# Outputs alias inputs (T0->T2, T1->T3, acc->acc): the never-written
+# right-margin blocks stay zero, which the next chunk's fresh fetches
+# rely on.
+
+
+def _cheb_ds2_kernel(scal_ref, d0h_ref, d0l_ref, d1h_ref, d1l_ref,
+                     t0h_ref, t0l_ref, t1h_ref, t1l_ref, ach_ref, acl_ref,
+                     t2h_o, t2l_o, t3h_o, t3l_o, a2h_o, a2l_o,
+                     r1h, r1l, r2h, r2l, *, offsets, block):
+    j = pl.program_id(0)
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck0 = scal_ref[0, 2]
+    ck1 = scal_ref[0, 3]
+
+    @pl.when(j == 0)
+    def _zero_rings():
+        for r in (r1h, r1l, r2h, r2l):
+            r[...] = jnp.zeros(r.shape, jnp.float32)
+
+    # advance the T1 ring to [j, j+1, j+2] (fresh block j+2)
+    r1h[0], r1l[0] = r1h[1], r1l[1]
+    r1h[1], r1l[1] = r1h[2], r1l[2]
+    r1h[2], r1l[2] = t1h_ref[...], t1l_ref[...]
+
+    def ds_matvec(dh_ref, dl_ref, xl3, xc3, xr3):
+        (hl, ll), (hc, lc), (hr, lr) = xl3, xc3, xr3
+        yh = jnp.zeros(t0h_ref.shape, jnp.float32)
+        yl = jnp.zeros(t0h_ref.shape, jnp.float32)
+        for k, off in enumerate(offsets):
+            xh = _shifted(hl, hc, hr, off, block)
+            xl = _shifted(ll, lc, lr, off, block)
+            dh = dh_ref[k, :][None, :]
+            dl = dl_ref[k, :][None, :]
+            th, tl = _ds_mul_ds(xh, xl, jnp.broadcast_to(dh, xh.shape),
+                                jnp.broadcast_to(dl, xh.shape))
+            yh, yl = _ds_add(yh, yl, th, tl)
+        return yh, yl
+
+    def step(yh, yl, ch, cl, ph, plo):
+        # 2*(sc*y - sh*center) - prev
+        ah, al = _ds_mul_f32(yh, yl, sc)
+        bh, bl = _ds_mul_f32(ch, cl, -sh)
+        ah, al = _ds_add(ah, al, bh, bl)
+        return _ds_add(2.0 * ah, 2.0 * al, -ph, -plo)
+
+    # T2 at block j+1
+    yh, yl = ds_matvec(d1h_ref, d1l_ref,
+                       (r1h[0], r1l[0]), (r1h[1], r1l[1]),
+                       (r1h[2], r1l[2]))
+    t2h, t2l = step(yh, yl, r1h[1], r1l[1], t0h_ref[...], t0l_ref[...])
+    # advance the T2 ring to [j-1, j, j+1]
+    r2h[0], r2l[0] = r2h[1], r2l[1]
+    r2h[1], r2l[1] = r2h[2], r2l[2]
+    r2h[2], r2l[2] = t2h, t2l
+
+    # T3 at block j
+    yh, yl = ds_matvec(d0h_ref, d0l_ref,
+                       (r2h[0], r2l[0]), (r2h[1], r2l[1]),
+                       (r2h[2], r2l[2]))
+    gch, gcl = r2h[1], r2l[1]                       # T2 block j
+    t3h, t3l = step(yh, yl, gch, gcl, r1h[0], r1l[0])
+
+    t2h_o[...], t2l_o[...] = gch, gcl
+    t3h_o[...], t3l_o[...] = t3h, t3l
+    # acc[j] += ck0 * T2[j] + ck1 * T3[j]
+    p0h, p0l = _ds_mul_f32(gch, gcl, ck0)
+    p1h, p1l = _ds_mul_f32(t3h, t3l, ck1)
+    sh_, sl_ = _ds_add(ach_ref[...], acl_ref[...], p0h, p0l)
+    a2h, a2l = _ds_add(sh_, sl_, p1h, p1l)
+    a2h_o[...], a2l_o[...] = a2h, a2l
+
+
+def _cheb_ds2_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
+                   *, offsets, block, n_blocks, interpret):
+    Mp, N_tot = t0h.shape
+    nd = dgh.shape[0]
+    blk = lambda i_off: pl.BlockSpec(        # noqa: E731
+        (Mp, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    dblk = lambda i_off: pl.BlockSpec(       # noqa: E731
+        (nd, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((3, Mp, block), jnp.float32)] * 4
+    t2h, t2l, t3h, t3l, a2h, a2l = pl.pallas_call(
+        functools.partial(_cheb_ds2_kernel, offsets=offsets, block=block),
+        grid=(n_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+            dblk(0), dblk(0),                        # diag at block j
+            dblk(1), dblk(1),                        # diag at block j+1
+            blk(1), blk(1),                          # T0 at j+1
+            blk(2), blk(2),                          # T1 fresh at j+2
+            blk(0), blk(0),                          # acc at j
+        ],
+        out_specs=[blk(0)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 6,
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4, 10: 5},
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(scal, dgh, dgl, dgh, dgl, t0h, t0l, t1h, t1l, ach, acl)
+    return t2h, t2l, t3h, t3l, a2h, a2l
+
+
+def cheb_ds2_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
+                   interpret=False):
+    """Advance the DS recurrence TWO steps per fused kernel pass.
+
+    Requires a margin-2 plan; coeffs_chunk must have EVEN length (the
+    shared chunk runner rounds the static chunk length to even and
+    zero-pads only the final chunk)."""
+    assert _margin(plan) == 2, "cheb_ds2_chunk requires a margin-2 plan"
+    offsets = plan["offsets"]
+    block, n_blocks = plan["block"], plan["n_blocks"]
+    pairs = coeffs_chunk.reshape(-1, 2)
+
+    def body(c, ck):
+        t0h, t0l, t1h, t1l, ach, acl = c
+        scal = jnp.stack([jnp.float32(sc), jnp.float32(sh),
+                          ck[0].astype(jnp.float32),
+                          ck[1].astype(jnp.float32)])[None, :]
+        t2h, t2l, t3h, t3l, a2h, a2l = _cheb_ds2_step(
+            scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
+            offsets=offsets, block=block, n_blocks=n_blocks,
+            interpret=interpret)
+        return (t2h, t2l, t3h, t3l, a2h, a2l), None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, pairs)
     return carry
 
 
@@ -351,7 +529,7 @@ def cheb_f32_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
     """Advance the f32 recurrence over one coefficient chunk; carry =
     (t0, t1, ac) packed planes."""
     offsets = plan["offsets"]
-    block, n_blocks = plan["block"], plan["n_blocks"]
+    block, n_blocks = plan["block"], _grid_1step(plan)
 
     def body(c, ck):
         t0, t1, ac = c
@@ -364,6 +542,101 @@ def cheb_f32_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
 
     with jax.enable_x64(False):
         carry, _ = jax.lax.scan(body, carry, coeffs_chunk)
+    return carry
+
+
+def _cheb_f32_2_kernel(scal_ref, d0_ref, d1_ref, t0_ref, t1_ref, ac_ref,
+                       t2_o, t3_o, a2_o, r1, r2, *, offsets, block):
+    """Two fused f32 steps per pass with revolving scratch rings (same
+    discipline as the DS two-step kernel): 6 planes of HBM traffic per
+    TWO steps vs the 1-step kernel's 7 per step."""
+    j = pl.program_id(0)
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck0 = scal_ref[0, 2]
+    ck1 = scal_ref[0, 3]
+
+    @pl.when(j == 0)
+    def _zero_rings():
+        r1[...] = jnp.zeros(r1.shape, jnp.float32)
+        r2[...] = jnp.zeros(r2.shape, jnp.float32)
+
+    r1[0] = r1[1]
+    r1[1] = r1[2]
+    r1[2] = t1_ref[...]
+
+    def matvec(d_ref, xl, xc, xr):
+        y = jnp.zeros(t0_ref.shape, jnp.float32)
+        for k, off in enumerate(offsets):
+            y = y + d_ref[k, :][None, :] * _shifted(xl, xc, xr, off, block)
+        return y
+
+    # T2 at block j+1
+    t2 = 2.0 * (sc * matvec(d1_ref, r1[0], r1[1], r1[2]) - sh * r1[1]) \
+        - t0_ref[...]
+    r2[0] = r2[1]
+    r2[1] = r2[2]
+    r2[2] = t2
+    # T3 at block j
+    gc = r2[1]
+    t3 = 2.0 * (sc * matvec(d0_ref, r2[0], gc, r2[2]) - sh * gc) - r1[0]
+    t2_o[...] = gc
+    t3_o[...] = t3
+    a2_o[...] = ac_ref[...] + ck0 * gc + ck1 * t3
+
+
+def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
+                     interpret):
+    Mp, N_tot = t0.shape
+    nd = dg.shape[0]
+    blk = lambda i_off: pl.BlockSpec(        # noqa: E731
+        (Mp, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    dblk = lambda i_off: pl.BlockSpec(       # noqa: E731
+        (nd, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    t2, t3, a2 = pl.pallas_call(
+        functools.partial(_cheb_f32_2_kernel, offsets=offsets,
+                          block=block),
+        grid=(n_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            dblk(0), dblk(1),                # diag at j, j+1
+            blk(1),                          # T0 at j+1
+            blk(2),                          # T1 fresh at j+2
+            blk(0),                          # acc at j
+        ],
+        out_specs=[blk(0)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 3,
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        scratch_shapes=[pltpu.VMEM((3, Mp, block), jnp.float32)] * 2,
+        interpret=interpret,
+    )(scal, dg, dg, t0, t1, ac)
+    return t2, t3, a2
+
+
+def cheb_f32_2_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
+                     interpret=False):
+    """Advance the f32 recurrence TWO steps per fused pass; carry =
+    (t0, t1, ac) packed planes on a margin-2 layout; even chunk length."""
+    assert _margin(plan) == 2, "cheb_f32_2_chunk requires a margin-2 plan"
+    offsets = plan["offsets"]
+    block, n_blocks = plan["block"], plan["n_blocks"]
+    pairs = coeffs_chunk.reshape(-1, 2)
+
+    def body(c, ck):
+        t0, t1, ac = c
+        scal = jnp.stack([jnp.float32(sc), jnp.float32(sh),
+                          ck[0].astype(jnp.float32),
+                          ck[1].astype(jnp.float32)])[None, :]
+        t2, t3, a2 = _cheb_f32_2_step(scal, dg, t0, ac, t1,
+                                      offsets=offsets, block=block,
+                                      n_blocks=n_blocks,
+                                      interpret=interpret)
+        return (t2, t3, a2), None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, pairs)
     return carry
 
 

@@ -961,7 +961,7 @@ def _sparse_verify_from_jit(state, Qproj, ok):
 # shared unchanged with the contour path, so the convergence contract is
 # certified identically (residuals are exact operator applications).
 
-_CHEB_STATICS = ("shape", "config", "offsets_A", "use_pallas")
+_CHEB_STATICS = ("shape", "config", "offsets_A", "use_pallas", "offsets_B")
 
 
 def _cheb_apply_A(A_data, A_idx, A_dia, *, shape, offsets_A, use_pallas):
@@ -969,16 +969,37 @@ def _cheb_apply_A(A_data, A_idx, A_dia, *, shape, offsets_A, use_pallas):
     return _make_apply(A_w, A_dia, offsets_A, use_pallas)
 
 
-@cjit(static_argnames=_CHEB_STATICS)
-def _sparse_cheb_jit(A_data, A_idx, A_dia, lohi, coeffs, Q0, Emin, Emax, *,
-                     shape, config, offsets_A=None, use_pallas=False):
-    """Fused full FEAST run with the polynomial filter."""
-    from ..ops.chebfilter import make_cheb_filter
+def _cheb_ops(A_data, A_idx, A_dia, barrs, *, shape, offsets_A,
+              offsets_B=None, use_pallas=False):
+    """(apply_A, apply_B, filter operator). With ``barrs`` (generalized
+    sparse-SPD B after the unit-diagonal congruence) the RECURRENCE runs
+    on the polynomial-inverse composite q(B)A ~= B^-1 A
+    (ops/chebfilter.make_apply_binv_a) while Rayleigh-Ritz/residuals use
+    the exact pencil (apply_A, apply_B)."""
+    from ..ops.chebfilter import make_apply_binv_a
     apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
                             offsets_A=offsets_A, use_pallas=use_pallas)
-    filt = make_cheb_filter(apply_A, lohi[0], lohi[1], coeffs)
+    if barrs is None:
+        return apply_A, (lambda X: X), apply_A
+    B_data, B_idx, B_dia, b_lohi, qc = barrs
+    B_w = jsparse.BCOO((B_data, B_idx), shape=shape)
+    apply_B = _make_apply(B_w, B_dia, offsets_B, use_pallas)
+    apply_C = make_apply_binv_a(apply_A, apply_B, b_lohi[0], b_lohi[1], qc)
+    return apply_A, apply_B, apply_C
+
+
+@cjit(static_argnames=_CHEB_STATICS)
+def _sparse_cheb_jit(A_data, A_idx, A_dia, lohi, coeffs, Q0, Emin, Emax, *,
+                     shape, config, offsets_A=None, use_pallas=False,
+                     barrs=None, offsets_B=None):
+    """Fused full FEAST run with the polynomial filter."""
+    from ..ops.chebfilter import make_cheb_filter
+    apply_A, apply_B, op = _cheb_ops(
+        A_data, A_idx, A_dia, barrs, shape=shape, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas)
+    filt = make_cheb_filter(op, lohi[0], lohi[1], coeffs)
     return feast_hermitian_core(
-        apply_A, lambda X: X, filt, Q0, Emin, Emax,
+        apply_A, apply_B, filt, Q0, Emin, Emax,
         tol=config.tol, max_loops=config.max_loops,
         convergence_criterion=config.convergence_criterion,
         subspace_only=(config.mode == 1))
@@ -986,25 +1007,29 @@ def _sparse_cheb_jit(A_data, A_idx, A_dia, lohi, coeffs, Q0, Emin, Emax, *,
 
 @cjit(static_argnames=_CHEB_STATICS)
 def _sparse_cheb_init_jit(A_data, A_idx, A_dia, lohi, c01, Q, *, shape,
-                          config, offsets_A=None, use_pallas=False):
+                          config, offsets_A=None, use_pallas=False,
+                          barrs=None, offsets_B=None):
     """Recurrence carry after the k=0,1 terms (host-driven chunking)."""
     from ..ops.chebfilter import _cheb_init
-    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
-                            offsets_A=offsets_A, use_pallas=use_pallas)
-    return _cheb_init(apply_A, lohi[0], lohi[1], Q, c01)
+    _, _, op = _cheb_ops(
+        A_data, A_idx, A_dia, barrs, shape=shape, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas)
+    return _cheb_init(op, lohi[0], lohi[1], Q, c01)
 
 
 @cjit(static_argnames=_CHEB_STATICS)
 def _sparse_cheb_chunk_jit(A_data, A_idx, A_dia, lohi, coeffs_chunk, carry, *,
-                           shape, config, offsets_A=None, use_pallas=False):
+                           shape, config, offsets_A=None, use_pallas=False,
+                           barrs=None, offsets_B=None):
     """Advance the recurrence over one coefficient chunk (fixed static
     length: the LAST chunk is zero-padded — extra steps leave acc unchanged
     and the carry is discarded, so padding only wastes a few matvecs while
     keeping a single compiled program for all chunks)."""
     from ..ops.chebfilter import make_cheb_stepper
-    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
-                            offsets_A=offsets_A, use_pallas=use_pallas)
-    step = make_cheb_stepper(apply_A, lohi[0], lohi[1])
+    _, _, op = _cheb_ops(
+        A_data, A_idx, A_dia, barrs, shape=shape, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas)
+    step = make_cheb_stepper(op, lohi[0], lohi[1])
     carry, _ = jax.lax.scan(lambda c, ck: (step(c, ck), None),
                             carry, coeffs_chunk)
     return carry
@@ -1028,84 +1053,130 @@ def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
 # precision from f32 VPU arithmetic in ONE fused pass per step, instead of
 # XLA's per-op f64 emulation across separate matvec/update fusions.
 
-@cjit(static_argnames=("block", "N_tot"))
-def _cheb_ds_diags_jit(A_dia, *, block, N_tot):
+@cjit(static_argnames=("block", "N_tot", "margin"))
+def _cheb_ds_diags_jit(A_dia, *, block, N_tot, margin=1):
     from ..ops.cheb_pallas import pack_diags
-    return pack_diags(A_dia, dict(block=block, N_tot=N_tot))
+    return pack_diags(A_dia, dict(block=block, N_tot=N_tot, margin=margin))
 
 
-@cjit(static_argnames=("block", "N_tot", "Mp"))
-def _cheb_ds_init_jit(Q, c0, *, block, N_tot, Mp):
+@cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
+def _cheb_ds_init_jit(Q, c0, *, block, N_tot, Mp, margin=1):
     """(N, M) f64 -> packed carry (T0=0, T1=Q, acc=c0*Q) in DS planes."""
     from ..ops.cheb_pallas import _ds_mul_f32, pack_state
-    qh, ql = pack_state(Q, dict(block=block, N_tot=N_tot, Mp=Mp))
+    qh, ql = pack_state(Q, dict(block=block, N_tot=N_tot, Mp=Mp,
+                                margin=margin))
     ah, al = _ds_mul_f32(qh, ql, c0.astype(jnp.float32))
     return jnp.zeros_like(qh), jnp.zeros_like(ql), qh, ql, ah, al
 
 
-@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret"))
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"))
 def _cheb_ds_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl, coeffs_chunk,
-                       sc, sh, *, block, n_blocks, offsets, interpret=False):
+                       sc, sh, *, block, n_blocks, offsets, interpret=False,
+                       margin=1):
     from ..ops.cheb_pallas import cheb_ds_chunk
     return cheb_ds_chunk(
         dgh, dgl, (t0h, t0l, t1h, t1l, ach, acl), coeffs_chunk, sc, sh,
-        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets),
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
         interpret=interpret)
 
 
-@cjit(static_argnames=("block", "N", "M"))
-def _cheb_ds_unpack_jit(hi, lo, *, block, N, M):
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"))
+def _cheb_ds2_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl,
+                        coeffs_chunk, sc, sh, *, block, n_blocks, offsets,
+                        interpret=False, margin=2):
+    from ..ops.cheb_pallas import cheb_ds2_chunk
+    return cheb_ds2_chunk(
+        dgh, dgl, (t0h, t0l, t1h, t1l, ach, acl), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
+        interpret=interpret)
+
+
+@cjit(static_argnames=("block", "N", "M", "margin"))
+def _cheb_ds_unpack_jit(hi, lo, *, block, N, M, margin=1):
     from ..ops.cheb_pallas import unpack_state
-    return unpack_state(hi, lo, N, M, dict(block=block))
+    return unpack_state(hi, lo, N, M, dict(block=block, margin=margin))
 
 
-@cjit(static_argnames=("block", "N_tot", "Mp"))
-def _cheb_f32_init_jit(Q, c0, *, block, N_tot, Mp):
+@cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
+def _cheb_f32_init_jit(Q, c0, *, block, N_tot, Mp, margin=1):
     """(N, M) -> packed f32 carry (T0=0, T1=Q, acc=c0*Q)."""
     from ..ops.cheb_pallas import pack_state32
-    q = pack_state32(Q, dict(block=block, N_tot=N_tot, Mp=Mp))
+    q = pack_state32(Q, dict(block=block, N_tot=N_tot, Mp=Mp,
+                             margin=margin))
     return jnp.zeros_like(q), q, c0.astype(jnp.float32) * q
 
 
-@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret"))
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"))
 def _cheb_f32_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
-                        n_blocks, offsets, interpret=False):
+                        n_blocks, offsets, interpret=False, margin=1):
     from ..ops.cheb_pallas import cheb_f32_chunk
     return cheb_f32_chunk(
         dg, (t0, t1, ac), coeffs_chunk, sc, sh,
-        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets),
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
         interpret=interpret)
 
 
-@cjit(static_argnames=("block", "N", "M"))
-def _cheb_f32_unpack_jit(buf, *, block, N, M):
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"))
+def _cheb_f32_2_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
+                          n_blocks, offsets, interpret=False, margin=2):
+    from ..ops.cheb_pallas import cheb_f32_2_chunk
+    return cheb_f32_2_chunk(
+        dg, (t0, t1, ac), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
+        interpret=interpret)
+
+
+@cjit(static_argnames=("block", "N", "M", "margin"))
+def _cheb_f32_unpack_jit(buf, *, block, N, M, margin=1):
     from ..ops.cheb_pallas import unpack_state32
-    return unpack_state32(buf, N, M, dict(block=block))
+    return unpack_state32(buf, N, M, dict(block=block, margin=margin))
 
 
 def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
     """Device-resident DS operands, built once per solve (the diagonals'
-    DS planes persist across refinement loops)."""
-    from ..ops.cheb_pallas import cheb_plan
-    plan = cheb_plan(statics["offsets_A"], N, M)
+    DS planes persist across refinement loops). Picks the two-step-fused
+    margin-2 layout whenever either two-step kernel's VMEM working set
+    fits (the one-step kernels run unchanged on the wider layout)."""
+    from ..ops.cheb_pallas import cheb_plan, cheb_plan_fits
+    offs = statics["offsets_A"]
+    f32_2 = cheb_plan_fits(offs, N, M, ds=False, steps=2)
+    ds_2 = cheb_plan_fits(offs, N, M, ds=True, steps=2)
+    import os as _os
+    if _os.environ.get("FEAST_CHEB_FUSE2") in ("0", ""):  # opt-out knob
+        f32_2 = ds_2 = False
+    margin = 2 if (f32_2 or ds_2) else 1
+    plan = cheb_plan(offs, N, M, margin=margin)
     dgh, dgl = _cheb_ds_diags_jit(arrs[2], block=plan["block"],
-                                  N_tot=plan["N_tot"])
-    return dict(plan=plan, dgh=dgh, dgl=dgl,
+                                  N_tot=plan["N_tot"], margin=margin)
+    return dict(plan=plan, dgh=dgh, dgl=dgl, f32_2=f32_2, ds_2=ds_2,
                 coeffs=np.asarray(coeffs, np.float32),
                 sc=np.float32(2.0 / (hi - lo)),
                 sh=np.float32((hi + lo) / (hi - lo)),
                 interpret=not statics["use_pallas"], N=N, M=M)
 
 
-def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M):
+def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M,
+                     even=False):
     """Shared chunk loop for every host-driven recurrence: fixed static
     chunk length (the LAST chunk zero-padded — padded steps leave acc
     unchanged and the discarded T carry only wastes a few matvecs, keeping
     ONE compiled program for all chunks), sized so each dispatch's work
     stays under the remote execution watchdog while amortizing the
-    ~0.1 s per-dispatch tunnel RTT."""
+    ~0.1 s per-dispatch tunnel RTT. ``even=True`` rounds the chunk length
+    to a multiple of two (the two-step-fused kernels consume coefficient
+    pairs)."""
     m1 = len(coeffs)
     steps = int(max(64, min(m1, budget // max(2 * nnz * M, 1))))
+    if even:
+        steps += steps % 2
     for base in range(start, m1, steps):
         chunk = np.zeros(steps, coeffs.dtype)
         take = min(steps, m1 - base)
@@ -1126,29 +1197,41 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
     ~4x (f32) / ~2x (DS) cheaper than the f64 figure the unfused path's
     4e10 was calibrated for."""
     plan, coeffs = ctx["plan"], ctx["coeffs"]
+    margin = int(plan.get("margin", 1))
+    two_step = bool(ctx.get("ds_2" if ds else "f32_2", False))
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
-              offsets=plan["offsets"], interpret=ctx["interpret"])
-    pk = dict(block=plan["block"], N_tot=plan["N_tot"], Mp=plan["Mp"])
+              offsets=plan["offsets"], interpret=ctx["interpret"],
+              margin=margin)
+    pk = dict(block=plan["block"], N_tot=plan["N_tot"], Mp=plan["Mp"],
+              margin=margin)
     if ds:
         carry = _cheb_ds_init_jit(Q, jnp.asarray(coeffs[0]), **pk)
         chunk = lambda ch, c, s0, s1: _cheb_ds_chunk_jit(   # noqa: E731
             ctx["dgh"], ctx["dgl"], *c, ch, s0, s1, **st)
-        budget = 8e10
+        chunk2 = lambda ch, c: _cheb_ds2_chunk_jit(          # noqa: E731
+            ctx["dgh"], ctx["dgl"], *c, ch, ctx["sc"], ctx["sh"], **st)
+        budget = 8e10 * (2 if two_step else 1)
     else:
         carry = _cheb_f32_init_jit(Q, jnp.asarray(coeffs[0]), **pk)
         chunk = lambda ch, c, s0, s1: _cheb_f32_chunk_jit(   # noqa: E731
             ctx["dgh"], *c, ch, s0, s1, **st)
-        budget = 1.6e11
+        chunk2 = lambda ch, c: _cheb_f32_2_chunk_jit(        # noqa: E731
+            ctx["dgh"], *c, ch, ctx["sc"], ctx["sh"], **st)
+        budget = 1.6e11 * (2 if two_step else 1)
     carry = chunk(jnp.asarray(coeffs[1:2]), carry,
                   ctx["sc"] * np.float32(0.5), ctx["sh"] * np.float32(0.5))
-    carry = _run_cheb_chunks(
-        carry, lambda ch, c: chunk(ch, c, ctx["sc"], ctx["sh"]),
-        coeffs, 2, budget, nnz, ctx["M"])
+    if two_step:
+        carry = _run_cheb_chunks(carry, chunk2, coeffs, 2, budget, nnz,
+                                 ctx["M"], even=True)
+    else:
+        carry = _run_cheb_chunks(
+            carry, lambda ch, c: chunk(ch, c, ctx["sc"], ctx["sh"]),
+            coeffs, 2, budget, nnz, ctx["M"])
     if ds:
         return _cheb_ds_unpack_jit(carry[4], carry[5], block=plan["block"],
-                                   N=ctx["N"], M=ctx["M"])
+                                   N=ctx["N"], M=ctx["M"], margin=margin)
     return _cheb_f32_unpack_jit(carry[2], block=plan["block"],
-                                N=ctx["N"], M=ctx["M"])
+                                N=ctx["N"], M=ctx["M"], margin=margin)
 
 
 def _b_diagonal(B):

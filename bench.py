@@ -611,32 +611,36 @@ def main():
                         "error": str(e)[:250]})
     results.append({
         "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
-        "value": 126.9, "unit": "s_warm",
+        "value": 60.0, "unit": "s_warm",
         "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
                 "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
                 "8.2e-10, eigenvalue error 8.3e-16; solver='cheb' with "
-                "the f32 -> double-single -> f64 precision ladder (fused "
-                "Pallas recurrence kernels). measured 2026-08-18, "
-                "scripts/scale_sparse.py 10 cheb (cold 184.9 s). 21.8x "
-                "the round-2 contour result (2768 s warm) on the same "
-                "tunneled single chip; the recurrence is pure streaming "
-                "HBM traffic, so a native v5e runs it ~2.6x faster "
-                "(measured ~310 GB/s effective vs 819 native) and the "
-                "subspace columns shard over a v5e-8 with zero per-step "
-                "communication — the same schedule lands in the tens of "
-                "seconds on one native chip and ~seconds on a v5e-8",
+                "the f32 -> double-single -> f64 precision ladder and "
+                "the TWO-STEP-fused Pallas recurrence kernels (revolving "
+                "VMEM scratch rings, 6 planes of HBM traffic per two "
+                "steps). measured 2026-08-19, scripts/scale_sparse.py 10 "
+                "cheb (cold 199.4 s incl. remote compiles). 46x the "
+                "round-2 contour result (2768 s warm) on the same "
+                "tunneled single chip; ~26 s is kernel+RR time (427 GB/s "
+                "effective vs 819 native), ~20 s the 600 MB eigenvector "
+                "fetch through the ~30 MB/s tunnel — on one native v5e "
+                "the schedule is ~15-20 s, and the subspace columns "
+                "shard over a v5e-8 with zero per-step communication "
+                "(~3-6 s of kernel time, inside the <30 s target)",
     })
     results.append({
         "metric": "sparse_scsrgv_2Dlap_n1048576_lumpedmass_f64_cheb",
-        "value": 185.6, "unit": "s_warm",
+        "value": 88.1, "unit": "s_warm",
         "note": "the north-star's literal GENERALIZED wording: 1M-dof "
                 "pencil A x = lam B x with a lumped-mass diagonal B in "
                 "[0.75, 1.25], solved exactly via the congruence "
                 "D^-1/2 A D^-1/2 (residuals recomputed for the original "
-                "pencil). 51/51 pairs, info=SUCCESS, epsout 7.2e-10, "
-                "eigenvalue error 2.1e-15 vs shift-invert eigsh ground "
-                "truth. measured 2026-08-18, scripts/scale_sparse_gen.py "
-                "10 (cold 328.9 s)",
+                "pencil). 56 pairs, info=SUCCESS, epsout 1.5e-09 "
+                "(eigenvalue error 2.1e-15 vs shift-invert eigsh ground "
+                "truth on the 2026-08-18 run of the same recipe). "
+                "measured 2026-08-19 with the two-step-fused kernels, "
+                "scripts/scale_sparse_gen.py 10 (cold 468.5 s incl. "
+                "remote compiles; was 185.6 s warm with 1-step kernels)",
     })
 
     # 8-virtual-device CPU-mesh certification of the sharded sparse driver

@@ -9,14 +9,19 @@ indicator instead of the contour quadrature. Each filter application is
 `degree` plain sparse matvecs (the ideal bandwidth-bound TPU workload):
 no inner Krylov iteration, no preconditioner, no linear solves.
 
-Four flows:
+Five flows:
   1. lowest eigenpairs of a 2D Laplacian (the BASELINE config-4 shape)
   2. mixed-precision ladder (fpm[42]): f32 -> double-single -> f64
   3. lumped-mass generalized pencil (positive diagonal B)
   4. stochastic eigenvalue count (fpm[14]=2) through the same filter
+  5. CONSISTENT-mass generalized pencil (sparse SPD B): the B-resolvent
+     becomes a closed-form Chebyshev polynomial inverse — still no
+     linear solves
 
-    python examples/polynomial_filter.py        # all four
-    python examples/polynomial_filter.py 2      # just flow 2
+    JAX_ENABLE_X64=1 python examples/polynomial_filter.py    # all five
+    JAX_ENABLE_X64=1 python examples/polynomial_filter.py 2  # just flow 2
+
+(the tolerances asserted here are f64 targets — enable x64 as above)
 """
 import sys
 import time
@@ -112,7 +117,33 @@ def flow4():
     assert 30 <= r.M <= 75
 
 
-FLOWS = [flow1, flow2, flow3, flow4]
+def flow5():
+    banner("5. consistent-mass pencil K x = lam M x (sparse SPD B)")
+    # P1 FEM stiffness/consistent-mass pair: after the unit-diagonal
+    # congruence, B~'s inverse is a degree-~20 Chebyshev polynomial
+    # (kappa(B~) = 3), so each recurrence step is one K matvec plus a
+    # short Clenshaw in M — the whole generalized solve stays solve-free.
+    # Rayleigh-Ritz uses the exact pencil; residuals are recomputed for
+    # the original (K, M).
+    import scipy.linalg as sla
+    n = 400
+    h = 1.0 / (n + 1)
+    K = sp.diags([2.0 / h * np.ones(n), -1.0 / h * np.ones(n - 1),
+                  -1.0 / h * np.ones(n - 1)], [0, 1, -1], format="csr")
+    M = sp.diags([4 * h / 6 * np.ones(n), h / 6 * np.ones(n - 1),
+                  h / 6 * np.ones(n - 1)], [0, 1, -1], format="csr")
+    w = np.sort(sla.eigh(K.toarray(), M.toarray(), eigvals_only=True))
+    Emax = float(0.5 * (w[11] + w[12]))
+    fpm = fk.feastinit()
+    fpm[1] = 1                      # prints the B-inverse degree
+    fpm[3] = 10
+    r = fk.feast_scsrgv(K, M, 0.0, Emax, 18, fpm, solver="cheb")
+    fk.feast_summary(r)
+    assert r.info == 0 and r.M == 12
+    assert np.abs(np.sort(r.lam) - w[:12]).max() / w[11] < 1e-10
+
+
+FLOWS = [flow1, flow2, flow3, flow4, flow5]
 
 if __name__ == "__main__":
     picks = ([FLOWS[int(a) - 1] for a in sys.argv[1:]]

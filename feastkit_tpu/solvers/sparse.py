@@ -1037,13 +1037,18 @@ def _sparse_cheb_chunk_jit(A_data, A_idx, A_dia, lohi, coeffs_chunk, carry, *,
 
 @cjit(static_argnames=_CHEB_STATICS)
 def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
-                           shape, config, offsets_A=None, use_pallas=False):
-    """Rayleigh-Ritz half of a refinement loop from an accumulated Qproj."""
+                           shape, config, offsets_A=None, use_pallas=False,
+                           barrs=None, offsets_B=None):
+    """Rayleigh-Ritz half of a refinement loop from an accumulated Qproj.
+    With ``barrs`` this is the exact GENERALIZED Rayleigh-Ritz of the true
+    pencil (the polynomial-inverse approximation only shaped the
+    subspace)."""
     from ..kernel.hermitian import make_rayleigh_ritz_update
-    apply_A = _cheb_apply_A(A_data, A_idx, A_dia, shape=shape,
-                            offsets_A=offsets_A, use_pallas=use_pallas)
+    apply_A, apply_B, _ = _cheb_ops(
+        A_data, A_idx, A_dia, barrs, shape=shape, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas)
     update = make_rayleigh_ritz_update(
-        apply_A, lambda X: X, Emin, Emax, tol=config.tol,
+        apply_A, apply_B, Emin, Emax, tol=config.tol,
         convergence_criterion=config.convergence_criterion)
     return update(state, Qproj, jnp.bool_(True))
 
@@ -1259,6 +1264,58 @@ def _b_diagonal(B):
     return None, None
 
 
+def _b_sparse_spd(B):
+    """Host check for a real symmetric positive-diagonal SPARSE B (the
+    consistent-mass-matrix class): returns ("spd", diag) or (None, None).
+    Positive-definiteness itself is certified downstream by the lowest
+    eigenvalue of the unit-diagonal congruence (Gershgorin, refined by a
+    host Lanczos when the discs touch zero)."""
+    import scipy.sparse as _sp
+    data, idx, shape = sparse_coo_arrays(B)
+    if shape[0] != shape[1] or np.iscomplexobj(data):
+        return None, None
+    diag = np.zeros(shape[0], np.float64)
+    on = idx[:, 0] == idx[:, 1]
+    np.add.at(diag, idx[on, 0], data[on].astype(np.float64))
+    if not np.all(diag > 0):
+        return None, None
+    C = _sp.coo_matrix((data, (idx[:, 0], idx[:, 1])), shape=shape).tocsr()
+    d = C - C.T
+    if d.nnz and np.abs(d.data).max() > 1e-12 * np.abs(data).max():
+        return None, None
+    return "spd", diag
+
+
+def _b_spd_bounds(B_data, B_idx, N):
+    """Spectrum enclosure [b_lo, b_hi] of the unit-diagonal-scaled B.
+    Gershgorin first (free); when the discs touch zero (e.g. P1 2D mass
+    matrices, where interior off-diagonal row sums EQUAL the diagonal) a
+    host Lanczos (scipy eigsh) refines the ends. Raises when B is not
+    positive definite enough for the polynomial inverse."""
+    from ..ops.chebfilter import gershgorin_interval
+    b_lo, b_hi = gershgorin_interval(B_data, B_idx, N)
+    if b_lo <= 0.02 * b_hi:
+        import scipy.sparse as _sp
+        import scipy.sparse.linalg as _spl
+        Bs = _sp.coo_matrix((B_data, (B_idx[:, 0], B_idx[:, 1])),
+                            shape=(N, N)).tocsr()
+        try:
+            lo_e = float(_spl.eigsh(Bs, k=1, which="SA", tol=1e-4,
+                                    return_eigenvectors=False)[0])
+            hi_e = float(_spl.eigsh(Bs, k=1, which="LA", tol=1e-4,
+                                    return_eigenvectors=False)[0])
+            b_lo, b_hi = 0.9 * lo_e, min(1.1 * hi_e, b_hi)
+        except Exception:
+            pass
+    if b_lo <= 1e-6 * b_hi:
+        raise ValueError(
+            "solver='cheb' with a sparse B requires a well-conditioned "
+            f"SPD mass matrix; the scaled B's spectrum enclosure "
+            f"[{b_lo:.3g}, {b_hi:.3g}] is not safely positive — use the "
+            "contour solvers (gmres/bicgstab) for this pencil")
+    return b_lo, b_hi
+
+
 def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                           Q0=None, mesh=None) -> FeastResult:
     """solver="cheb" driver: polynomial-filtered FEAST (standard problems).
@@ -1283,10 +1340,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     fpm = _ensure_fpm(fpm)
     b_kind, b_diag = _b_diagonal(B)
     if b_kind is None:
+        b_kind, b_diag = _b_sparse_spd(B)
+    if b_kind is None:
         raise ValueError(
             "solver='cheb' (polynomial filter) requires a standard problem "
-            "(B=None/identity) or a positive diagonal B (lumped mass); "
-            "general pencils need the contour solvers (gmres/bicgstab)")
+            "(B=None/identity), a positive diagonal B (lumped mass), or a "
+            "real symmetric positive-definite sparse B (consistent mass); "
+            "indefinite/nonsymmetric pencils need the contour solvers "
+            "(gmres/bicgstab)")
     is_complex = np.iscomplexobj(_peek_dtype(A))
     if hermitian is None:
         hermitian = is_complex
@@ -1304,9 +1365,17 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
 
+    if b_kind == "spd" and hermitian:
+        raise ValueError(
+            "solver='cheb' with a sparse SPD B currently supports real "
+            "symmetric A (complex Hermitian A + sparse B: use the contour "
+            "solvers)")
     A_data, A_idx, shape = sparse_coo_arrays(A, work_dtype)
     N = shape[0]
-    if b_kind == "diagonal":
+    barrs = None
+    offsets_B = None
+    qinfo = None
+    if b_kind in ("diagonal", "spd"):
         dscale = 1.0 / np.sqrt(b_diag.astype(np.float64))
         A_data = (A_data * (dscale[A_idx[:, 0]] * dscale[A_idx[:, 1]])
                   ).astype(work_dtype)
@@ -1322,14 +1391,35 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         use_pallas = False
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
-    lo, hi = gershgorin_interval(A_data, A_idx, N)
+    if b_kind == "spd":
+        # unit-diagonal congruence of B, polynomial inverse q(B~) ~= B~^-1
+        # (ops/chebfilter.py): the recurrence filters the composite
+        # q(B~) A~ while Rayleigh-Ritz/residuals use the exact pencil
+        from ..ops.chebfilter import binva_enclosure, cheb_inverse_coeffs
+        B_data, B_idx, _ = sparse_coo_arrays(B, work_dtype)
+        B_data = (B_data * (dscale[B_idx[:, 0]] * dscale[B_idx[:, 1]])
+                  ).astype(work_dtype)
+        outB = bcoo_to_dia(B_data, B_idx, N)
+        B_dia, offsets_B = outB if outB else (np.zeros((0, N), work_dtype),
+                                              None)
+        b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N)
+        inv_tol = float(np.clip(0.01 * config.tol, 1e-14, 1e-6))
+        qc, qinfo = cheb_inverse_coeffs(b_lo, b_hi, inv_tol)
+        a_lo, a_hi = gershgorin_interval(A_data, A_idx, N)
+        lo, hi = binva_enclosure(a_lo, a_hi, b_lo, b_hi, qinfo["rel_err"])
+        barrs = (B_data, B_idx, B_dia,
+                 np.asarray([b_lo, b_hi], rdtype), np.asarray(qc, rdtype))
+    else:
+        lo, hi = gershgorin_interval(A_data, A_idx, N)
     coeffs, cinfo = build_cheb_filter_coeffs(
         lo, hi, float(Emin), float(Emax),
         degree=getattr(config, "cheb_degree", 0) or None)
     if config.print_level >= 1:
+        extra = (f" B-inverse degree={qinfo['degree']} "
+                 f"(kappa={qinfo['kappa']:.2f})" if qinfo else "")
         print(f"feast cheb filter: degree={cinfo['degree']} "
               f"enclosure=[{lo:.3g},{hi:.3g}] "
-              f"outside@1w={cinfo['outside_at_1w']:.2e}", flush=True)
+              f"outside@1w={cinfo['outside_at_1w']:.2e}{extra}", flush=True)
     from ..core.tools import initial_subspace
     rand_q0 = Q0 is None and int(fpm[5]) == 0    # seeded random subspace
     _q0_arg = Q0
@@ -1341,16 +1431,20 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # discard it would waste seconds and memory on exactly those paths
         return initial_subspace(fpm, _q0_arg, N, M0, work_dtype)
     statics = dict(shape=tuple(shape), config=config, offsets_A=offsets_A,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, offsets_B=offsets_B)
     lohi = np.asarray([lo, hi], rdtype)
     coeffs_d = np.asarray(coeffs, rdtype)
     arrs = (A_data, A_idx, A_dia, lohi)
 
+    # watchdog work budget per step: the spd composite runs one A matvec
+    # plus a degree-m_B Clenshaw in B per recurrence step
     nnz = int(len(A_data))
+    if barrs is not None:
+        nnz += int(qinfo["degree"]) * int(len(barrs[0]))
     if config.mode == 2:
         return _stochastic_estimate_result(
             lambda V: _sparse_cheb_filter_host(
-                arrs, coeffs_d, jnp.asarray(V), statics, nnz),
+                arrs, coeffs_d, jnp.asarray(V), statics, nnz, barrs=barrs),
             N, fpm, work_dtype)
 
     # fpm[42] mixed precision for the RECURRENCE: the filter only needs to
@@ -1380,6 +1474,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # also drives the mixed-precision schedule (per-loop dtype choice).
         from .dense import _host_state
         arrs = tuple(cio.device_operand(a) for a in arrs)
+        if barrs is not None:
+            barrs = tuple(cio.device_operand(a) for a in barrs)
         # Fused double-single Pallas recurrence (ops/cheb_pallas.py): the
         # middle rung of the f32 -> DS -> f64 precision ladder. Its noise
         # floor is ~ u_ds * degree * U_k-amplification * ||A|| (measured
@@ -1392,7 +1488,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         import os as _os
         from ..ops import cheb_pallas as _cp
         _ds_env = _os.environ.get("FEAST_CHEB_DS")
-        _fuse_base = (not hermitian and f64
+        _fuse_base = (not hermitian and f64 and barrs is None
                       and statics["offsets_A"] is not None
                       and ((lp_avail and bool(statics["use_pallas"]))
                            if _ds_env is None else _ds_env not in ("0", "")))
@@ -1403,12 +1499,19 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         ds_on = _fuse_base and _cp.cheb_plan_fits(
             statics["offsets_A"], N, M0, ds=True)
         if use_lp and not f32_fused:
-            # unfused low-precision operand set (hermitian / non-DIA
-            # operators); the fused rungs read the DS context instead, so
-            # skip this device upload when they will carry the run
+            # unfused low-precision operand set (hermitian / non-DIA /
+            # generalized-spd operators); the fused rungs read the DS
+            # context instead, so skip this device upload when they will
+            # carry the run
             arrs_lp = tuple(cio.device_operand(a) for a in (
                 np.asarray(A_data, lp_dtype), A_idx,
                 np.asarray(A_dia, lp_dtype), np.asarray(lohi, np.float32)))
+            barrs_lp = None if barrs is None else tuple(
+                cio.device_operand(a) for a in (
+                    np.asarray(B_data, lp_dtype), B_idx,
+                    np.asarray(B_dia, lp_dtype),
+                    np.asarray([b_lo, b_hi], np.float32),
+                    np.asarray(qc, np.float32)))
             coeffs_lp = np.asarray(coeffs_d, np.float32)
         ds_ctx = None
 
@@ -1450,16 +1553,16 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             elif use_lp:
                 Qp = _sparse_cheb_filter_host(
                     arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
-                    nnz).astype(work_dtype)
+                    nnz, barrs=barrs_lp).astype(work_dtype)
             elif ds_on:
                 Qp = _sparse_cheb_filter_host_fused(_fused_ctx(), state.Q,
                                                     nnz, ds=True)
             else:
                 Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q,
-                                              statics, nnz)
+                                              statics, nnz, barrs=barrs)
             state = _sparse_cheb_outer_jit(*arrs[:3], state, Qp,
                                            rdtype(Emin), rdtype(Emax),
-                                           **statics)
+                                           barrs=barrs, **statics)
             conv, eps_now, res_h, ins_h = (
                 bool(fetch(state.converged)), float(fetch(state.epsout)),
                 fetch(state.res), fetch(state.inside))
@@ -1526,10 +1629,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         elif lp_avail:
             Qp = _sparse_cheb_filter_host(
                 arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
-                nnz).astype(work_dtype)
+                nnz, barrs=barrs_lp).astype(work_dtype)
         else:
             Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q, statics,
-                                          nnz)
+                                          nnz, barrs=barrs)
         state = _sparse_verify_from_jit(state, Qp, jnp.bool_(True))
     else:
         Q0_in = np.asarray(_materialize_q0(), work_dtype)
@@ -1539,11 +1642,12 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             cols = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names))
             Q0_in = jax.device_put(Q0_in, cols)
         state = _sparse_cheb_jit(*arrs, coeffs_d, Q0_in,
-                                 rdtype(Emin), rdtype(Emax), **statics)
+                                 rdtype(Emin), rdtype(Emax), barrs=barrs,
+                                 **statics)
     conv, lam, Q, res, inside, epsout, loop, inner_ok = cio.fetch_many(
         [state.converged, state.lam, state.Q, state.res, state.inside,
          state.epsout, state.loop, state.inner_ok])
-    if b_kind == "diagonal":
+    if b_kind in ("diagonal", "spd"):
         # back-transform x = D^-1/2 y, re-normalize, and recompute the
         # residuals for the ORIGINAL pencil ||A x - lam B x|| / max(|lam|,1)
         # (host matvecs: one pass over nnz per column)
@@ -1555,7 +1659,14 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             sparse_coo_arrays(A, work_dtype)[0]),
             (A_idx[:, 0], A_idx[:, 1])), shape=shape).tocsr()
         lam_h = np.asarray(lam)
-        r = A0 @ Q - (b_diag[:, None] * Q) * lam_h[None, :]
+        if b_kind == "spd":
+            d0, i0, _ = sparse_coo_arrays(B, work_dtype)
+            B0 = _sp.coo_matrix((np.asarray(d0), (i0[:, 0], i0[:, 1])),
+                                shape=shape).tocsr()
+            BQ = B0 @ Q
+        else:
+            BQ = b_diag[:, None] * Q
+        r = A0 @ Q - BQ * lam_h[None, :]
         res = np.linalg.norm(r, axis=0) / np.maximum(np.abs(lam_h), 1.0)
         ins = np.asarray(inside)
         epsout = float(res[ins].max()) if ins.any() else float(epsout)
@@ -1575,15 +1686,16 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                  inner_ok=bool(inner_ok))
 
 
-def _sparse_cheb_filter_host(arrs, coeffs, Q, statics, nnz):
+def _sparse_cheb_filter_host(arrs, coeffs, Q, statics, nnz, barrs=None):
     """One full filter application rho(A) Q driven as chunked dispatches
-    (the UNFUSED XLA path: any dtype, any operator form)."""
+    (the UNFUSED XLA path: any dtype, any operator form — including the
+    generalized polynomial-inverse composite via ``barrs``)."""
     carry = _sparse_cheb_init_jit(*arrs, jnp.asarray(coeffs[:2]), Q,
-                                  **statics)
+                                  barrs=barrs, **statics)
     return _run_cheb_chunks(
         carry,
         lambda ch, c: _sparse_cheb_chunk_jit(*arrs[:3], arrs[3], ch, c,
-                                             **statics),
+                                             barrs=barrs, **statics),
         coeffs, 2, 4e10, nnz, Q.shape[1])[2]
 
 

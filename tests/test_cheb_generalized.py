@@ -1,0 +1,130 @@
+"""Generalized-pencil polynomial-filter FEAST (solver="cheb" with sparse
+SPD B).
+
+TPU-first extension with no reference counterpart (FeastKit.jl treats
+every generalized pencil as a contour problem, feast_sparse.jl:713-757):
+the B-resolvent is replaced by a polynomial inverse q(B~) ~= B~^-1 on the
+unit-diagonal congruence (ops/chebfilter.cheb_inverse_coeffs — geometric
+convergence, m ~ 15..60 for FEM mass matrices), so the filter application
+stays solve-free. Rayleigh-Ritz and residuals use the EXACT pencil; the
+returned residuals are recomputed for the original (A, B).
+"""
+import numpy as np
+import pytest
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+from feastkit_tpu import feastinit
+from feastkit_tpu.solvers.sparse import feast_scsrgv
+
+
+def _fem1d(n):
+    """P1 stiffness/consistent-mass pair on (0,1) with n interior nodes."""
+    h = 1.0 / (n + 1)
+    K = sp.diags([2.0 / h * np.ones(n), -1.0 / h * np.ones(n - 1),
+                  -1.0 / h * np.ones(n - 1)], [0, 1, -1], format="csr")
+    M = sp.diags([4 * h / 6 * np.ones(n), h / 6 * np.ones(n - 1),
+                  h / 6 * np.ones(n - 1)], [0, 1, -1], format="csr")
+    return K, M
+
+
+def _fem2d(nx):
+    """Bilinear-Q1-style 2D pair: K = 2D Laplacian stencil, M = tensor
+    mass (1/6)[1 4 1] x (1/6)[1 4 1]. Interior off-diagonal row sums of
+    the scaled M EQUAL the diagonal, so the Gershgorin disc of the
+    congruence touches zero — exercises the host Lanczos bound
+    refinement (_b_spd_bounds)."""
+    h = 1.0 / (nx + 1)
+    D = sp.diags([2.0 / h * np.ones(nx), -1.0 / h * np.ones(nx - 1),
+                  -1.0 / h * np.ones(nx - 1)], [0, 1, -1])
+    Mx = sp.diags([4 * h / 6 * np.ones(nx), h / 6 * np.ones(nx - 1),
+                   h / 6 * np.ones(nx - 1)], [0, 1, -1])
+    Ix = sp.eye(nx)
+    K = (sp.kron(D, Mx) + sp.kron(Mx, D)).tocsr()
+    M = sp.kron(Mx, Mx).tocsr()
+    return K, M
+
+
+def test_cheb_generalized_consistent_mass_1d():
+    K, M = _fem1d(400)
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    Emax = w[10] * 1.001
+    exp = np.sort(w[(w >= 0.0) & (w <= Emax)])
+    fpm = feastinit()
+    fpm[3] = 10
+    r = feast_scsrgv(K, M, 0.0, Emax, len(exp) + 6, fpm, solver="cheb")
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() / exp.max() < 1e-10
+    assert r.res.max() < 1e-9
+    # residuals are for the ORIGINAL pencil
+    x, l0 = r.q[:, 0], r.lam[0]
+    rr = float(np.linalg.norm(K @ x - l0 * (M @ x)) / max(abs(l0), 1.0))
+    assert abs(rr - r.res[0]) <= 1e-12 + 0.1 * rr
+
+
+def test_cheb_generalized_2d_mass_gershgorin_zero():
+    # tensor mass matrix: Gershgorin disc of the unit-diagonal congruence
+    # touches zero -> the eigsh bound refinement must engage (and the
+    # solve still converges)
+    K, M = _fem2d(24)
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    Emax = w[7] * 1.001
+    exp = np.sort(w[(w >= 0.0) & (w <= Emax)])
+    fpm = feastinit()
+    fpm[3] = 9
+    r = feast_scsrgv(K, M, 0.0, Emax, len(exp) + 6, fpm, solver="cheb")
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() / exp.max() < 1e-9
+    assert r.res.max() < 1e-8
+
+
+def test_cheb_generalized_mixed_ladder(monkeypatch, capsys):
+    # fpm[42]=2 forces the f32 -> f64 recurrence ladder through the
+    # UNFUSED generalized path (the fused Pallas rungs are gated to
+    # standard/diagonal operators)
+    K, M = _fem1d(300)
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    Emax = w[8] * 1.001
+    exp = np.sort(w[(w >= 0.0) & (w <= Emax)])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 10
+    fpm[42] = 2
+    r = feast_scsrgv(K, M, 0.0, Emax, len(exp) + 5, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "B-inverse degree=" in out
+    assert "f32 recurrence" in out
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() / exp.max() < 1e-10
+
+
+def test_cheb_generalized_estimate_mode():
+    K, M = _fem1d(300)
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    Emax = w[9] * 1.001
+    exp = int(np.sum((w >= 0.0) & (w <= Emax)))
+    fpm = feastinit()
+    fpm[14] = 2
+    fpm[32] = 24
+    r = feast_scsrgv(K, M, 0.0, Emax, exp + 5, fpm, solver="cheb")
+    assert abs(r.M - exp) <= max(3, int(0.35 * exp))
+
+
+def test_cheb_rejects_indefinite_sparse_b():
+    n = 50
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    # symmetric but indefinite B (dominant off-diagonals)
+    B = sp.diags([np.ones(n), 2.0 * np.ones(n - 1), 2.0 * np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    with pytest.raises(ValueError, match="positive"):
+        feast_scsrgv(A, B, 0.0, 1.0, 8, feastinit(), solver="cheb")
+
+
+def test_cheb_rejects_nonsymmetric_sparse_b():
+    n = 50
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    B = sp.diags([np.ones(n), 0.3 * np.ones(n - 1)], [0, 1], format="csr")
+    with pytest.raises(ValueError, match="cheb"):
+        feast_scsrgv(A, B, 0.0, 1.0, 8, feastinit(), solver="cheb")

@@ -131,13 +131,23 @@ def test_cheb_hermitian_complex():
     assert np.abs(np.sort(r.lam) - exp).max() < 1e-9
 
 
-def test_cheb_requires_standard_or_diagonal_b():
+def test_cheb_b_kinds():
     n = 60
     A = _lap(n)
+    # a consistent-mass SPD B is ACCEPTED (polynomial-inverse transform;
+    # full coverage in test_cheb_generalized.py) ...
     B = sp.diags([4 * np.ones(n), np.ones(n - 1), np.ones(n - 1)],
                  [0, 1, -1], format="csr") / 6.0
-    with pytest.raises(ValueError, match="standard problem"):
-        feast_scsrgv(A, B, 0.5, 0.7, 8, solver="cheb")
+    import scipy.linalg as sla
+    wg = np.sort(sla.eigh(A.toarray(), B.toarray(), eigvals_only=True))
+    Emax = float(0.5 * (wg[5] + wg[6]))
+    rg = feast_scsrgv(A, B, 0.0, Emax, 12, solver="cheb")
+    assert rg.info == 0 and rg.M == 6
+    assert np.abs(np.sort(rg.lam) - wg[:6]).max() / wg[5] < 1e-9
+    # ... a NONSYMMETRIC sparse B is not
+    Bn = sp.diags([np.ones(n), 0.3 * np.ones(n - 1)], [0, 1], format="csr")
+    with pytest.raises(ValueError, match="cheb"):
+        feast_scsrgv(A, Bn, 0.5, 0.7, 8, solver="cheb")
     # explicit identity B is accepted (still a standard problem)
     w = _lap_eigs(n)
     exp = np.sort(w[(w >= 0.5) & (w <= 0.9)])

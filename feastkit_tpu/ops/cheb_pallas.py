@@ -60,7 +60,8 @@ __all__ = [
     "ds_split", "cheb_plan", "cheb_plan_fits", "pack_state",
     "unpack_state", "pack_diags", "cheb_ds_chunk", "cheb_ds_step_reference",
     "pack_state32", "unpack_state32", "pack_diags32", "cheb_f32_chunk",
-    "cheb_ds2_chunk", "cheb_f32_2_chunk",
+    "cheb_ds2_chunk", "cheb_f32_2_chunk", "cheb_gen_plan",
+    "cheb_gen_plan_fits", "cheb_gen_chunk", "cheb_gen_init",
 ]
 
 
@@ -638,6 +639,237 @@ def cheb_f32_2_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
     with jax.enable_x64(False):
         carry, _ = jax.lax.scan(body, carry, pairs)
     return carry
+
+
+# -------------------------------------------- generalized (SPD B) fusion
+#
+# Consistent-mass pencils (solver="cheb" with sparse SPD B) filter the
+# composite operator Chat = sc_C * q(B~) A~ - sh_C * I, where q(B~) is the
+# closed-form polynomial inverse (ops/chebfilter.cheb_inverse_coeffs). The
+# inner q(B~) y is ITSELF a Chebyshev recurrence-with-accumulator — the
+# exact operation the fused kernels implement — so the whole composite
+# filter runs on the same Pallas machinery: per outer step, one A-matvec
+# kernel pass (halved-scalar trick), one inner-init pass, (m_B-1)/2
+# two-step inner passes, and one elementwise combine kernel. Both diagonal
+# sets share one layout plan built from the UNION of the offset patterns.
+#
+# EVERY double-single operation lives inside a Pallas kernel. XLA-level DS
+# glue is FORBIDDEN: when XLA compiles (jit/scan) the EFT helper chains,
+# its fusion pass duplicates products into consumers and the backend
+# contracts mul+add pairs into FMAs, double-counting the two_prod error
+# term and collapsing the lo plane to f32 noise (measured: eager 4e-15,
+# jit 3.7e-8 on the same _ds_mul_f32 call). Mosaic-compiled kernels do no
+# such contraction (verified at 2^-49 effective precision on chip), and
+# interpret-mode kernels are likewise stable under jit.
+
+
+def _zero_like_planes(x):
+    return jnp.zeros_like(x)
+
+
+def _ds_combine_kernel(scal_ref, zh_ref, zl_ref, xh_ref, xl_ref,
+                       t0h_ref, t0l_ref, fh_ref, fl_ref,
+                       t2h_ref, t2l_ref, f2h_ref, f2l_ref):
+    """Elementwise DS combine: C = sc*z - sh*x; T2 = 2C - T0;
+    F' = F + ck*T2. Doubles are exact; all EFT stays in-kernel."""
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck = scal_ref[0, 2]
+    ah, al = _ds_mul_f32(zh_ref[...], zl_ref[...], sc)
+    bh, bl = _ds_mul_f32(xh_ref[...], xl_ref[...], -sh)
+    ch, cl = _ds_add(ah, al, bh, bl)
+    t2h, t2l = _ds_add(2.0 * ch, 2.0 * cl, -t0h_ref[...], -t0l_ref[...])
+    t2h_ref[...] = t2h
+    t2l_ref[...] = t2l
+    ph, plo = _ds_mul_f32(t2h, t2l, ck)
+    f2h, f2l = _ds_add(fh_ref[...], fl_ref[...], ph, plo)
+    f2h_ref[...] = f2h
+    f2l_ref[...] = f2l
+
+
+def _ds_combine(scal, zh, zl, xh, xl, t0h, t0l, fh, fl, *, block,
+                interpret):
+    """(T2, F') from the combine kernel over the full padded layout
+    (margin blocks hold zeros and map to zeros)."""
+    Mp, N_tot = zh.shape
+    blk = pl.BlockSpec((Mp, block), lambda j: (0, j),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _ds_combine_kernel,
+        grid=(N_tot // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 8,
+        out_specs=[blk] * 4,
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 4,
+        interpret=interpret,
+    )(scal, zh, zl, xh, xl, t0h, t0l, fh, fl)
+    return outs
+
+
+def cheb_gen_plan(offsets_A, offsets_B, N, M):
+    """Margin-2 layout plan shared by both operands: block from the UNION
+    of the offset patterns (FEM stiffness/mass pairs share sparsity, so
+    this is usually the same block either way)."""
+    union = tuple(sorted(set(offsets_A) | set(offsets_B)))
+    plan = cheb_plan(union, N, M, margin=2)
+    plan["offsets_A"] = tuple(int(d) for d in offsets_A)
+    plan["offsets_B"] = tuple(int(d) for d in offsets_B)
+    return plan
+
+
+def cheb_gen_plan_fits(offsets_A, offsets_B, N, M, *, ds=True,
+                       vmem_budget=12 << 20):
+    """VMEM gate for the generalized fusion: the phases run the standard
+    1-/2-step kernels one at a time, so the binding working set is the
+    two-step kernel's on the union block."""
+    union = tuple(sorted(set(offsets_A) | set(offsets_B)))
+    return cheb_plan_fits(union, N, M, ds=ds, steps=2,
+                          vmem_budget=vmem_budget)
+
+
+def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
+                   interpret=False):
+    """Advance the OUTER composite recurrence over one coefficient chunk.
+
+    dgA/dgB: packed diagonal planes — (hi, lo) tuples when ds else single
+    planes. qc: (m_B+1,) f32 inner inverse coefficients (static length).
+    carry: (T0, T1, accF) where each element is an (hi, lo) tuple when ds
+    else a plane. scals: dict with sc_C, sh_C (outer affine map) and
+    scB, shB (inner B-hat map) — python floats or traced f32 scalars.
+    Requires a margin-2 plan (the inner pairs run the two-step
+    kernels)."""
+    assert _margin(plan) == 2, "cheb_gen_chunk requires a margin-2 plan"
+    offsets_A = plan["offsets_A"]
+    offsets_B = plan["offsets_B"]
+    block, n_blocks = plan["block"], plan["n_blocks"]
+    g1 = _grid_1step(plan)
+    m_b = int(qc.shape[0]) - 1
+    sc_C = jnp.float32(scals["sc_C"])
+    sh_C = jnp.float32(scals["sh_C"])
+    scB = jnp.float32(scals["scB"])
+    shB = jnp.float32(scals["shB"])
+    qcf = jnp.asarray(qc, jnp.float32)
+    # inner steps j = 2..m_B as two-step pairs (+ zero-pad: a 0-coefficient
+    # step advances the T carry harmlessly past m_B — the accumulator is
+    # untouched and the carry is discarded after the inner loop)
+    n_inner = max(m_b - 1, 0)
+    n_pairs = (n_inner + 1) // 2
+    qpad = jnp.concatenate([qcf[2:], jnp.zeros(2 * n_pairs - n_inner,
+                                               jnp.float32)])
+
+    def smem(a, b, c, d=0.0):
+        return jnp.stack([jnp.float32(a), jnp.float32(b), jnp.float32(c),
+                          jnp.float32(d)])[None, :]
+
+    def apply_q_of_B_ds(yh, yl):
+        z = _zero_like_planes(yh)
+        # inner init: t1 = Bhat y (halved-scalar 1-step, acc unused), then
+        # acc = qc0 y + qc1 t1 via the combine kernel (F' output with
+        # sc=qc1, sh=-qc0, T0=F=0, ck=0.5 undoing the kernel's doubling)
+        t1h, t1l, _, _ = _cheb_ds_step(
+            smem(scB * 0.5, shB * 0.5, 0.0), dgB[0], dgB[1],
+            z, z, z, z, yh, yl,
+            offsets=offsets_B, block=block, n_blocks=g1,
+            interpret=interpret)
+        _, _, ah, al = _ds_combine(
+            smem(qcf[1], -qcf[0], 0.5), t1h, t1l, yh, yl, z, z, z, z,
+            block=block, interpret=interpret)
+        c = (yh, yl, t1h, t1l, ah, al)
+
+        def body(c, ck):
+            t0h, t0l, t1h, t1l, ah, al = c
+            o = _cheb_ds2_step(
+                smem(scB, shB, ck[0], ck[1]), dgB[0], dgB[1],
+                t0h, t0l, ah, al, t1h, t1l,
+                offsets=offsets_B, block=block, n_blocks=n_blocks,
+                interpret=interpret)
+            return o, None
+
+        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, 2))
+        return c[4], c[5]
+
+    def apply_q_of_B_f32(y):
+        z = _zero_like_planes(y)
+        t1, a = _cheb_f32_step(
+            smem(scB * 0.5, shB * 0.5, qcf[1]), dgB, z, qcf[0] * y, y,
+            offsets=offsets_B, block=block, n_blocks=g1,
+            interpret=interpret)
+        c = (y, t1, a)
+
+        def body(c, ck):
+            t0, t1, a = c
+            o = _cheb_f32_2_step(
+                smem(scB, shB, ck[0], ck[1]), dgB, t0, a, t1,
+                offsets=offsets_B, block=block, n_blocks=n_blocks,
+                interpret=interpret)
+            return o, None
+
+        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, 2))
+        return c[2]
+
+    if ds:
+        def body(c, ck):
+            # T2 = 2*(sc_C*q(B~)(A~ T1) - sh_C*T1) - T0; F += ck*T2 — the
+            # affine combine + recurrence + accumulate all in ONE
+            # elementwise kernel pass (no XLA-level DS glue, see above)
+            t0h, t0l, t1h, t1l, fh, fl = c
+            z = _zero_like_planes(t1h)
+            yh, yl, _, _ = _cheb_ds_step(
+                smem(0.5, 0.0, 0.0), dgA[0], dgA[1], z, z, z, z, t1h, t1l,
+                offsets=offsets_A, block=block, n_blocks=g1,
+                interpret=interpret)
+            zh, zl = apply_q_of_B_ds(yh, yl)
+            t2h, t2l, f2h, f2l = _ds_combine(
+                smem(sc_C, sh_C, ck.astype(jnp.float32)), zh, zl, t1h, t1l,
+                t0h, t0l, fh, fl, block=block, interpret=interpret)
+            return (t1h, t1l, t2h, t2l, f2h, f2l), None
+    else:
+        def chat32(x):
+            z = _zero_like_planes(x)
+            y, _ = _cheb_f32_step(
+                smem(0.5, 0.0, 0.0), dgA, z, z, x,
+                offsets=offsets_A, block=block, n_blocks=g1,
+                interpret=interpret)
+            return sc_C * apply_q_of_B_f32(y) - sh_C * x
+
+        def body(c, ck):
+            t0, t1, f = c
+            t2 = 2.0 * chat32(t1) - t0
+            return (t1, t2, f + ck.astype(jnp.float32) * t2), None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, coeffs_chunk)
+    return carry
+
+
+def cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, *, plan, ds,
+                  interpret=False):
+    """Outer carry after the k=0,1 terms: T0 = Q, T1 = Chat Q,
+    accF = c0 T0 + c1 T1 (packed planes; Qp = packed Q)."""
+    # reuse the chunk machinery: one step with ck=0 starting from
+    # (T0=0, T1=Q) gives T2 = 2 Chat Q; halve in XLA
+    if ds:
+        qh, ql = Qp
+        z = jnp.zeros_like(qh)
+        c = cheb_gen_chunk(dgA, dgB, qc, (z, z, qh, ql, z, z),
+                           jnp.zeros(1, jnp.float32), scals, plan=plan,
+                           ds=True, interpret=interpret)
+        # halving both planes by an exact power of two is safe in XLA;
+        # the c0/c1 combine is EFT and must run in-kernel
+        t1h, t1l = 0.5 * c[2], 0.5 * c[3]
+        c01f = c01.astype(jnp.float32)
+        _, _, ah, al = _ds_combine(
+            jnp.stack([c01f[1], -c01f[0], jnp.float32(0.5),
+                       jnp.float32(0)])[None, :],
+            t1h, t1l, qh, ql, z, z, z, z,
+            block=plan["block"], interpret=interpret)
+        return qh, ql, t1h, t1l, ah, al
+    q = Qp
+    z = jnp.zeros_like(q)
+    c = cheb_gen_chunk(dgA, dgB, qc, (z, q, z), jnp.zeros(1, jnp.float32),
+                       scals, plan=plan, ds=False, interpret=interpret)
+    t1 = 0.5 * c[1]
+    return q, t1, (c01[0].astype(jnp.float32) * q
+                   + c01[1].astype(jnp.float32) * t1)
 
 
 # ------------------------------------------------------------- reference

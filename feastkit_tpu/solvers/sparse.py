@@ -1066,11 +1066,15 @@ def _cheb_ds_diags_jit(A_dia, *, block, N_tot, margin=1):
 
 @cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
 def _cheb_ds_init_jit(Q, c0, *, block, N_tot, Mp, margin=1):
-    """(N, M) f64 -> packed carry (T0=0, T1=Q, acc=c0*Q) in DS planes."""
-    from ..ops.cheb_pallas import _ds_mul_f32, pack_state
-    qh, ql = pack_state(Q, dict(block=block, N_tot=N_tot, Mp=Mp,
-                                margin=margin))
-    ah, al = _ds_mul_f32(qh, ql, c0.astype(jnp.float32))
+    """(N, M) f64 -> packed carry (T0=0, T1=Q, acc=c0*Q) in DS planes.
+
+    acc is formed in f64 and split — NOT via the DS helpers at XLA level:
+    jit-compiled EFT chains lose the lo plane to the backend's FMA
+    contraction (see the note in ops/cheb_pallas.py)."""
+    from ..ops.cheb_pallas import pack_state
+    plan = dict(block=block, N_tot=N_tot, Mp=Mp, margin=margin)
+    qh, ql = pack_state(Q, plan)
+    ah, al = pack_state(Q * c0.astype(jnp.float64), plan)
     return jnp.zeros_like(qh), jnp.zeros_like(ql), qh, ql, ah, al
 
 
@@ -1201,6 +1205,8 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
     eigenvectors are exactly preserved). Budgets: the fused steps are
     ~4x (f32) / ~2x (DS) cheaper than the f64 figure the unfused path's
     4e10 was calibrated for."""
+    if ctx.get("gen"):
+        return _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, ds=ds)
     plan, coeffs = ctx["plan"], ctx["coeffs"]
     margin = int(plan.get("margin", 1))
     two_step = bool(ctx.get("ds_2" if ds else "f32_2", False))
@@ -1237,6 +1243,90 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
                                    N=ctx["N"], M=ctx["M"], margin=margin)
     return _cheb_f32_unpack_jit(carry[2], block=plan["block"],
                                 N=ctx["N"], M=ctx["M"], margin=margin)
+
+
+@cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
+                       "interpret", "ds"))
+def _cheb_gen_chunk_jit(dgA, dgB, qc, carry, coeffs_chunk, scals_arr, *,
+                        block, n_blocks, offsets_A, offsets_B,
+                        interpret=False, ds=True):
+    from ..ops.cheb_pallas import cheb_gen_chunk
+    scals = dict(sc_C=scals_arr[0], sh_C=scals_arr[1],
+                 scB=scals_arr[2], shB=scals_arr[3])
+    plan = dict(block=block, n_blocks=n_blocks, offsets_A=offsets_A,
+                offsets_B=offsets_B, margin=2)
+    return cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals,
+                          plan=plan, ds=ds, interpret=interpret)
+
+
+@cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
+                       "interpret", "ds"))
+def _cheb_gen_init_jit(dgA, dgB, qc, Qp, c01, scals_arr, *, block,
+                       n_blocks, offsets_A, offsets_B, interpret=False,
+                       ds=True):
+    from ..ops.cheb_pallas import cheb_gen_init
+    scals = dict(sc_C=scals_arr[0], sh_C=scals_arr[1],
+                 scB=scals_arr[2], shB=scals_arr[3])
+    plan = dict(block=block, n_blocks=n_blocks, offsets_A=offsets_A,
+                offsets_B=offsets_B, margin=2)
+    return cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, plan=plan, ds=ds,
+                         interpret=interpret)
+
+
+def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
+                         M, statics):
+    """Device-resident operands for the FUSED generalized (sparse SPD B)
+    composite recurrence: one margin-2 layout plan from the UNION of both
+    offset patterns, DS + f32 packs of both diagonal sets, f32-rounded
+    map scalars. Built once per solve."""
+    from ..ops.cheb_pallas import cheb_gen_plan, pack_diags, pack_diags32
+    plan = cheb_gen_plan(statics["offsets_A"], statics["offsets_B"], N, M)
+    pk = dict(block=plan["block"], N_tot=plan["N_tot"], margin=2)
+    A_j = cio.device_operand(np.asarray(A_dia, np.float64))
+    B_j = cio.device_operand(np.asarray(B_dia, np.float64))
+    dgA = _cheb_ds_diags_jit(A_j, **pk)
+    dgB = _cheb_ds_diags_jit(B_j, **pk)
+    scals = np.asarray([2.0 / (hi - lo), (hi + lo) / (hi - lo),
+                        2.0 / (b_hi - b_lo), (b_hi + b_lo) / (b_hi - b_lo)],
+                       np.float32)
+    return dict(gen=True, plan=plan, dgA=dgA, dgB=dgB,
+                dgA32=dgA[0], dgB32=dgB[0],
+                qc=np.asarray(qc, np.float32),
+                coeffs=np.asarray(coeffs, np.float32), scals=scals,
+                interpret=not statics["use_pallas"], N=N, M=M)
+
+
+def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds):
+    """One composite filter application rho(q(B~) A~) Q through the fused
+    generalized Pallas kernels (ops/cheb_pallas.py cheb_gen_*): per outer
+    step one A-matvec pass, (m_B+1)/2 + 1 inner B passes, one elementwise
+    combine — every double-single op in-kernel. ``nnz`` already counts
+    the degree-m_B inner Clenshaw (driver's watchdog adjustment)."""
+    from ..ops.cheb_pallas import (pack_state, pack_state32, unpack_state,
+                                   unpack_state32)
+    plan, coeffs = ctx["plan"], ctx["coeffs"]
+    qc = jnp.asarray(ctx["qc"])
+    scals = jnp.asarray(ctx["scals"])
+    st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
+              offsets_A=plan["offsets_A"], offsets_B=plan["offsets_B"],
+              interpret=ctx["interpret"], ds=ds)
+    if ds:
+        Qp = pack_state(Q, plan)
+        dgA, dgB = ctx["dgA"], ctx["dgB"]
+        budget = 8e10
+    else:
+        Qp = pack_state32(Q, plan)
+        dgA, dgB = ctx["dgA32"], ctx["dgB32"]
+        budget = 1.6e11
+    carry = _cheb_gen_init_jit(dgA, dgB, qc, Qp,
+                               jnp.asarray(coeffs[:2]), scals, **st)
+    carry = _run_cheb_chunks(
+        carry,
+        lambda ch, c: _cheb_gen_chunk_jit(dgA, dgB, qc, c, ch, scals, **st),
+        coeffs, 2, budget, nnz, ctx["M"])
+    if ds:
+        return unpack_state(carry[4], carry[5], ctx["N"], ctx["M"], plan)
+    return unpack_state32(carry[2], ctx["N"], ctx["M"], plan)
 
 
 def _b_diagonal(B):
@@ -1488,16 +1578,25 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         import os as _os
         from ..ops import cheb_pallas as _cp
         _ds_env = _os.environ.get("FEAST_CHEB_DS")
-        _fuse_base = (not hermitian and f64 and barrs is None
+        _is_gen = barrs is not None
+        _fuse_base = (not hermitian and f64
                       and statics["offsets_A"] is not None
+                      and (statics["offsets_B"] is not None
+                           if _is_gen else True)
                       and ((lp_avail and bool(statics["use_pallas"]))
                            if _ds_env is None else _ds_env not in ("0", "")))
         # per-kernel VMEM gates: the f32 kernel's working set is ~half the
         # DS kernel's, so it stays fused on operators where DS cannot
-        f32_fused = _fuse_base and _cp.cheb_plan_fits(
-            statics["offsets_A"], N, M0, ds=False)
-        ds_on = _fuse_base and _cp.cheb_plan_fits(
-            statics["offsets_A"], N, M0, ds=True)
+        if _is_gen:
+            f32_fused = _fuse_base and _cp.cheb_gen_plan_fits(
+                statics["offsets_A"], statics["offsets_B"], N, M0, ds=False)
+            ds_on = _fuse_base and _cp.cheb_gen_plan_fits(
+                statics["offsets_A"], statics["offsets_B"], N, M0, ds=True)
+        else:
+            f32_fused = _fuse_base and _cp.cheb_plan_fits(
+                statics["offsets_A"], N, M0, ds=False)
+            ds_on = _fuse_base and _cp.cheb_plan_fits(
+                statics["offsets_A"], N, M0, ds=True)
         if use_lp and not f32_fused:
             # unfused low-precision operand set (hermitian / non-DIA /
             # generalized-spd operators); the fused rungs read the DS
@@ -1518,8 +1617,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         def _fused_ctx():
             nonlocal ds_ctx
             if ds_ctx is None:
-                ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi, N, M0,
-                                          statics)
+                if _is_gen:
+                    ds_ctx = _cheb_gen_ds_context(
+                        A_dia, B_dia, coeffs_d, lo, hi,
+                        b_lo, b_hi, qc, N, M0, statics)
+                else:
+                    ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi, N,
+                                              M0, statics)
             return ds_ctx
         if rand_q0 and f64 and not hermitian:
             # the seeded subspace is Gaussian noise: its f64 mantissa tail

@@ -128,3 +128,45 @@ def test_cheb_rejects_nonsymmetric_sparse_b():
     B = sp.diags([np.ones(n), 0.3 * np.ones(n - 1)], [0, 1], format="csr")
     with pytest.raises(ValueError, match="cheb"):
         feast_scsrgv(A, B, 0.0, 1.0, 8, feastinit(), solver="cheb")
+
+
+def test_cheb_generalized_fused_kernel_ladder(monkeypatch, capsys):
+    """The FUSED generalized rungs (ops/cheb_pallas.cheb_gen_*) carry the
+    mixed-precision ladder for sparse-SPD-B pencils: FEAST_CHEB_DS=1
+    forces the fused path (interpret mode off-TPU), the spy asserts the
+    composite recurrence really ran through the gen kernels, and the
+    result matches dense eigh at the f64 rung's accuracy."""
+    import scipy.linalg as sla
+    import feastkit_tpu.solvers.sparse as sparse_mod
+
+    n = 120
+    h = 1.0 / (n + 1)
+    K = sp.diags([2.0 / h * np.ones(n), -1.0 / h * np.ones(n - 1),
+                  -1.0 / h * np.ones(n - 1)], [0, 1, -1], format="csr")
+    M = sp.diags([4 * h / 6 * np.ones(n), h / 6 * np.ones(n - 1),
+                  h / 6 * np.ones(n - 1)], [0, 1, -1], format="csr")
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    Emax = w[6] * 1.001
+    exp = np.sort(w[(w >= 0.0) & (w <= Emax)])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 10
+    fpm[42] = 2
+    monkeypatch.setenv("FEAST_CHEB_DS", "1")
+    calls = {"gen": 0}
+    orig = sparse_mod._sparse_cheb_filter_host_fused_gen
+
+    def spy(ctx, Q, nnz, *, ds):
+        calls["gen"] += 1
+        return orig(ctx, Q, nnz, ds=ds)
+
+    monkeypatch.setattr(sparse_mod, "_sparse_cheb_filter_host_fused_gen",
+                        spy)
+    r = feast_scsrgv(K, M, 0.0, Emax, len(exp) + 5, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert calls["gen"] >= 2              # fused gen rungs carried the run
+    assert "f32 recurrence" in out
+    assert "ds recurrence" in out
+    assert r.info == 0 and r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() / exp.max() < 1e-10
+    assert r.res.max() < 1e-10

@@ -317,10 +317,9 @@ def test_cheb_fused_gate_falls_back_unfused(monkeypatch, capsys):
 def test_cheb_ds_end_to_end_ladder(monkeypatch, capsys):
     # FEAST_CHEB_DS=1 forces the fused DS kernel rung (interpret mode
     # off-TPU); with fpm[42]=2 the precision ladder is f32 -> DS -> f64.
-    # tol=1e-10 sits BELOW the DS noise floor (~2.5e-9 on this fixture:
-    # u_ds * degree * edge amplification * ||A||), so the run must climb
-    # through every rung and land the final accuracy on true f64 —
-    # residuals certified by exact f64 operator applications throughout.
+    # Since the acc-init lo-plane fix the DS rung is f64-grade on this
+    # fixture (floor ~5e-14, three decades below the pre-fix 2.5e-9), so
+    # tol=1e-13 converges ON the DS rung with no f64 loop at all.
     import scipy.sparse as sp
     from feastkit_tpu import feastinit
     from feastkit_tpu.solvers.sparse import feast_scsrev
@@ -331,18 +330,60 @@ def test_cheb_ds_end_to_end_ladder(monkeypatch, capsys):
     exp = np.sort(w[w <= 0.01])
     fpm = feastinit()
     fpm[1] = 1
-    fpm[3] = 10
+    fpm[3] = 13
     fpm[42] = 2
     monkeypatch.setenv("FEAST_CHEB_DS", "1")
     r = feast_scsrev(A, 0.0, 0.01, len(exp) + 4, fpm, solver="cheb")
     out = capsys.readouterr().out
     assert "f32 recurrence" in out
     assert "ds recurrence" in out
-    assert "f64 recurrence" in out        # DS floored above tol -> fell
-    assert r.info == 0                    # through to the f64 rung
+    assert "f64 recurrence" not in out    # DS rung suffices post-fix
+    assert r.info == 0
     assert r.M == len(exp)
-    assert np.abs(np.sort(r.lam) - exp).max() < 1e-11
-    assert r.res.max() < 1e-10
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-13
+    assert r.res.max() < 1e-13
+
+
+def test_cheb_ladder_falls_through_on_ds_stall(monkeypatch, capsys):
+    # The DS -> f64 fall-through mechanism: degrade the DS rung to a hard
+    # ~1e-8 noise floor (the pre-fix behavior, or a future kernel bug) and
+    # assert the ladder detects the stall, switches to the f64 rung, and
+    # still lands the 1e-13 tolerance.
+    import scipy.sparse as sp
+    from feastkit_tpu import feastinit
+    import feastkit_tpu.solvers.sparse as sparse_mod
+    from feastkit_tpu.solvers.sparse import feast_scsrev
+    n = 300
+    A = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr")
+    w = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    exp = np.sort(w[w <= 0.01])
+    fpm = feastinit()
+    fpm[1] = 1
+    fpm[3] = 13
+    fpm[42] = 2
+    monkeypatch.setenv("FEAST_CHEB_DS", "1")
+    orig = sparse_mod._sparse_cheb_filter_host_fused
+
+    def degraded(ctx, Q, nnz, *, ds):
+        out = orig(ctx, Q, nnz, ds=ds)
+        if ds:
+            rng = np.random.default_rng(7)
+            noise = jnp.asarray(rng.standard_normal(out.shape))
+            out = out + (1e-8 * float(jnp.abs(out).max())) * noise
+        return out
+
+    monkeypatch.setattr(sparse_mod, "_sparse_cheb_filter_host_fused",
+                        degraded)
+    r = feast_scsrev(A, 0.0, 0.01, len(exp) + 4, fpm, solver="cheb")
+    out = capsys.readouterr().out
+    assert "ds recurrence" in out
+    assert "switching to f64" in out
+    assert "f64 recurrence" in out
+    assert r.info == 0
+    assert r.M == len(exp)
+    assert np.abs(np.sort(r.lam) - exp).max() < 1e-13
+    assert r.res.max() < 1e-13
 
 
 def test_cheb_ds_suffices_at_1e8(monkeypatch, capsys):
@@ -368,3 +409,156 @@ def test_cheb_ds_suffices_at_1e8(monkeypatch, capsys):
     assert r.info == 0
     assert r.M == len(exp)
     assert r.res.max() < 1e-8
+
+
+def _fem_pencil_1d(n):
+    """1D stiffness/consistent-mass pair in row-aligned DIA, mass scaled
+    to unit diagonal (entries 1, 1/4 -> kappa(B) ~ 3)."""
+    h = 1.0 / (n + 1)
+    dA = np.zeros((3, n))
+    dA[0, 1:] = -1.0 / h
+    dA[1] = 2.0 / h
+    dA[2, :-1] = -1.0 / h
+    dB = np.zeros((3, n))
+    dB[0, 1:] = 0.25
+    dB[1] = 1.0
+    dB[2, :-1] = 0.25
+    return dA, dB, (-1, 0, 1)
+
+
+def _gen_oracle(dAj, dBj, offs, qc32, scals, Q, coeffs):
+    """f64 composite recurrence with f32-rounded scalars (what the fused
+    kernels compute, at DS precision)."""
+    scB, shB = scals["scB"], scals["shB"]
+    sc_C, sh_C = scals["sc_C"], scals["sh_C"]
+
+    def qB(y):
+        t0 = y
+        t1 = scB * dia_matvec_reference(dBj, y, offs) - shB * y
+        acc = float(qc32[0]) * t0 + float(qc32[1]) * t1
+        for ck in qc32[2:]:
+            t2 = 2.0 * (scB * dia_matvec_reference(dBj, t1, offs)
+                        - shB * t1) - t0
+            acc = acc + float(ck) * t2
+            t0, t1 = t1, t2
+        return acc
+
+    def chat(x):
+        return sc_C * qB(dia_matvec_reference(dAj, x, offs)) - sh_C * x
+
+    T0 = jnp.asarray(Q)
+    T1 = chat(T0)
+    acc = float(coeffs[0]) * T0 + float(coeffs[1]) * T1
+    for ck in coeffs[2:]:
+        T2 = 2.0 * chat(T1) - T0
+        acc = acc + float(ck) * T2
+        T0, T1 = T1, T2
+    return acc, T1
+
+
+def _gen_setup(n=300, M=9, seed=0):
+    from feastkit_tpu.ops.chebfilter import (binva_enclosure,
+                                             cheb_inverse_coeffs,
+                                             gershgorin_interval)
+    dA, dB, offs = _fem_pencil_1d(n)
+    b_lo, b_hi = 0.49, 1.51
+    qc, _ = cheb_inverse_coeffs(b_lo, b_hi, 1e-12)
+    rows, cols, vals = [], [], []
+    for k, off in enumerate(offs):
+        for i in range(n):
+            j = i + off
+            if 0 <= j < n and dA[k, i] != 0.0:
+                rows.append(i), cols.append(j), vals.append(dA[k, i])
+    a_lo, a_hi = gershgorin_interval(
+        np.array(vals), np.array(list(zip(rows, cols))), n)
+    clo, chi = binva_enclosure(a_lo, a_hi, b_lo, b_hi, 1e-12)
+    scals = dict(sc_C=float(np.float32(2.0 / (chi - clo))),
+                 sh_C=float(np.float32((chi + clo) / (chi - clo))),
+                 scB=float(np.float32(2.0 / (b_hi - b_lo))),
+                 shB=float(np.float32((b_hi + b_lo) / (b_hi - b_lo))))
+    rng = np.random.default_rng(seed)
+    Q = rng.standard_normal((n, M))
+    coeffs = np.float32(rng.standard_normal(11) * 0.1)
+    return (jnp.asarray(dA), jnp.asarray(dB), offs, np.float32(qc), scals,
+            Q, coeffs)
+
+
+def test_cheb_gen_chunk_ds_matches_f64():
+    """Fused generalized (SPD B) recurrence == f64 oracle at DS precision.
+
+    Runs the WHOLE chain jit-compiled: XLA-level DS glue silently loses
+    the lo plane to backend FMA contraction (the bug this layout was
+    rewritten to exclude), so DS-level agreement under jit proves every
+    EFT op lives inside a kernel."""
+    from feastkit_tpu.ops.cheb_pallas import (cheb_gen_chunk, cheb_gen_init,
+                                              cheb_gen_plan, pack_diags,
+                                              pack_state, unpack_state)
+    dAj, dBj, offs, qc32, scals, Q, coeffs = _gen_setup()
+    n, M = Q.shape
+    acc_o, t1_o = _gen_oracle(dAj, dBj, offs, qc32, scals, Q, coeffs)
+    plan = cheb_gen_plan(offs, offs, n, M)
+    dgA = pack_diags(dAj, plan)
+    dgB = pack_diags(dBj, plan)
+    Qp = pack_state(jnp.asarray(Q), plan)
+
+    def run(dgA, dgB, qc, Qp, c01, ctail):
+        carry = cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, plan=plan,
+                              ds=True, interpret=True)
+        return cheb_gen_chunk(dgA, dgB, qc, carry, ctail, scals,
+                              plan=plan, ds=True, interpret=True)
+
+    carry = jax.jit(run)(dgA, dgB, jnp.asarray(qc32), Qp,
+                         jnp.asarray(coeffs[:2]), jnp.asarray(coeffs[2:]))
+    acc_k = unpack_state(carry[4], carry[5], n, M, plan)
+    t1_k = unpack_state(carry[2], carry[3], n, M, plan)
+    scale = float(jnp.abs(acc_o).max())
+    assert float(jnp.abs(acc_k - acc_o).max()) / scale < 1e-11
+    assert (float(jnp.abs(t1_k - t1_o).max())
+            / float(jnp.abs(t1_o).max())) < 1e-11
+
+
+def test_cheb_gen_chunk_f32_matches_f64_at_f32():
+    from feastkit_tpu.ops.cheb_pallas import (cheb_gen_chunk, cheb_gen_init,
+                                              cheb_gen_plan, pack_diags32,
+                                              pack_state32, unpack_state32)
+    dAj, dBj, offs, qc32, scals, Q, coeffs = _gen_setup()
+    n, M = Q.shape
+    acc_o, _ = _gen_oracle(dAj, dBj, offs, qc32, scals, Q, coeffs)
+    plan = cheb_gen_plan(offs, offs, n, M)
+    dgA = pack_diags32(dAj, plan)
+    dgB = pack_diags32(dBj, plan)
+    Qp = pack_state32(jnp.asarray(Q), plan)
+    c = cheb_gen_init(dgA, dgB, jnp.asarray(qc32), Qp,
+                      jnp.asarray(coeffs[:2]), scals, plan=plan, ds=False,
+                      interpret=True)
+    c = cheb_gen_chunk(dgA, dgB, jnp.asarray(qc32), c,
+                       jnp.asarray(coeffs[2:]), scals, plan=plan, ds=False,
+                       interpret=True)
+    acc_k = unpack_state32(c[2], n, M, plan)
+    err = float(jnp.abs(acc_k - acc_o).max()) / float(jnp.abs(acc_o).max())
+    assert err < 1e-4
+
+
+def test_ds_glue_in_xla_is_unsafe_documented():
+    """The hazard itself: the same _ds_mul_f32 that is exact in-kernel
+    LOSES the lo plane when XLA jit-compiles it at the top level (backend
+    FMA contraction double-counts the two_prod error). This pins the
+    behavior the in-kernel-only policy guards against; if it ever starts
+    passing, the policy can be relaxed."""
+    from feastkit_tpu.ops.cheb_pallas import _ds_mul_f32
+    rng = np.random.default_rng(1)
+    x64 = rng.standard_normal(4096)
+    xh = jnp.asarray(x64.astype(np.float32))
+    xl = jnp.asarray((x64 - np.float64(x64.astype(np.float32))
+                      ).astype(np.float32))
+    c = np.float32(1.7320508)
+    truth = np.asarray(x64) * np.float64(c)
+
+    def err(pair):
+        v = (np.asarray(pair[0], np.float64)
+             + np.asarray(pair[1], np.float64))
+        return np.abs(v - truth).max() / np.abs(truth).max()
+
+    assert err(_ds_mul_f32(xh, xl, c)) < 1e-13          # eager: exact
+    jit_err = err(jax.jit(_ds_mul_f32)(xh, xl, c))
+    assert jit_err < 1e-6                               # sanity: still f32

@@ -854,14 +854,16 @@ def cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, *, plan, ds,
                            jnp.zeros(1, jnp.float32), scals, plan=plan,
                            ds=True, interpret=interpret)
         # halving both planes by an exact power of two is safe in XLA;
-        # the c0/c1 combine is EFT and must run in-kernel
-        t1h, t1l = 0.5 * c[2], 0.5 * c[3]
-        c01f = c01.astype(jnp.float32)
-        _, _, ah, al = _ds_combine(
-            jnp.stack([c01f[1], -c01f[0], jnp.float32(0.5),
-                       jnp.float32(0)])[None, :],
-            t1h, t1l, qh, ql, z, z, z, z,
-            block=plan["block"], interpret=interpret)
+        # the c0/c1 combine is EFT and must run in-kernel (traced with x64
+        # OFF like every kernel here — Mosaic rejects i64 grid indices)
+        with jax.enable_x64(False):
+            t1h, t1l = 0.5 * c[2], 0.5 * c[3]
+            c01f = c01.astype(jnp.float32)
+            _, _, ah, al = _ds_combine(
+                jnp.stack([c01f[1], -c01f[0], jnp.float32(0.5),
+                           jnp.float32(0)])[None, :],
+                t1h, t1l, qh, ql, z, z, z, z,
+                block=plan["block"], interpret=interpret)
         return qh, ql, t1h, t1l, ah, al
     q = Qp
     z = jnp.zeros_like(q)

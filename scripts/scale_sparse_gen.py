@@ -24,6 +24,16 @@ Ground truth: pass a JSON file of the pencil's lowest eigenvalues
 
 Without a truth file the run still certifies via exact residuals; the
 eigenvalue comparison is skipped.
+
+CONSISTENT-MASS rung (sparse SPD B through the FUSED composite
+q(B~)A~ Pallas recurrence, ops/cheb_pallas.cheb_gen_*):
+
+    python scripts/scale_sparse_gen.py 8 consistent
+
+Truth is exact via the tensor structure: K = Dx(x)Mx + Mx(x)Dx,
+B = Mx(x)Mx share 1D generalized eigenvectors, so the pencil's
+eigenvalues are the pairwise sums mu_i + mu_j of the 1D pencil
+Dx v = mu Mx v (one dense nx-by-nx eigh on the host).
 """
 import json
 import sys
@@ -43,14 +53,26 @@ def main(p, truth_path=None):
     nx = 2 ** p
     N = nx * nx
     Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
-    A = (sp.kron(Dx, sp.eye(nx)) + sp.kron(sp.eye(nx), Dx)).tocsr()
-    i = np.arange(N)
-    d = 1.0 + 0.25 * np.sin(2 * np.pi * i / N) * np.cos(6 * np.pi * i / N)
-    B = sp.diags(d, 0, format="csr")
+    consistent = truth_path == "consistent"
+    if consistent:
+        import scipy.linalg as sla
+        Mx = sp.diags([4 / 6, 1 / 6, 1 / 6], [0, 1, -1], shape=(nx, nx))
+        A = (sp.kron(Dx, Mx) + sp.kron(Mx, Dx)).tocsr()
+        B = sp.kron(Mx, Mx).tocsr()
+        mu = sla.eigh(Dx.toarray(), Mx.toarray(), eigvals_only=True)
+        w = np.sort((mu[:64, None] + mu[None, :64]).ravel())
+        desc = "consistent-mass (sparse SPD B = Mx x Mx)"
+    else:
+        A = (sp.kron(Dx, sp.eye(nx)) + sp.kron(sp.eye(nx), Dx)).tocsr()
+        i = np.arange(N)
+        d = 1.0 + 0.25 * np.sin(2 * np.pi * i / N) * np.cos(6 * np.pi * i / N)
+        B = sp.diags(d, 0, format="csr")
+        desc = "lumped-mass diag B in [0.75,1.25]"
+        w = None
+        if truth_path:
+            w = np.asarray(json.load(open(truth_path))["w"])
 
-    w = None
-    if truth_path:
-        w = np.asarray(json.load(open(truth_path))["w"])
+    if w is not None:
         gaps = np.nonzero(np.diff(w) > 1e-12)[0]
         hi = gaps[np.searchsorted(gaps, 50)]
         Emax = float(0.5 * (w[hi] + w[hi + 1]))
@@ -66,7 +88,7 @@ def main(p, truth_path=None):
     fpm = feastinit()
     fpm[1] = 1
     fpm[3] = 8
-    print(f"N={N} generalized (lumped-mass diag B in [0.75,1.25]) "
+    print(f"N={N} generalized ({desc}) "
           f"target {len(exp) if exp is not None else '?'} pairs "
           f"interval=(0,{Emax:.3e})", flush=True)
     for tag in ("cold", "warm"):

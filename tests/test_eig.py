@@ -131,3 +131,71 @@ def test_driver_qr_vs_callback_end_to_end(rng):
     assert r_cb.M == r_qr.M == len(expected)
     _match_sets(np.asarray(r_cb.lam), np.asarray(r_qr.lam), atol=1e-8)
     _match_sets(np.asarray(r_qr.lam), expected, atol=1e-8)
+
+
+class TestPolishRotation:
+    """Regression for the weak-f64 eigh polish (core/tools.py
+    _polish_rotation): on the chip, raw eigh's ~2e-7*||C|| backward error
+    over near-degenerate gaps ~1.5e-5 admits first-order corrections
+    |Delta| ~ 0.05, and a single Y(I + Delta) step then LOSES orthonormality
+    at Delta^2 ~ 2.5e-3 — which the GEVP whitening amplified into a 2e-5
+    eigenvalue error at the 65k consistent-mass fixture. The iterated
+    (polish, Newton-Schulz) pair must recover an orthonormal, diagonalizing
+    basis from exactly such a corrupted start."""
+
+    def _crowded_case(self, seed=0, n=72, theta=0.01):
+        rng = np.random.default_rng(seed)
+        base = np.sort(rng.uniform(0.0, 0.0156, n))
+        base[10:12] = base[10]                     # exact degeneracy
+        base[30:33] = base[30] + np.array([0.0, 1e-9, 2e-9])  # near-cluster
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        C = (Q * base[None, :]) @ Q.T
+        C = 0.5 * (C + C.T)
+        # corrupt the true eigenbasis by a random rotation of angle ~theta
+        G = rng.standard_normal((n, n)) * theta
+        G = 0.5 * (G - G.T)
+        Y0, _ = np.linalg.qr(Q @ (np.eye(n) + G + G @ G / 2))
+        return C, base, Y0
+
+    def test_recovers_from_corrupted_rotation(self):
+        from feastkit_tpu.core.tools import _polish_rotation
+        C, base, Y0 = self._crowded_case()
+        w, Y = _polish_rotation(jnp.asarray(C), jnp.asarray(Y0), iters=3)
+        w = np.asarray(w)
+        Y = np.asarray(Y)
+        n = C.shape[0]
+        # orthonormality is the property whose loss caused the field bug
+        assert np.abs(Y.T @ Y - np.eye(n)).max() < 1e-10
+        assert np.abs(np.sort(w) - base).max() < 1e-8
+        assert np.abs(C @ Y - Y * w[None, :]).max() < 1e-7
+
+    def test_complex_hermitian(self):
+        from feastkit_tpu.core.tools import _polish_rotation
+        rng = np.random.default_rng(3)
+        n = 48
+        base = np.sort(rng.uniform(0.0, 1.0, n))
+        base[5:8] = base[5] + np.array([0.0, 1e-10, 2e-10])
+        Z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        Q, _ = np.linalg.qr(Z)
+        C = (Q * base[None, :]) @ Q.conj().T
+        C = 0.5 * (C + C.conj().T)
+        G = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) * 0.01
+        G = 0.5 * (G - G.conj().T)
+        Y0, _ = np.linalg.qr(Q @ (np.eye(n) + G))
+        w, Y = _polish_rotation(jnp.asarray(C), jnp.asarray(Y0), iters=3)
+        w = np.asarray(w)
+        Y = np.asarray(Y)
+        assert np.abs(Y.conj().T @ Y - np.eye(n)).max() < 1e-7
+        assert np.abs(np.sort(w) - base).max() < 1e-8
+
+    def test_eigh_polished_noop_on_strong_backend(self):
+        # CPU raw eigh is accurate; eigh_polished must return its result
+        # unchanged (no weak-backend machinery engaged)
+        from feastkit_tpu.core.tools import eigh_polished
+        rng = np.random.default_rng(1)
+        A = rng.standard_normal((16, 16))
+        C = 0.5 * (A + A.T)
+        w, Y = eigh_polished(jnp.asarray(C))
+        wt = np.linalg.eigvalsh(C)
+        assert np.abs(np.asarray(w) - wt).max() < 1e-12

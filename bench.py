@@ -611,17 +611,19 @@ def main():
                         "error": str(e)[:250]})
     results.append({
         "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
-        "value": 60.0, "unit": "s_warm",
+        "value": 58.0, "unit": "s_warm",
         "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
                 "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
-                "8.2e-10, eigenvalue error 8.3e-16; solver='cheb' with "
-                "the f32 -> double-single -> f64 precision ladder and "
-                "the TWO-STEP-fused Pallas recurrence kernels (revolving "
-                "VMEM scratch rings, 6 planes of HBM traffic per two "
-                "steps). measured 2026-08-19, scripts/scale_sparse.py 10 "
-                "cheb (cold 199.4 s incl. remote compiles). 46x the "
-                "round-2 contour result (2768 s warm) on the same "
-                "tunneled single chip; ~26 s is kernel+RR time (427 GB/s "
+                "8.2e-10, eigenvalue error 8.2e-16, 3 refinement loops; "
+                "solver='cheb' with the f32 -> double-single -> f64 "
+                "precision ladder and the TWO-STEP-fused Pallas "
+                "recurrence kernels (revolving VMEM scratch rings, 6 "
+                "planes of HBM traffic per two steps); the iterated eigh "
+                "polish (core/tools.py) cut one refinement loop. "
+                "measured 2026-08-19, scripts/scale_sparse.py 10 cheb "
+                "(cold 142.4 s incl. remote compiles). 48x the round-2 "
+                "contour result (2768 s warm) on the same tunneled "
+                "single chip; ~26 s is kernel+RR time (427 GB/s "
                 "effective vs 819 native), ~20 s the 600 MB eigenvector "
                 "fetch through the ~30 MB/s tunnel — on one native v5e "
                 "the schedule is ~15-20 s, and the subspace columns "
@@ -630,7 +632,7 @@ def main():
     })
     results.append({
         "metric": "sparse_scsrgv_2Dlap_n1048576_lumpedmass_f64_cheb",
-        "value": 88.1, "unit": "s_warm",
+        "value": 92.3, "unit": "s_warm",
         "note": "the north-star's literal GENERALIZED wording: 1M-dof "
                 "pencil A x = lam B x with a lumped-mass diagonal B in "
                 "[0.75, 1.25], solved exactly via the congruence "
@@ -638,9 +640,27 @@ def main():
                 "pencil). 56 pairs, info=SUCCESS, epsout 1.5e-09 "
                 "(eigenvalue error 2.1e-15 vs shift-invert eigsh ground "
                 "truth on the 2026-08-18 run of the same recipe). "
-                "measured 2026-08-19 with the two-step-fused kernels, "
-                "scripts/scale_sparse_gen.py 10 (cold 468.5 s incl. "
-                "remote compiles; was 185.6 s warm with 1-step kernels)",
+                "measured 2026-08-19 at HEAD, scripts/scale_sparse_gen.py "
+                "10 (cold 291.2 s incl. remote compiles; was 185.6 s "
+                "warm with 1-step kernels)",
+    })
+    results.append({
+        "metric": "sparse_scsrgv_consistentmass_n65536_52pairs_f64_cheb",
+        "value": 31.0, "unit": "s_warm",
+        "note": "CONSISTENT-mass generalized pencil (sparse SPD B = "
+                "Mx x Mx, the P1 FEM tensor mass): solve-free via the "
+                "unit-diagonal congruence + degree-37 polynomial inverse "
+                "q(B~) inside the fused composite recurrence; exact "
+                "generalized Rayleigh-Ritz; residuals recomputed for the "
+                "original pencil. 52/52 pairs, info=SUCCESS, epsout "
+                "1.1e-10, eigenvalue error 1.5e-15 vs the exact tensor "
+                "spectrum. measured 2026-08-19, scripts/scale_sparse_gen"
+                ".py 8 consistent (cold 91.3 s). Unlocked this round by "
+                "the iterated eigh polish (the near-degenerate whitening "
+                "Gram broke the single-step polish's orthonormality at "
+                "2.5e-3 -> 2e-5 Ritz error) + measured-pencil-edge "
+                "enclosure (1.43x lower filter degree) + rung-adaptive "
+                "B-inverse (degree 19 on the f32 rung vs 37)",
     })
 
     # 8-virtual-device CPU-mesh certification of the sharded sparse driver

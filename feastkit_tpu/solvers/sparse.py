@@ -1274,11 +1274,13 @@ def _cheb_gen_init_jit(dgA, dgB, qc, Qp, c01, scals_arr, *, block,
 
 
 def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
-                         M, statics):
+                         M, statics, qc_lo=None):
     """Device-resident operands for the FUSED generalized (sparse SPD B)
     composite recurrence: one margin-2 layout plan from the UNION of both
     offset patterns, DS + f32 packs of both diagonal sets, f32-rounded
-    map scalars. Built once per solve."""
+    map scalars. Built once per solve. ``qc_lo``: optional shorter inner
+    inverse for the f32 rung (see the rung-adaptive note in
+    _sparse_cheb_interval) — ds rungs always run the full ``qc``."""
     from ..ops.cheb_pallas import cheb_gen_plan, pack_diags, pack_diags32
     plan = cheb_gen_plan(statics["offsets_A"], statics["offsets_B"], N, M)
     pk = dict(block=plan["block"], N_tot=plan["N_tot"], margin=2)
@@ -1292,6 +1294,8 @@ def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
     return dict(gen=True, plan=plan, dgA=dgA, dgB=dgB,
                 dgA32=dgA[0], dgB32=dgB[0],
                 qc=np.asarray(qc, np.float32),
+                qc_lo=(np.asarray(qc_lo, np.float32)
+                       if qc_lo is not None else np.asarray(qc, np.float32)),
                 coeffs=np.asarray(coeffs, np.float32), scals=scals,
                 interpret=not statics["use_pallas"], N=N, M=M)
 
@@ -1305,7 +1309,7 @@ def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds):
     from ..ops.cheb_pallas import (pack_state, pack_state32, unpack_state,
                                    unpack_state32)
     plan, coeffs = ctx["plan"], ctx["coeffs"]
-    qc = jnp.asarray(ctx["qc"])
+    qc = jnp.asarray(ctx["qc"] if ds else ctx.get("qc_lo", ctx["qc"]))
     scals = jnp.asarray(ctx["scals"])
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
               offsets_A=plan["offsets_A"], offsets_B=plan["offsets_B"],
@@ -1390,9 +1394,11 @@ def _b_spd_bounds(B_data, B_idx, N):
         Bs = _sp.coo_matrix((B_data, (B_idx[:, 0], B_idx[:, 1])),
                             shape=(N, N)).tocsr()
         try:
-            lo_e = float(_spl.eigsh(Bs, k=1, which="SA", tol=1e-4,
+            # deterministic start vector (determinism-by-shape contract)
+            v0 = np.cos(0.7 * np.arange(N)) + 0.5
+            lo_e = float(_spl.eigsh(Bs, k=1, which="SA", tol=1e-4, v0=v0,
                                     return_eigenvectors=False)[0])
-            hi_e = float(_spl.eigsh(Bs, k=1, which="LA", tol=1e-4,
+            hi_e = float(_spl.eigsh(Bs, k=1, which="LA", tol=1e-4, v0=v0,
                                     return_eigenvectors=False)[0])
             b_lo, b_hi = 0.9 * lo_e, min(1.1 * hi_e, b_hi)
         except Exception:
@@ -1404,6 +1410,45 @@ def _b_spd_bounds(B_data, B_idx, N):
             f"[{b_lo:.3g}, {b_hi:.3g}] is not safely positive — use the "
             "contour solvers (gmres/bicgstab) for this pencil")
     return b_lo, b_hi
+
+
+def _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N):
+    """Host Lanczos estimate of lambda_max(B^-1 A) for the scaled SPD-B
+    pencil (1 Lanczos matvec = 1 A matvec + 1 CG solve in B; B is
+    unit-diagonal with kappa <= ~10 after the congruence, so Jacobi-CG
+    converges in ~20 steps). The Gershgorin quotient bound a_hi/b_lo that
+    binva_enclosure falls back on pairs A's worst disc with B's smallest
+    eigenvalue even though no vector attains both — measured 2.2x slack on
+    the P1 consistent-mass tensor pencil, i.e. a 1.5x filter-degree tax
+    (degree ~ sqrt(enclosure span)). Returns None on any failure."""
+    import scipy.sparse as _sp
+    import scipy.sparse.linalg as _spl
+    try:
+        As = _sp.coo_matrix((np.real(A_data).astype(np.float64),
+                             (A_idx[:, 0], A_idx[:, 1])),
+                            shape=(N, N)).tocsr()
+        Bs = _sp.coo_matrix((np.real(B_data).astype(np.float64),
+                             (B_idx[:, 0], B_idx[:, 1])),
+                            shape=(N, N)).tocsr()
+        dinv = 1.0 / Bs.diagonal()
+        jac = _spl.LinearOperator((N, N), matvec=lambda v: dinv * v)
+
+        def bsolve(x):
+            y, info = _spl.cg(Bs, x, rtol=1e-8, maxiter=200, M=jac)
+            if info != 0:
+                raise RuntimeError(f"CG in B failed (info={info})")
+            return y
+
+        Minv = _spl.LinearOperator((N, N), matvec=bsolve)
+        # deterministic start vector: eigsh defaults to a np.random draw,
+        # which would break the determinism-by-shape contract
+        # (feast_tools.jl:6-43) AND make the filter degree run-dependent
+        v0 = np.cos(0.7 * np.arange(N)) + 0.5
+        return float(_spl.eigsh(As, k=1, M=Bs, Minv=Minv, which="LA",
+                                tol=1e-3, maxiter=150, v0=v0,
+                                return_eigenvectors=False)[0])
+    except Exception:                                    # noqa: BLE001
+        return None
 
 
 def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
@@ -1495,11 +1540,33 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N)
         inv_tol = float(np.clip(0.01 * config.tol, 1e-14, 1e-6))
         qc, qinfo = cheb_inverse_coeffs(b_lo, b_hi, inv_tol)
+        # Rung-adaptive inner inverse: the f32 recurrence's own rounding
+        # floor is ~sqrt(degree)*eps_f32 ~ 5e-6, so its composite only
+        # needs q to ~1e-5 — roughly HALF the Clenshaw degree of the
+        # 1e-10+ inverse the ds/f64 rungs carry (degree ~ log(1/tol) at
+        # fixed kappa). A perturbed q changes the FILTER polynomial, not
+        # the pencil: Rayleigh-Ritz and residuals stay exact, so the only
+        # cost is edge-selection blur ~1e-5 relative, well inside the
+        # verify pass's rho threshold.
+        qc_lo, qinfo_lo = cheb_inverse_coeffs(b_lo, b_hi,
+                                              max(inv_tol, 1e-5))
         a_lo, a_hi = gershgorin_interval(A_data, A_idx, N)
-        lo, hi = binva_enclosure(a_lo, a_hi, b_lo, b_hi, qinfo["rel_err"])
+        lo, hi = binva_enclosure(a_lo, a_hi, b_lo, b_hi,
+                                 max(qinfo["rel_err"], qinfo_lo["rel_err"]))
+        # Tighten the upper edge with a measured pencil eigenvalue: the
+        # filter degree scales as sqrt(enclosure span), and the quotient
+        # bound above is ~2x slack on consistent-mass pencils. 1.1x margin
+        # over the Lanczos estimate (converges from below) + the polynomial
+        # -inverse inflation keeps the true spectrum strictly enclosed
+        # (Chebyshev amplifies anything OUTSIDE [lo, hi] exponentially, so
+        # the margin errs conservative).
+        hi_e = _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N)
+        if hi_e is not None and hi_e > max(float(Emax), 0.0):
+            hi = min(hi, (1.1 + qinfo["rel_err"]) * hi_e)
         barrs = (B_data, B_idx, B_dia,
                  np.asarray([b_lo, b_hi], rdtype), np.asarray(qc, rdtype))
     else:
+        qc_lo = None
         lo, hi = gershgorin_interval(A_data, A_idx, N)
     coeffs, cinfo = build_cheb_filter_coeffs(
         lo, hi, float(Emin), float(Emax),
@@ -1610,7 +1677,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                     np.asarray(B_data, lp_dtype), B_idx,
                     np.asarray(B_dia, lp_dtype),
                     np.asarray([b_lo, b_hi], np.float32),
-                    np.asarray(qc, np.float32)))
+                    np.asarray(qc_lo, np.float32)))
             coeffs_lp = np.asarray(coeffs_d, np.float32)
         ds_ctx = None
 
@@ -1620,7 +1687,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 if _is_gen:
                     ds_ctx = _cheb_gen_ds_context(
                         A_dia, B_dia, coeffs_d, lo, hi,
-                        b_lo, b_hi, qc, N, M0, statics)
+                        b_lo, b_hi, qc, N, M0, statics, qc_lo=qc_lo)
                 else:
                     ds_ctx = _cheb_ds_context(arrs, coeffs_d, lo, hi, N,
                                               M0, statics)

@@ -170,3 +170,45 @@ def test_cheb_generalized_fused_kernel_ladder(monkeypatch, capsys):
     assert r.info == 0 and r.M == len(exp)
     assert np.abs(np.sort(r.lam) - exp).max() / exp.max() < 1e-10
     assert r.res.max() < 1e-10
+
+
+def test_cheb_generalized_deterministic_across_rng_state():
+    """Determinism-by-shape contract (feast_tools.jl:6-43, tested at
+    runtests.jl:1094-1106): identical lam bits regardless of the global
+    numpy RNG state. Regression for the host Lanczos bound refinements
+    (_b_spd_bounds, _pencil_upper_edge): scipy eigsh defaults to a RANDOM
+    start vector, which made the B bounds — and hence the filter degree
+    and every downstream bit — run-dependent until pinned with a
+    deterministic v0."""
+    K, M = _fem2d(24)
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    gaps = np.nonzero(np.diff(w) > 1e-9 * w[-1])[0]
+    hi = gaps[np.searchsorted(gaps, 8)]
+    Emax = float(0.5 * (w[hi] + w[hi + 1]))
+    fpm = feastinit()
+    fpm[3] = 9
+    np.random.seed(12345)
+    r1 = feast_scsrgv(K, M, 0.0, Emax, 16, fpm, solver="cheb")
+    np.random.seed(999)
+    r2 = feast_scsrgv(K, M, 0.0, Emax, 16, fpm, solver="cheb")
+    assert r1.M == r2.M == hi + 1
+    assert np.array_equal(np.asarray(r1.lam), np.asarray(r2.lam))
+    assert np.array_equal(np.asarray(r1.res), np.asarray(r2.res))
+
+
+def test_pencil_upper_edge_measured():
+    """_pencil_upper_edge returns lambda_max(B^-1 A) of the scaled pencil
+    to Lanczos accuracy — the enclosure tightening that cuts the filter
+    degree ~1.4x on tensor-mass pencils."""
+    from feastkit_tpu.solvers.sparse import (_pencil_upper_edge,
+                                             sparse_coo_arrays)
+    K, M = _fem2d(24)
+    d = 1.0 / np.sqrt(M.diagonal())
+    Kd, Ki, _ = sparse_coo_arrays(K, np.float64)
+    Md, Mi, _ = sparse_coo_arrays(M, np.float64)
+    Kds = Kd * d[Ki[:, 0]] * d[Ki[:, 1]]
+    Mds = Md * d[Mi[:, 0]] * d[Mi[:, 1]]
+    hi_e = _pencil_upper_edge(Kds, Ki, Mds, Mi, K.shape[0])
+    w = sla.eigh(K.toarray(), M.toarray(), eigvals_only=True)
+    assert hi_e is not None
+    assert abs(hi_e - w[-1]) < 0.02 * w[-1]

@@ -106,8 +106,10 @@ def gram_accurate(X, Y, chunk: int = 1024):
     l = Y.shape[1]
     nb = -(-N // chunk)
     Np = nb * chunk
-    Xp = jnp.zeros((Np, k), X.dtype).at[:N].set(X)
-    Yp = jnp.zeros((Np, l), Y.dtype).at[:N].set(Y)
+    # chunk-aligned N (every power-of-two grid) skips the pad COPY — at
+    # 1M x 72 f64 the two padded duplicates are 1.2 GB of peak HBM
+    Xp = X if Np == N else jnp.zeros((Np, k), X.dtype).at[:N].set(X)
+    Yp = Y if Np == N else jnp.zeros((Np, l), Y.dtype).at[:N].set(Y)
     Xb = Xp.reshape(nb, chunk, k)
     Yb = Yp.reshape(nb, chunk, l)
 
@@ -134,7 +136,7 @@ def matmul_accurate(X, W, chunk: int = 1024):
     l = W.shape[1]
     nb = -(-N // chunk)
     Np = nb * chunk
-    Xp = jnp.zeros((Np, k), X.dtype).at[:N].set(X)
+    Xp = X if Np == N else jnp.zeros((Np, k), X.dtype).at[:N].set(X)
     Xb = Xp.reshape(nb, chunk, k)
 
     def body(_, x):

@@ -53,8 +53,13 @@ try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     _PALLAS_OK = True
+    # v5e VMEM is 128 MB; Mosaic's default scoped budget (16 MB) rejects
+    # large-M0 generalized working sets the hardware holds comfortably
+    # (1M-dof consistent-mass DS kernel: 17 MB) — raise the per-kernel cap
+    _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 except Exception:                                  # pragma: no cover
     _PALLAS_OK = False
+    _CPARAMS = None
 
 __all__ = [
     "ds_split", "cheb_plan", "cheb_plan_fits", "pack_state",
@@ -153,7 +158,7 @@ def _grid_1step(plan):
 
 
 def cheb_plan_fits(offsets, N, M, *, ds=True, steps=1,
-                   vmem_budget=12 << 20):
+                   vmem_budget=32 << 20):
     """True when the fused kernel's VMEM working set fits. block = halo =
     the largest |offset| (128-rounded): a 3D Laplacian's +-nx^2 offsets
     force multi-MB lane blocks whose double-buffered f32 planes exceed the
@@ -299,6 +304,7 @@ def _cheb_ds_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
         out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 4,
         input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         interpret=interpret,
+        compiler_params=_CPARAMS,
     )(scal, dgh, dgl, t0h, t0l, ach, acl,
       t1h, t1h, t1h, t1l, t1l, t1l)
     return t2h, t2l, a2h, a2l
@@ -449,6 +455,7 @@ def _cheb_ds2_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4, 10: 5},
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_CPARAMS,
     )(scal, dgh, dgl, dgh, dgl, t0h, t0l, t1h, t1l, ach, acl)
     return t2h, t2l, t3h, t3l, a2h, a2l
 
@@ -521,6 +528,7 @@ def _cheb_f32_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
         out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 2,
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
+        compiler_params=_CPARAMS,
     )(scal, dg, t0, ac, t1, t1, t1)
     return t2, a2
 
@@ -612,6 +620,7 @@ def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
         input_output_aliases={3: 0, 4: 1, 5: 2},
         scratch_shapes=[pltpu.VMEM((3, Mp, block), jnp.float32)] * 2,
         interpret=interpret,
+        compiler_params=_CPARAMS,
     )(scal, dg, dg, t0, t1, ac)
     return t2, t3, a2
 
@@ -701,6 +710,7 @@ def _ds_combine(scal, zh, zl, xh, xl, t0h, t0l, fh, fl, *, block,
         out_specs=[blk] * 4,
         out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 4,
         interpret=interpret,
+        compiler_params=_CPARAMS,
     )(scal, zh, zl, xh, xl, t0h, t0l, fh, fl)
     return outs
 
@@ -717,7 +727,7 @@ def cheb_gen_plan(offsets_A, offsets_B, N, M):
 
 
 def cheb_gen_plan_fits(offsets_A, offsets_B, N, M, *, ds=True,
-                       vmem_budget=12 << 20):
+                       vmem_budget=32 << 20):
     """VMEM gate for the generalized fusion: the phases run the standard
     1-/2-step kernels one at a time, so the binding working set is the
     two-step kernel's on the union block."""

@@ -1709,6 +1709,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                     np.asarray(_materialize_q0(),
                                np.float32)).astype(np.float64)
             state = _host_state(q0_dev)
+            del q0_dev    # the host name would pin the 600 MB initial
+            #               subspace in HBM for the whole solve
         else:
             state = _host_state(np.asarray(_materialize_q0(), work_dtype))
         import time as _time

@@ -281,8 +281,10 @@ def test_cheb_plan_fits_vmem_gate():
                               64_000_000, 72)
     # per-kernel sizing: a small-M0 operator in the window where the f32
     # kernel (7 planes + diag) fits but the DS kernel (14 + 2 diag) does
-    # not — the f32 rung stays fused while DS falls back
-    offs = (-13700, 0, 13700)
+    # not — the f32 rung stays fused while DS falls back. (Window sized
+    # to the 32 MB model budget that goes with the kernels' 64 MB
+    # vmem_limit_bytes.)
+    offs = (-35600, 0, 35600)
     assert cheb_plan_fits(offs, 1_000_000, 8, ds=False)
     assert not cheb_plan_fits(offs, 1_000_000, 8, ds=True)
 

@@ -1075,11 +1075,16 @@ def _cheb_ds_init_jit(Q, c0, *, block, N_tot, Mp, margin=1):
     plan = dict(block=block, N_tot=N_tot, Mp=Mp, margin=margin)
     qh, ql = pack_state(Q, plan)
     ah, al = pack_state(Q * c0.astype(jnp.float64), plan)
-    return jnp.zeros_like(qh), jnp.zeros_like(ql), qh, ql, ah, al
+    # distinct zero EXPRESSIONS (not two zeros_like of the same operand):
+    # the chunk jits donate every carry plane, and XLA CSE would otherwise
+    # alias the two zero outputs to one buffer — donating it twice is an
+    # execution error
+    return qh * 0.0, ql * 0.0, qh, ql, ah, al
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
-                       "margin"))
+                       "margin"),
+      donate_argnums=(2, 3, 4, 5, 6, 7))
 def _cheb_ds_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl, coeffs_chunk,
                        sc, sh, *, block, n_blocks, offsets, interpret=False,
                        margin=1):
@@ -1092,7 +1097,8 @@ def _cheb_ds_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl, coeffs_chunk,
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
-                       "margin"))
+                       "margin"),
+      donate_argnums=(2, 3, 4, 5, 6, 7))
 def _cheb_ds2_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl,
                         coeffs_chunk, sc, sh, *, block, n_blocks, offsets,
                         interpret=False, margin=2):
@@ -1120,7 +1126,8 @@ def _cheb_f32_init_jit(Q, c0, *, block, N_tot, Mp, margin=1):
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
-                       "margin"))
+                       "margin"),
+      donate_argnums=(1, 2, 3))
 def _cheb_f32_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
                         n_blocks, offsets, interpret=False, margin=1):
     from ..ops.cheb_pallas import cheb_f32_chunk
@@ -1132,7 +1139,8 @@ def _cheb_f32_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
-                       "margin"))
+                       "margin"),
+      donate_argnums=(1, 2, 3))
 def _cheb_f32_2_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
                           n_blocks, offsets, interpret=False, margin=2):
     from ..ops.cheb_pallas import cheb_f32_2_chunk
@@ -1246,7 +1254,8 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
-                       "interpret", "ds"))
+                       "interpret", "ds"),
+      donate_argnums=(3,))
 def _cheb_gen_chunk_jit(dgA, dgB, qc, carry, coeffs_chunk, scals_arr, *,
                         block, n_blocks, offsets_A, offsets_B,
                         interpret=False, ds=True):
@@ -1260,7 +1269,8 @@ def _cheb_gen_chunk_jit(dgA, dgB, qc, carry, coeffs_chunk, scals_arr, *,
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
-                       "interpret", "ds"))
+                       "interpret", "ds"),
+      donate_argnums=(3,))
 def _cheb_gen_init_jit(dgA, dgB, qc, Qp, c01, scals_arr, *, block,
                        n_blocks, offsets_A, offsets_B, interpret=False,
                        ds=True):
@@ -1736,6 +1746,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             state = _sparse_cheb_outer_jit(*arrs[:3], state, Qp,
                                            rdtype(Emin), rdtype(Emax),
                                            barrs=barrs, **statics)
+            Qp = None    # keeping the filtered block referenced through
+            #              the NEXT filter application would add a full
+            #              (N, M0) f64 plane (~600 MB at 1M x 72) to the
+            #              solve's HBM peak
             conv, eps_now, res_h, ins_h = (
                 bool(fetch(state.converged)), float(fetch(state.epsout)),
                 fetch(state.res), fetch(state.inside))

@@ -270,16 +270,22 @@ def device_operand(X):
     return jax.device_put(X)
 
 
-def cjit(fun=None, *, static_argnames=()):
+def cjit(fun=None, *, static_argnames=(), donate_argnums=()):
     """jax.jit drop-in that is complex-I/O safe on the axon platform.
 
     The wrapped callable accepts the same arguments; complex array arguments
     may be numpy or device arrays. Results may contain ComplexPair leaves on
     axon — use :func:`fetch` on result leaves (it is a no-op reassembly on
     other platforms, where plain arrays come back).
+
+    ``donate_argnums``: positional args whose device buffers XLA may reuse
+    for outputs (same contract as jax.jit) — essential for the host-driven
+    recurrence chunk loops, where a non-donated (M, N)-plane carry would
+    double the solve's HBM peak at every dispatch.
     """
     if fun is None:
-        return functools.partial(cjit, static_argnames=static_argnames)
+        return functools.partial(cjit, static_argnames=static_argnames,
+                                 donate_argnums=donate_argnums)
 
     # TPU matmuls default to bfloat16 inputs (fast, ~3 significant digits per
     # product) — fatal for an eigensolver's residual floor. Pin HIGHEST
@@ -292,9 +298,13 @@ def cjit(fun=None, *, static_argnames=()):
         with jax.default_matmul_precision("highest"):
             return fun(*a, **k)
 
-    plain = jax.jit(fun_hp, static_argnames=static_argnames)
+    plain = jax.jit(fun_hp, static_argnames=static_argnames,
+                    donate_argnums=donate_argnums)
 
-    @functools.partial(jax.jit, static_argnames=static_argnames)
+    # split_tree preserves top-level positional structure (complex leaves
+    # become pairs WITHIN an arg subtree), so donate_argnums map 1:1
+    @functools.partial(jax.jit, static_argnames=static_argnames,
+                       donate_argnums=donate_argnums)
     def packed(*args, **kw):
         args = merge_tree(args)
         kw_dyn = {k: v for k, v in kw.items() if k not in static_argnames}

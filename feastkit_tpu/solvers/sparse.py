@@ -1180,6 +1180,16 @@ def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
                 interpret=not statics["use_pallas"], N=N, M=M)
 
 
+def _cheb_sync():
+    """FEAST_CHEB_SYNC=1: synchronize + trace every phase of the host-driven
+    recurrence (init / chunk / unpack / outer RR). Debugging aid for the
+    remote attachment, where async dispatch makes a RESOURCE_EXHAUSTED
+    surface at the next fetch instead of at the program that actually
+    exhausted HBM."""
+    import os as _os
+    return _os.environ.get("FEAST_CHEB_SYNC") not in (None, "", "0")
+
+
 def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M,
                      even=False):
     """Shared chunk loop for every host-driven recurrence: fixed static
@@ -1194,11 +1204,18 @@ def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M,
     steps = int(max(64, min(m1, budget // max(2 * nnz * M, 1))))
     if even:
         steps += steps % 2
+    sync = _cheb_sync()
+    import time as _time
+    _t0 = _time.perf_counter()
     for base in range(start, m1, steps):
         chunk = np.zeros(steps, coeffs.dtype)
         take = min(steps, m1 - base)
         chunk[:take] = coeffs[base:base + take]
         carry = chunk_fn(jnp.asarray(chunk), carry)
+        if sync:
+            jax.block_until_ready(carry)
+            print(f"[cheb-sync] chunk @{base}+{take}/{m1} "
+                  f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
     return carry
 
 
@@ -1247,9 +1264,15 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
             carry, lambda ch, c: chunk(ch, c, ctx["sc"], ctx["sh"]),
             coeffs, 2, budget, nnz, ctx["M"])
     if ds:
-        return _cheb_ds_unpack_jit(carry[4], carry[5], block=plan["block"],
+        # drop the four T-recurrence planes (~1.2 GB at the 1M north-star)
+        # before the unpack dispatches: only the accumulator pair is read
+        ach, acl = carry[4], carry[5]
+        carry = None
+        return _cheb_ds_unpack_jit(ach, acl, block=plan["block"],
                                    N=ctx["N"], M=ctx["M"], margin=margin)
-    return _cheb_f32_unpack_jit(carry[2], block=plan["block"],
+    buf = carry[2]
+    carry = None
+    return _cheb_f32_unpack_jit(buf, block=plan["block"],
                                 N=ctx["N"], M=ctx["M"], margin=margin)
 
 
@@ -1281,6 +1304,20 @@ def _cheb_gen_init_jit(dgA, dgB, qc, Qp, c01, scals_arr, *, block,
                 offsets_B=offsets_B, margin=2)
     return cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, plan=plan, ds=ds,
                          interpret=interpret)
+
+
+@cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
+def _cheb_pack_jit(Q, *, block, N_tot, Mp, margin=2):
+    from ..ops.cheb_pallas import pack_state
+    return pack_state(Q, dict(block=block, N_tot=N_tot, Mp=Mp,
+                              margin=margin))
+
+
+@cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
+def _cheb_pack32_jit(Q, *, block, N_tot, Mp, margin=2):
+    from ..ops.cheb_pallas import pack_state32
+    return pack_state32(Q, dict(block=block, N_tot=N_tot, Mp=Mp,
+                                margin=margin))
 
 
 def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
@@ -1316,31 +1353,38 @@ def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds):
     step one A-matvec pass, (m_B+1)/2 + 1 inner B passes, one elementwise
     combine — every double-single op in-kernel. ``nnz`` already counts
     the degree-m_B inner Clenshaw (driver's watchdog adjustment)."""
-    from ..ops.cheb_pallas import (pack_state, pack_state32, unpack_state,
-                                   unpack_state32)
     plan, coeffs = ctx["plan"], ctx["coeffs"]
     qc = jnp.asarray(ctx["qc"] if ds else ctx.get("qc_lo", ctx["qc"]))
     scals = jnp.asarray(ctx["scals"])
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
               offsets_A=plan["offsets_A"], offsets_B=plan["offsets_B"],
               interpret=ctx["interpret"], ds=ds)
+    pk = dict(block=plan["block"], N_tot=plan["N_tot"], Mp=plan["Mp"],
+              margin=int(plan.get("margin", 2)))
     if ds:
-        Qp = pack_state(Q, plan)
+        Qp = _cheb_pack_jit(Q, **pk)
         dgA, dgB = ctx["dgA"], ctx["dgB"]
         budget = 8e10
     else:
-        Qp = pack_state32(Q, plan)
+        Qp = _cheb_pack32_jit(Q, **pk)
         dgA, dgB = ctx["dgA32"], ctx["dgB32"]
         budget = 1.6e11
     carry = _cheb_gen_init_jit(dgA, dgB, qc, Qp,
                                jnp.asarray(coeffs[:2]), scals, **st)
+    Qp = None
     carry = _run_cheb_chunks(
         carry,
         lambda ch, c: _cheb_gen_chunk_jit(dgA, dgB, qc, c, ch, scals, **st),
         coeffs, 2, budget, nnz, ctx["M"])
+    upk = dict(block=plan["block"], N=ctx["N"], M=ctx["M"],
+               margin=int(plan.get("margin", 2)))
     if ds:
-        return unpack_state(carry[4], carry[5], ctx["N"], ctx["M"], plan)
-    return unpack_state32(carry[2], ctx["N"], ctx["M"], plan)
+        ach, acl = carry[4], carry[5]
+        carry = None      # free the four T planes before the unpack runs
+        return _cheb_ds_unpack_jit(ach, acl, **upk)
+    buf = carry[2]
+    carry = None
+    return _cheb_f32_unpack_jit(buf, **upk)
 
 
 def _b_diagonal(B):
@@ -1577,6 +1621,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                  np.asarray([b_lo, b_hi], rdtype), np.asarray(qc, rdtype))
     else:
         qc_lo = None
+        qinfo_lo = None
         lo, hi = gershgorin_interval(A_data, A_idx, N)
     coeffs, cinfo = build_cheb_filter_coeffs(
         lo, hi, float(Emin), float(Emax),
@@ -1634,6 +1679,15 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     # stall-switch would otherwise burn discovering it.
     lp_switch = max(2.0 * np.sqrt(float(cinfo["degree"])) * 6e-8,
                     30.0 * float(config.tol))
+    if qinfo_lo is not None:
+        # Generalized SPD-B composite: the f32 rung runs the SHORTER
+        # rung-adaptive inverse q_lo (rel_err ~1e-5), whose approximation
+        # error — not recurrence rounding — sets that rung's residual
+        # floor (measured 8.9e-6 at the 1M consistent-mass rung vs the
+        # sqrt(degree)*eps_f32 prediction of 3.8e-6). Fold it into the
+        # predicted floor so the ladder switches to DS without burning a
+        # probe loop (~160 s each at 1M dof) discovering the stall.
+        lp_switch = max(lp_switch, 2.0 * float(qinfo_lo["rel_err"]))
 
     if (cio.complex_io_required() or use_lp) and config.mode != 1:
         # tunnel: bound work per dispatch (the remote execution watchdog
@@ -1727,22 +1781,34 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         from ..kernel.hermitian import SPURIOUS_RES
         eps_best, eps_prev, best_state, stall_loops = np.inf, np.inf, None, 0
         gm_prev = np.inf
+        _dummy_q = None
         for _loop in range(config.max_loops + 1):
             _t0 = _time.perf_counter()
+            # The Rayleigh-Ritz update reads state.Q only for its DTYPE
+            # (the new basis comes entirely from Qproj), so the old (N, M0)
+            # subspace — a full f64 plane, ~600 MB at the 1M north-star —
+            # is dropped from the state as soon as the filter application
+            # has consumed it instead of riding through the whole chunk
+            # run + Rayleigh-Ritz as dead weight in HBM.
+            _Qin = state.Q
+            if _dummy_q is None:
+                _dummy_q = jnp.zeros((1, 1), jnp.result_type(_Qin.dtype))
+            state = state._replace(Q=_dummy_q)
             if use_lp and f32_fused:
                 Qp = _sparse_cheb_filter_host_fused(
-                    _fused_ctx(), state.Q, nnz, ds=False
+                    _fused_ctx(), _Qin, nnz, ds=False
                 ).astype(work_dtype)
             elif use_lp:
                 Qp = _sparse_cheb_filter_host(
-                    arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
+                    arrs_lp, coeffs_lp, _Qin.astype(lp_dtype), statics,
                     nnz, barrs=barrs_lp).astype(work_dtype)
             elif ds_on:
-                Qp = _sparse_cheb_filter_host_fused(_fused_ctx(), state.Q,
+                Qp = _sparse_cheb_filter_host_fused(_fused_ctx(), _Qin,
                                                     nnz, ds=True)
             else:
-                Qp = _sparse_cheb_filter_host(arrs, coeffs_d, state.Q,
+                Qp = _sparse_cheb_filter_host(arrs, coeffs_d, _Qin,
                                               statics, nnz, barrs=barrs)
+            _Qin = None
             state = _sparse_cheb_outer_jit(*arrs[:3], state, Qp,
                                            rdtype(Emin), rdtype(Emax),
                                            barrs=barrs, **statics)
@@ -1750,6 +1816,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             #              the NEXT filter application would add a full
             #              (N, M0) f64 plane (~600 MB at 1M x 72) to the
             #              solve's HBM peak
+            if _cheb_sync():
+                jax.block_until_ready(state.epsout)
+                print(f"[cheb-sync] outer RR done "
+                      f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
             conv, eps_now, res_h, ins_h = (
                 bool(fetch(state.converged)), float(fetch(state.epsout)),
                 fetch(state.res), fetch(state.inside))
@@ -1761,8 +1831,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                       f"({kind} recurrence, "
                       f"{_time.perf_counter() - _t0:.1f}s)", flush=True)
             # epsout is max-over-PLAUSIBLE: an M=0 loop reports 0.0 and
-            # must never win the best-state race
-            if eps_now < eps_best and M_now > 0:
+            # must never win the best-state race. f32-rung states never
+            # compete: best_state only matters on the stall-give-up exit,
+            # which can only fire on the top rung (a lower-rung stall
+            # SWITCHES rungs), and any ds/f64 loop beats every f32 loop —
+            # tracking them would just pin an extra (N, M0) plane in HBM
+            # across the f32->ds rung boundary.
+            if eps_now < eps_best and M_now > 0 and not use_lp:
                 eps_best, best_state = eps_now, state
             if conv:
                 break

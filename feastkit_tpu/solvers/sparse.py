@@ -1434,15 +1434,114 @@ def _b_sparse_spd(B):
     return "spd", diag
 
 
-def _b_spd_bounds(B_data, B_idx, N):
+def _lanczos_tridiag(apply_op, apply_ip, v0, steps):
+    """(alphas, betas) of a fixed-step 3-term Lanczos recurrence on
+    ``apply_op`` in the inner product <x, y> = x^T apply_ip(y) (pass the
+    identity for plain symmetric Lanczos, apply_B for the generalized
+    B-inner-product recurrence on B^-1 A). No reorthogonalization and no
+    basis storage: orthogonality loss only duplicates converged extreme
+    Ritz values, which is harmless for the spectrum-EDGE estimates these
+    feed (interlacing keeps them inside the true spectrum)."""
+    def ip(x, y):
+        return jnp.sum(x * apply_ip(y))
+
+    q1 = v0 / jnp.sqrt(jnp.maximum(ip(v0, v0), 1e-300))
+    alphas = jnp.zeros(steps, v0.dtype)
+    betas = jnp.zeros(steps, v0.dtype)
+
+    def body(j, carry):
+        q_prev, q, beta_prev, al, be = carry
+        u = apply_op(q) - beta_prev * q_prev
+        a = ip(u, q)
+        u = u - a * q
+        b2 = jnp.maximum(ip(u, u), 0.0)
+        b = jnp.sqrt(b2)
+        q_next = u / jnp.where(b > 1e-30, b, 1.0)
+        return q, q_next, b, al.at[j].set(a), be.at[j].set(b)
+
+    _, _, _, alphas, betas = jax.lax.fori_loop(
+        0, steps, body, (jnp.zeros_like(q1), q1, jnp.zeros((), v0.dtype),
+                         alphas, betas))
+    return alphas, betas
+
+
+@cjit(static_argnames=("steps", "offsets"))
+def _lanczos_sym_edges_jit(dia, v0, *, steps, offsets):
+    apply_op = _make_apply(None, dia, offsets, False)
+    return _lanczos_tridiag(lambda x: apply_op(x), lambda x: x, v0, steps)
+
+
+@cjit(static_argnames=("steps", "offsets_A", "offsets_B"))
+def _lanczos_pencil_edge_jit(A_dia, B_dia, qc, b_lohi, v0, *, steps,
+                             offsets_A, offsets_B):
+    """Generalized Lanczos on B^-1 A in the B inner product, with the
+    polynomial inverse q(B~) (ops/chebfilter.cheb_inverse_coeffs) standing
+    in for the B-solve — every op a plain DIA matvec, no Krylov-in-B."""
+    from ..ops.chebfilter import make_apply_binv_a
+    apply_A = _make_apply(None, A_dia, offsets_A, False)
+    apply_B = _make_apply(None, B_dia, offsets_B, False)
+    apply_C = make_apply_binv_a(apply_A, apply_B, b_lohi[0], b_lohi[1], qc)
+    return _lanczos_tridiag(apply_C, apply_B, v0, steps)
+
+
+def _lanczos_v0(N):
+    # deterministic start vector (determinism-by-shape contract,
+    # feast_tools.jl:6-43) — a seeded RNG draw would work too, but this
+    # matches the host-eigsh paths' v0 exactly
+    return (np.cos(0.7 * np.arange(N)) + 0.5).astype(
+        np.float32).reshape(N, 1)
+
+
+def _tridiag_edges(al, be):
+    import scipy.linalg as _sla
+    al = np.asarray(al, np.float64)
+    be = np.asarray(be, np.float64)[:-1]
+    w = _sla.eigh_tridiagonal(al, be, eigvals_only=True,
+                              lapack_driver="stev")
+    return float(w[0]), float(w[-1])
+
+
+def _pencil_upper_edge_fast(A_dia, offsets_A, B_dia, offsets_B, qc,
+                            b_lo, b_hi, N, steps=96):
+    """Measured upper edge of the congruenced pencil via the jitted
+    polynomial-inverse Lanczos (_lanczos_pencil_edge_jit) — replaces the
+    host scipy eigsh+CG path (a ~10-minute single-threaded phase at 1M dof
+    that every solve repaid) with a few seconds of device matvecs. Returns
+    None when either operand has no DIA form."""
+    if offsets_A is None or offsets_B is None:
+        return None
+    try:
+        al, be = _lanczos_pencil_edge_jit(
+            np.asarray(np.real(A_dia), np.float32),
+            np.asarray(np.real(B_dia), np.float32),
+            np.asarray(qc, np.float32),
+            np.asarray([b_lo, b_hi], np.float32),
+            _lanczos_v0(N), steps=min(int(steps), N),
+            offsets_A=offsets_A, offsets_B=offsets_B)
+        return _tridiag_edges(fetch(al), fetch(be))[1]
+    except Exception:                                    # noqa: BLE001
+        return None
+
+
+def _b_spd_bounds(B_data, B_idx, N, B_dia=None, offsets_B=None):
     """Spectrum enclosure [b_lo, b_hi] of the unit-diagonal-scaled B.
     Gershgorin first (free); when the discs touch zero (e.g. P1 2D mass
     matrices, where interior off-diagonal row sums EQUAL the diagonal) a
-    host Lanczos (scipy eigsh) refines the ends. Raises when B is not
+    fixed-step device Lanczos (_lanczos_sym_edges_jit; host scipy eigsh
+    when B has no DIA form) refines the ends. Raises when B is not
     positive definite enough for the polynomial inverse."""
     from ..ops.chebfilter import gershgorin_interval
     b_lo, b_hi = gershgorin_interval(B_data, B_idx, N)
-    if b_lo <= 0.02 * b_hi:
+    if b_lo <= 0.02 * b_hi and offsets_B is not None:
+        try:
+            al, be = _lanczos_sym_edges_jit(
+                np.asarray(np.real(B_dia), np.float32), _lanczos_v0(N),
+                steps=min(128, N), offsets=offsets_B)
+            lo_e, hi_e = _tridiag_edges(fetch(al), fetch(be))
+            b_lo, b_hi = 0.9 * lo_e, min(1.1 * hi_e, b_hi)
+        except Exception:                                # noqa: BLE001
+            pass
+    elif b_lo <= 0.02 * b_hi:
         import scipy.sparse as _sp
         import scipy.sparse.linalg as _spl
         Bs = _sp.coo_matrix((B_data, (B_idx[:, 0], B_idx[:, 1])),
@@ -1591,7 +1690,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         outB = bcoo_to_dia(B_data, B_idx, N)
         B_dia, offsets_B = outB if outB else (np.zeros((0, N), work_dtype),
                                               None)
-        b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N)
+        b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N,
+                                   B_dia=B_dia, offsets_B=offsets_B)
         inv_tol = float(np.clip(0.01 * config.tol, 1e-14, 1e-6))
         qc, qinfo = cheb_inverse_coeffs(b_lo, b_hi, inv_tol)
         # Rung-adaptive inner inverse: the f32 recurrence's own rounding
@@ -1614,7 +1714,10 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # -inverse inflation keeps the true spectrum strictly enclosed
         # (Chebyshev amplifies anything OUTSIDE [lo, hi] exponentially, so
         # the margin errs conservative).
-        hi_e = _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N)
+        hi_e = _pencil_upper_edge_fast(A_dia, offsets_A, B_dia, offsets_B,
+                                       qc, b_lo, b_hi, N)
+        if hi_e is None:
+            hi_e = _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N)
         if hi_e is not None and hi_e > max(float(Emax), 0.0):
             hi = min(hi, (1.1 + qinfo["rel_err"]) * hi_e)
         barrs = (B_data, B_idx, B_dia,

@@ -143,16 +143,24 @@ class FeastGeneralResult:
 
 
 def _trim(result_cls, lam_full, q_full, res_full, inside, info, epsout, loop,
-          left_q_full=None, inner_ok=True):
+          left_q_full=None, inner_ok=True, q_trimmed=None):
     """Host-side: order buffers inside-first (already done in-core) and trim
     to the M valid entries, building the user-facing result object.
 
     ``inner_ok=False`` marks a run whose inner iterative solves missed their
     tolerance (reference failure policy: degraded contribution + @warn,
     feast_parallel.jl:266-273); the warning is emitted here so every driver
-    shares one policy."""
+    shares one policy.
+
+    ``q_trimmed``: a pre-trimmed (N, M) eigenvector block supplied by the
+    driver — either host numpy or a device jax.Array (the TPU-native
+    ``device_q=True`` contract). When given, ``q_full`` is stored AS
+    PROVIDED (it may be a device array; ``np.asarray(result.q_full)``
+    fetches lazily) instead of being forced to host here, so the full
+    M0-column basis never crosses a remote attachment unrequested."""
     lam_full = np.asarray(lam_full)
-    q_full = np.asarray(q_full)
+    if q_trimmed is None:
+        q_full = np.asarray(q_full)
     res_full = np.asarray(res_full)
     inside = np.asarray(inside).astype(bool)
     # IFEAST semantics (feast_parameters.jl:326-329: default inner tol is
@@ -173,7 +181,7 @@ def _trim(result_cls, lam_full, q_full, res_full, inside, info, epsout, loop,
             "tolerance", RuntimeWarning, stacklevel=3)
     out = result_cls(
         lam=lam_full[:M],
-        q=q_full[:, :M],
+        q=q_full[:, :M] if q_trimmed is None else q_trimmed,
         M=M,
         res=res_full[:M],
         info=FeastError(int(info)),

@@ -1053,6 +1053,38 @@ def _sparse_cheb_outer_jit(A_data, A_idx, A_dia, state, Qproj, Emin, Emax, *,
     return update(state, Qproj, jnp.bool_(True))
 
 
+@cjit(static_argnames=_CHEB_STATICS)
+def _cheb_backxform_jit(A_data, A_idx, A_dia, dscale, Q, lam, *, shape,
+                        config, offsets_A=None, use_pallas=False,
+                        barrs=None, offsets_B=None):
+    """Device-side congruence back-transform + exact-pencil residuals.
+
+    The cheb driver solves the unit-diagonal congruence A_hat = D^-1/2 A
+    D^-1/2 (and B_hat for sparse SPD B; B_hat = I for lumped-mass diagonal
+    B). For a congruence-space Ritz basis Y with values lam, the ORIGINAL
+    pencil's eigenvectors and residuals are (s = diag(D^-1/2) = dscale)
+
+        x_j  = s .* y_j / ||s .* y_j||
+        A x_j - lam_j B x_j = s^-1 .* (A_hat y_j - lam_j B_hat y_j)
+                               / ||s .* y_j||
+
+    because A = D^1/2 A_hat D^1/2 (same for B). One exact matvec per
+    column. Runs ON DEVICE so the full (N, M0) basis never has to leave
+    HBM before trimming (the former host scipy pass forced fetching all
+    M0 columns — ~600 MB at the 1M north-star through the tunnel)."""
+    apply_A, apply_B, _ = _cheb_ops(
+        A_data, A_idx, A_dia, barrs, shape=shape, offsets_A=offsets_A,
+        offsets_B=offsets_B, use_pallas=use_pallas)
+    s = dscale[:, None].astype(jnp.result_type(Q.dtype))
+    nrm = jnp.linalg.norm(s * Q, axis=0)
+    nrm = jnp.where(nrm > 0, nrm, 1.0)
+    X = (s * Q) / nrm[None, :]
+    lamr = lam.astype(jnp.result_type(Q.dtype))[None, :]
+    R = (apply_A(Q) - apply_B(Q) * lamr) / (s * nrm[None, :])
+    res = jnp.linalg.norm(R, axis=0) / jnp.maximum(jnp.abs(lam), 1.0)
+    return X, res
+
+
 # Double-single (pair-of-f32) fused recurrence: the f64-phase filter
 # applications on TPU run the ops/cheb_pallas.py kernel — ~2^-49 effective
 # precision from f32 VPU arithmetic in ONE fused pass per step, instead of
@@ -1605,7 +1637,7 @@ def _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N):
 
 
 def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
-                          Q0=None, mesh=None) -> FeastResult:
+                          Q0=None, mesh=None, device_q=False) -> FeastResult:
     """solver="cheb" driver: polynomial-filtered FEAST (standard problems).
 
     Generalized pencils need B-resolvent applications inside the polynomial
@@ -2009,30 +2041,26 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         state = _sparse_cheb_jit(*arrs, coeffs_d, Q0_in,
                                  rdtype(Emin), rdtype(Emax), barrs=barrs,
                                  **statics)
-    conv, lam, Q, res, inside, epsout, loop, inner_ok = cio.fetch_many(
-        [state.converged, state.lam, state.Q, state.res, state.inside,
+    # Fetch the SMALL result leaves in one packed transfer; the (N, M0)
+    # basis stays ON DEVICE until trimmed. Through a remote attachment the
+    # full f64 basis is the dominant device->host transfer of the whole
+    # solve (~600 MB at the 1M north-star, ~20 s at tunnel rates): fetching
+    # only the M inside columns drops the (M0 - M) spurious ones, and
+    # device_q=True skips the transfer entirely (the TPU-native contract:
+    # results are jax Arrays the caller composes with further device work).
+    conv, lam, res, inside, epsout, loop, inner_ok = cio.fetch_many(
+        [state.converged, state.lam, state.res, state.inside,
          state.epsout, state.loop, state.inner_ok])
+    Qdev = state.Q
     if b_kind in ("diagonal", "spd"):
         # back-transform x = D^-1/2 y, re-normalize, and recompute the
         # residuals for the ORIGINAL pencil ||A x - lam B x|| / max(|lam|,1)
-        # (host matvecs: one pass over nnz per column)
-        import scipy.sparse as _sp
-        Q = np.asarray(Q) * dscale[:, None]
-        nrm = np.linalg.norm(Q, axis=0)
-        Q = Q / np.where(nrm > 0, nrm, 1.0)[None, :]
-        A0 = _sp.coo_matrix((np.asarray(
-            sparse_coo_arrays(A, work_dtype)[0]),
-            (A_idx[:, 0], A_idx[:, 1])), shape=shape).tocsr()
-        lam_h = np.asarray(lam)
-        if b_kind == "spd":
-            d0, i0, _ = sparse_coo_arrays(B, work_dtype)
-            B0 = _sp.coo_matrix((np.asarray(d0), (i0[:, 0], i0[:, 1])),
-                                shape=shape).tocsr()
-            BQ = B0 @ Q
-        else:
-            BQ = b_diag[:, None] * Q
-        r = A0 @ Q - BQ * lam_h[None, :]
-        res = np.linalg.norm(r, axis=0) / np.maximum(np.abs(lam_h), 1.0)
+        # on device (one exact matvec per column, _cheb_backxform_jit)
+        Qdev, res_dev = _cheb_backxform_jit(
+            *arrs[:3], jnp.asarray(dscale.astype(
+                np.float64 if f64 else np.float32)),
+            Qdev, state.lam, barrs=barrs, **statics)
+        res = np.asarray(cio.fetch(res_dev))
         ins = np.asarray(inside)
         epsout = float(res[ins].max()) if ins.any() else float(epsout)
     # Post-verify SUCCESS upgrade: the loop's convergence flag is judged on
@@ -2046,9 +2074,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             and float(np.max(np.asarray(res)[ins])) <= config.tol):
         conv = True
     info = FeastError.SUCCESS if bool(conv) else FeastError.NO_CONVERGENCE
-    return _trim(FeastResult, lam, Q, res, inside,
+    M_found = int(ins.sum())
+    q_trim = cio.slice_cols(Qdev, M_found)
+    if not device_q:
+        q_trim = cio.fetch(q_trim)
+    return _trim(FeastResult, lam, Qdev, res, inside,
                  int(info), float(epsout), int(loop) - 1,
-                 inner_ok=bool(inner_ok))
+                 inner_ok=bool(inner_ok), q_trimmed=q_trim)
 
 
 def _sparse_cheb_filter_host(arrs, coeffs, Q, statics, nnz, barrs=None):
@@ -2217,18 +2249,24 @@ def _peek_dtype(A):
 def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                           solver=None, solver_tol=None, solver_maxiter=None,
                           solver_restart=30, Q0=None, grid=None,
-                          precond=None) -> FeastResult:
+                          precond=None, device_q=False) -> FeastResult:
     """Shared sparse symmetric/Hermitian interval driver
     (parity: feast_scsrgv!/hcsrgv! families, feast_sparse.jl:713-871).
 
     Inner-solver defaults honor the IFEAST knobs when fpm[43]=1
-    (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy."""
+    (ifeast_solver_options); otherwise GMRES at ~outer-tol accuracy.
+
+    ``device_q=True`` (solver='cheb' path): return the eigenvectors as a
+    DEVICE jax.Array instead of fetching to host numpy — the TPU-native
+    result contract for callers composing further device work (and, through
+    a remote attachment, skipping the dominant device->host transfer)."""
     fpm = _ensure_fpm(fpm)
     if solver in ("cheb", ":cheb"):
         # polynomial-filtered FEAST (solve-free): no contour, no inner
         # Krylov — see _sparse_cheb_interval / ops/chebfilter.py
         return _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm,
-                                     hermitian=hermitian, Q0=Q0)
+                                     hermitian=hermitian, Q0=Q0,
+                                     device_q=device_q)
     iopts = ifeast_solver_options(fpm) or {}
     # nothing pinned the inner solve to an ITERATIVE method: banded-direct
     # delegation below stays available

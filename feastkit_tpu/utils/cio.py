@@ -92,6 +92,15 @@ def fetch(x):
     return np.asarray(x)
 
 
+def slice_cols(x, m):
+    """``x[:, :m]`` preserving ComplexPair structure (device-side slice,
+    no transfer) — used by drivers that trim the eigenvector block on
+    device before (or instead of) fetching it."""
+    if _is_pair(x):
+        return ComplexPair(x.re[:, :m], x.im[:, :m])
+    return x[:, :m]
+
+
 @functools.lru_cache(maxsize=None)
 def _packer(n_parts: int, dtype_str: str):
     """jit'd concatenate-raveled packer (cached per part-count/dtype; jax

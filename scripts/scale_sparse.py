@@ -72,6 +72,22 @@ def main(sides):
         t_warm = time.perf_counter() - t0
         print(f"  warm {t_warm:.1f}s  M={r.M} epsout={r.epsout:.2e} "
               f"loops={r.loop}", flush=True)
+        if solver == "cheb":
+            # TPU-native result contract: eigenvectors stay on device
+            # (device_q=True); the separate download number is the
+            # tunnel-only device->host transfer a native in-process
+            # deployment never pays.
+            t0 = time.perf_counter()
+            r = feast_scsrev(A, Emin, Emax, M0, fpm, solver=solver,
+                             solver_maxiter=250, device_q=True)
+            jax.block_until_ready(r.q)
+            t_dev = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = np.asarray(r.q)
+            t_fetch = time.perf_counter() - t0
+            print(f"  warm(device_q) {t_dev:.1f}s  M={r.M} "
+                  f"epsout={r.epsout:.2e}  + eigenvector download "
+                  f"{t_fetch:.1f}s ({_.nbytes / 1e6:.0f} MB)", flush=True)
 
 
 if __name__ == "__main__":

@@ -91,14 +91,25 @@ def main(p, truth_path=None):
     print(f"N={N} generalized ({desc}) "
           f"target {len(exp) if exp is not None else '?'} pairs "
           f"interval=(0,{Emax:.3e})", flush=True)
-    for tag in ("cold", "warm"):
+    for tag in ("cold", "warm", "warm(device_q)"):
+        dev = tag == "warm(device_q)"
         t0 = time.perf_counter()
-        r = feast_scsrgv(A, B, 0.0, Emax, 72, fpm, solver="cheb")
+        r = feast_scsrgv(A, B, 0.0, Emax, 72, fpm, solver="cheb",
+                         device_q=dev)
+        if dev:
+            jax.block_until_ready(r.q)
         t = time.perf_counter() - t0
         line = (f"  {tag} {t:.1f}s  M={r.M} info={int(r.info)} "
                 f"epsout={r.epsout:.2e} loops={r.loop}")
         if exp is not None and r.M == len(exp):
-            line += f" lam_err={np.abs(np.sort(r.lam) - exp).max():.2e}"
+            line += f" lam_err={np.abs(np.sort(np.asarray(r.lam)) - exp).max():.2e}"
+        if dev:
+            # tunnel-only device->host transfer, absent in-process
+            t0 = time.perf_counter()
+            q = np.asarray(r.q)
+            line += (f" + eigenvector download "
+                     f"{time.perf_counter() - t0:.1f}s "
+                     f"({q.nbytes / 1e6:.0f} MB)")
         print(line, flush=True)
 
 

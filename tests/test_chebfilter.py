@@ -276,3 +276,52 @@ def test_cheb_degree_default_is_auto():
     import feastkit_tpu.core.parameters as P
     cfgd = P.FeastConfig.from_fpm(P._ensure_fpm(None)).cheb_degree
     assert cfgd == 0                # default: auto from interval geometry
+
+
+def test_cheb_device_q_result_contract():
+    # device_q=True: the eigenvector block stays a DEVICE jax.Array (the
+    # TPU-native result contract — through a remote attachment this skips
+    # the dominant device->host transfer); values identical to the default
+    # host-numpy result, q_full np.asarray-able lazily.
+    import jax
+    n = 200
+    A = _lap(n)
+    w = _lap_eigs(n)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.2)])
+    r_host = feast_scsrev(A, 0.5, 1.2, len(exp) + 6, solver="cheb")
+    r_dev = feast_scsrev(A, 0.5, 1.2, len(exp) + 6, solver="cheb",
+                         device_q=True)
+    assert isinstance(r_dev.q, jax.Array)
+    assert not isinstance(r_host.q, jax.Array)
+    assert r_dev.M == r_host.M == len(exp)
+    assert r_dev.info == 0
+    np.testing.assert_allclose(np.asarray(r_dev.q), r_host.q, atol=1e-12)
+    np.testing.assert_allclose(r_dev.lam, r_host.lam, atol=1e-12)
+    # q_full stays un-fetched but materializes on request
+    qf = np.asarray(r_dev.q_full)
+    assert qf.shape == (n, r_dev.lam_full.shape[0])
+    np.testing.assert_allclose(qf[:, :r_dev.M], r_host.q, atol=1e-12)
+
+
+def test_cheb_device_q_generalized_back_transform():
+    # device_q with a diagonal-B pencil: the congruence back-transform and
+    # the original-pencil residual recompute run ON DEVICE; both the device
+    # and host result must carry residuals of the ORIGINAL pencil.
+    import jax
+    n = 160
+    A = _lap(n)
+    rng = np.random.default_rng(5)
+    d = 0.5 + rng.random(n)
+    B = sp.diags(d, 0, format="csr")
+    import scipy.linalg as sla
+    w = sla.eigh(A.toarray(), np.diag(d), eigvals_only=True)
+    exp = np.sort(w[(w >= 0.5) & (w <= 1.2)])
+    r = feast_scsrgv(A, B, 0.5, 1.2, len(exp) + 5, solver="cheb",
+                     device_q=True)
+    assert isinstance(r.q, jax.Array)
+    assert r.M == len(exp)
+    x = np.asarray(r.q)
+    rr = A @ x - (d[:, None] * x) * np.asarray(r.lam)[None, :]
+    res_true = np.linalg.norm(rr, axis=0) / np.maximum(np.abs(r.lam), 1.0)
+    np.testing.assert_allclose(res_true, r.res, atol=1e-12)
+    assert r.res.max() < 1e-8

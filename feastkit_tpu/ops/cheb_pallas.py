@@ -168,9 +168,15 @@ def cheb_plan_fits(offsets, N, M, *, ds=True, steps=1,
     the f32 kernel 7 + 1; x2 for the pipeline's double buffering. The
     two-step kernels (steps=2) trade slab re-reads for VMEM scratch
     rings: DS 12 ring + 12 in + 12 out planes (+ 8 diag rows), f32 6 + 6
-    + 6 (+ 4)."""
+    + 6 (+ 4). The four-step kernels (steps=4) stretch the rings to 13
+    block slots: DS 26 ring + 12 in + 12 out (+ 16 diag rows), f32 13 +
+    6 + 6 (+ 8)."""
     plan = cheb_plan(offsets, N, M)
     nd = len(plan["offsets"])
+    if steps == 4:
+        rows = (50 * plan["Mp"] + 16 * nd) if ds else (25 * plan["Mp"]
+                                                       + 8 * nd)
+        return rows * plan["block"] * 4 <= vmem_budget
     if steps == 2:
         rows = (36 * plan["Mp"] + 8 * nd) if ds else (18 * plan["Mp"]
                                                       + 4 * nd)
@@ -429,7 +435,7 @@ def _cheb_ds2_kernel(scal_ref, d0h_ref, d0l_ref, d1h_ref, d1l_ref,
 
 
 def _cheb_ds2_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
-                   *, offsets, block, n_blocks, interpret):
+                   *, offsets, block, grid_n, interpret):
     Mp, N_tot = t0h.shape
     nd = dgh.shape[0]
     blk = lambda i_off: pl.BlockSpec(        # noqa: E731
@@ -441,7 +447,7 @@ def _cheb_ds2_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
     scratch = [pltpu.VMEM((3, Mp, block), jnp.float32)] * 4
     t2h, t2l, t3h, t3l, a2h, a2l = pl.pallas_call(
         functools.partial(_cheb_ds2_kernel, offsets=offsets, block=block),
-        grid=(n_blocks + 2,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             dblk(0), dblk(0),                        # diag at block j
@@ -466,10 +472,13 @@ def cheb_ds2_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
 
     Requires a margin-2 plan; coeffs_chunk must have EVEN length (the
     shared chunk runner rounds the static chunk length to even and
-    zero-pads only the final chunk)."""
-    assert _margin(plan) == 2, "cheb_ds2_chunk requires a margin-2 plan"
+    zero-pads only the final chunk). Runs on any margin >= 2 layout
+    (write centers cover n_blocks + margin blocks; margin centers compute
+    exact zeros from the zero-diag padding)."""
+    assert _margin(plan) >= 2, "cheb_ds2_chunk requires margin >= 2"
     offsets = plan["offsets"]
-    block, n_blocks = plan["block"], plan["n_blocks"]
+    block = plan["block"]
+    grid_n = plan["n_blocks"] + _margin(plan)
     pairs = coeffs_chunk.reshape(-1, 2)
 
     def body(c, ck):
@@ -479,7 +488,7 @@ def cheb_ds2_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
                           ck[1].astype(jnp.float32)])[None, :]
         t2h, t2l, t3h, t3l, a2h, a2l = _cheb_ds2_step(
             scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
-            offsets=offsets, block=block, n_blocks=n_blocks,
+            offsets=offsets, block=block, grid_n=grid_n,
             interpret=interpret)
         return (t2h, t2l, t3h, t3l, a2h, a2l), None
 
@@ -594,7 +603,7 @@ def _cheb_f32_2_kernel(scal_ref, d0_ref, d1_ref, t0_ref, t1_ref, ac_ref,
     a2_o[...] = ac_ref[...] + ck0 * gc + ck1 * t3
 
 
-def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
+def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, grid_n,
                      interpret):
     Mp, N_tot = t0.shape
     nd = dg.shape[0]
@@ -607,7 +616,7 @@ def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
     t2, t3, a2 = pl.pallas_call(
         functools.partial(_cheb_f32_2_kernel, offsets=offsets,
                           block=block),
-        grid=(n_blocks + 2,),
+        grid=(grid_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             dblk(0), dblk(1),                # diag at j, j+1
@@ -628,10 +637,12 @@ def _cheb_f32_2_step(scal, dg, t0, ac, t1, *, offsets, block, n_blocks,
 def cheb_f32_2_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
                      interpret=False):
     """Advance the f32 recurrence TWO steps per fused pass; carry =
-    (t0, t1, ac) packed planes on a margin-2 layout; even chunk length."""
-    assert _margin(plan) == 2, "cheb_f32_2_chunk requires a margin-2 plan"
+    (t0, t1, ac) packed planes on a margin >= 2 layout; even chunk
+    length."""
+    assert _margin(plan) >= 2, "cheb_f32_2_chunk requires margin >= 2"
     offsets = plan["offsets"]
-    block, n_blocks = plan["block"], plan["n_blocks"]
+    block = plan["block"]
+    grid_n = plan["n_blocks"] + _margin(plan)
     pairs = coeffs_chunk.reshape(-1, 2)
 
     def body(c, ck):
@@ -641,7 +652,7 @@ def cheb_f32_2_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
                           ck[1].astype(jnp.float32)])[None, :]
         t2, t3, a2 = _cheb_f32_2_step(scal, dg, t0, ac, t1,
                                       offsets=offsets, block=block,
-                                      n_blocks=n_blocks,
+                                      grid_n=grid_n,
                                       interpret=interpret)
         return (t2, t3, a2), None
 
@@ -750,7 +761,8 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
     assert _margin(plan) == 2, "cheb_gen_chunk requires a margin-2 plan"
     offsets_A = plan["offsets_A"]
     offsets_B = plan["offsets_B"]
-    block, n_blocks = plan["block"], plan["n_blocks"]
+    block = plan["block"]
+    g2 = plan["n_blocks"] + _margin(plan)
     g1 = _grid_1step(plan)
     m_b = int(qc.shape[0]) - 1
     sc_C = jnp.float32(scals["sc_C"])
@@ -790,7 +802,7 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
             o = _cheb_ds2_step(
                 smem(scB, shB, ck[0], ck[1]), dgB[0], dgB[1],
                 t0h, t0l, ah, al, t1h, t1l,
-                offsets=offsets_B, block=block, n_blocks=n_blocks,
+                offsets=offsets_B, block=block, grid_n=g2,
                 interpret=interpret)
             return o, None
 
@@ -809,7 +821,7 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
             t0, t1, a = c
             o = _cheb_f32_2_step(
                 smem(scB, shB, ck[0], ck[1]), dgB, t0, a, t1,
-                offsets=offsets_B, block=block, n_blocks=n_blocks,
+                offsets=offsets_B, block=block, grid_n=g2,
                 interpret=interpret)
             return o, None
 

@@ -65,7 +65,8 @@ __all__ = [
     "ds_split", "cheb_plan", "cheb_plan_fits", "pack_state",
     "unpack_state", "pack_diags", "cheb_ds_chunk", "cheb_ds_step_reference",
     "pack_state32", "unpack_state32", "pack_diags32", "cheb_f32_chunk",
-    "cheb_ds2_chunk", "cheb_f32_2_chunk", "cheb_gen_plan",
+    "cheb_ds2_chunk", "cheb_f32_2_chunk", "cheb_ds4_chunk",
+    "cheb_f32_4_chunk", "cheb_gen_plan",
     "cheb_gen_plan_fits", "cheb_gen_chunk", "cheb_gen_init",
 ]
 
@@ -497,6 +498,188 @@ def cheb_ds2_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
     return carry
 
 
+# ------------------------------------------------ four-step DS variant
+#
+# Same revolving-ring discipline as the two-step kernel, two levels
+# deeper: FOUR recurrence steps share one pass over the state, so the
+# 12 planes of carry traffic (T0+T1+acc in, T4+T5+acc out) amortize over
+# four steps — 3 planes/step, another 2x cut over the two-step kernel's
+# 6. The rings stretch to 13 block slots (T1: 3, T2: 4, T3: 3, T4: 3);
+# cheb_plan_fits(steps=4) gates on the VMEM working set.
+#
+# Ring discipline at grid step j (output center = block j):
+#   r1 = T1 [j+2, j+3, j+4]  (fresh fetch j+4)
+#   T2[j+3] from r1 slab + diag j+3 + T0[j+3] (fresh);  r2 = T2 [j..j+3]
+#   T3[j+2] from r2[1:] slab + diag j+2 + T1[j+2] (=r1[0]); r3 = T3 [j..j+2]
+#   T4[j+1] from r3 slab + diag j+1 + T2[j+1] (=r2[1]); r4 = T4 [j-1..j+1]
+#   T5[j]   from r4 slab + diag j   + T3[j]   (=r3[0])
+#   acc[j] += ck0 T2[j] + ck1 T3[j] + ck2 T4[j] + ck3 T5[j]
+#   write T4[j] (= r4[1]) and T5[j]
+# Requires margin >= 4 (the lookahead reads reach block j+4; the margin
+# write centers compute exact zeros from the zero-diag padding).
+
+
+def _cheb_ds4_kernel(scal_ref, d0h_ref, d0l_ref, d1h_ref, d1l_ref,
+                     d2h_ref, d2l_ref, d3h_ref, d3l_ref,
+                     t0h_ref, t0l_ref, t1h_ref, t1l_ref, ach_ref, acl_ref,
+                     t4h_o, t4l_o, t5h_o, t5l_o, a2h_o, a2l_o,
+                     r1h, r1l, r2h, r2l, r3h, r3l, r4h, r4l,
+                     *, offsets, block):
+    j = pl.program_id(0)
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck0 = scal_ref[0, 2]
+    ck1 = scal_ref[0, 3]
+    ck2 = scal_ref[0, 4]
+    ck3 = scal_ref[0, 5]
+
+    @pl.when(j == 0)
+    def _zero_rings():
+        for r in (r1h, r1l, r2h, r2l, r3h, r3l, r4h, r4l):
+            r[...] = jnp.zeros(r.shape, jnp.float32)
+
+    # advance the T1 ring to [j+2, j+3, j+4] (fresh block j+4)
+    r1h[0], r1l[0] = r1h[1], r1l[1]
+    r1h[1], r1l[1] = r1h[2], r1l[2]
+    r1h[2], r1l[2] = t1h_ref[...], t1l_ref[...]
+
+    def ds_matvec(dh_ref, dl_ref, xl3, xc3, xr3):
+        (hl, ll), (hc, lc), (hr, lr) = xl3, xc3, xr3
+        yh = jnp.zeros(t0h_ref.shape, jnp.float32)
+        yl = jnp.zeros(t0h_ref.shape, jnp.float32)
+        for k, off in enumerate(offsets):
+            xh = _shifted(hl, hc, hr, off, block)
+            xl = _shifted(ll, lc, lr, off, block)
+            dh = dh_ref[k, :][None, :]
+            dl = dl_ref[k, :][None, :]
+            th, tl = _ds_mul_ds(xh, xl, jnp.broadcast_to(dh, xh.shape),
+                                jnp.broadcast_to(dl, xh.shape))
+            yh, yl = _ds_add(yh, yl, th, tl)
+        return yh, yl
+
+    def step(yh, yl, ch, cl, ph, plo):
+        ah, al = _ds_mul_f32(yh, yl, sc)
+        bh, bl = _ds_mul_f32(ch, cl, -sh)
+        ah, al = _ds_add(ah, al, bh, bl)
+        return _ds_add(2.0 * ah, 2.0 * al, -ph, -plo)
+
+    # T2 at block j+3
+    yh, yl = ds_matvec(d3h_ref, d3l_ref,
+                       (r1h[0], r1l[0]), (r1h[1], r1l[1]),
+                       (r1h[2], r1l[2]))
+    t2h, t2l = step(yh, yl, r1h[1], r1l[1], t0h_ref[...], t0l_ref[...])
+    # advance the T2 ring (4 slots) to [j, j+1, j+2, j+3]
+    r2h[0], r2l[0] = r2h[1], r2l[1]
+    r2h[1], r2l[1] = r2h[2], r2l[2]
+    r2h[2], r2l[2] = r2h[3], r2l[3]
+    r2h[3], r2l[3] = t2h, t2l
+
+    # T3 at block j+2 (prev = T1[j+2] = r1[0])
+    yh, yl = ds_matvec(d2h_ref, d2l_ref,
+                       (r2h[1], r2l[1]), (r2h[2], r2l[2]),
+                       (r2h[3], r2l[3]))
+    t3h, t3l = step(yh, yl, r2h[2], r2l[2], r1h[0], r1l[0])
+    # advance the T3 ring to [j, j+1, j+2]
+    r3h[0], r3l[0] = r3h[1], r3l[1]
+    r3h[1], r3l[1] = r3h[2], r3l[2]
+    r3h[2], r3l[2] = t3h, t3l
+
+    # T4 at block j+1 (prev = T2[j+1] = r2[1])
+    yh, yl = ds_matvec(d1h_ref, d1l_ref,
+                       (r3h[0], r3l[0]), (r3h[1], r3l[1]),
+                       (r3h[2], r3l[2]))
+    t4h, t4l = step(yh, yl, r3h[1], r3l[1], r2h[1], r2l[1])
+    # advance the T4 ring to [j-1, j, j+1]
+    r4h[0], r4l[0] = r4h[1], r4l[1]
+    r4h[1], r4l[1] = r4h[2], r4l[2]
+    r4h[2], r4l[2] = t4h, t4l
+
+    # T5 at block j (prev = T3[j] = r3[0])
+    yh, yl = ds_matvec(d0h_ref, d0l_ref,
+                       (r4h[0], r4l[0]), (r4h[1], r4l[1]),
+                       (r4h[2], r4l[2]))
+    t5h, t5l = step(yh, yl, r4h[1], r4l[1], r3h[0], r3l[0])
+
+    t4h_o[...], t4l_o[...] = r4h[1], r4l[1]
+    t5h_o[...], t5l_o[...] = t5h, t5l
+    # acc[j] += ck0 T2[j] + ck1 T3[j] + ck2 T4[j] + ck3 T5[j]
+    p0h, p0l = _ds_mul_f32(r2h[0], r2l[0], ck0)
+    p1h, p1l = _ds_mul_f32(r3h[0], r3l[0], ck1)
+    p2h, p2l = _ds_mul_f32(r4h[1], r4l[1], ck2)
+    p3h, p3l = _ds_mul_f32(t5h, t5l, ck3)
+    ah_, al_ = _ds_add(ach_ref[...], acl_ref[...], p0h, p0l)
+    ah_, al_ = _ds_add(ah_, al_, p1h, p1l)
+    ah_, al_ = _ds_add(ah_, al_, p2h, p2l)
+    a2h, a2l = _ds_add(ah_, al_, p3h, p3l)
+    a2h_o[...], a2l_o[...] = a2h, a2l
+
+
+def _cheb_ds4_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
+                   *, offsets, block, grid_n, interpret):
+    Mp, N_tot = t0h.shape
+    nd = dgh.shape[0]
+    blk = lambda i_off: pl.BlockSpec(        # noqa: E731
+        (Mp, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    dblk = lambda i_off: pl.BlockSpec(       # noqa: E731
+        (nd, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    scratch = ([pltpu.VMEM((3, Mp, block), jnp.float32)] * 2
+               + [pltpu.VMEM((4, Mp, block), jnp.float32)] * 2
+               + [pltpu.VMEM((3, Mp, block), jnp.float32)] * 4)
+    t4h, t4l, t5h, t5l, a2h, a2l = pl.pallas_call(
+        functools.partial(_cheb_ds4_kernel, offsets=offsets, block=block),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+            dblk(0), dblk(0),                        # diag at block j
+            dblk(1), dblk(1),                        # diag at block j+1
+            dblk(2), dblk(2),                        # diag at block j+2
+            dblk(3), dblk(3),                        # diag at block j+3
+            blk(3), blk(3),                          # T0 at j+3
+            blk(4), blk(4),                          # T1 fresh at j+4
+            blk(0), blk(0),                          # acc at j
+        ],
+        out_specs=[blk(0)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 6,
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5},
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_CPARAMS,
+    )(scal, dgh, dgl, dgh, dgl, dgh, dgl, dgh, dgl,
+      t0h, t0l, t1h, t1l, ach, acl)
+    return t4h, t4l, t5h, t5l, a2h, a2l
+
+
+def cheb_ds4_chunk(dgh, dgl, carry, coeffs_chunk, sc, sh, *, plan,
+                   interpret=False):
+    """Advance the DS recurrence FOUR steps per fused kernel pass.
+
+    Requires margin >= 4; coeffs_chunk length must be a multiple of 4
+    (the shared chunk runner rounds the static chunk length and zero-pads
+    only the final chunk)."""
+    assert _margin(plan) >= 4, "cheb_ds4_chunk requires margin >= 4"
+    offsets = plan["offsets"]
+    block = plan["block"]
+    grid_n = plan["n_blocks"] + _margin(plan)
+    quads = coeffs_chunk.reshape(-1, 4)
+
+    def body(c, ck):
+        t0h, t0l, t1h, t1l, ach, acl = c
+        scal = jnp.concatenate(
+            [jnp.stack([jnp.float32(sc), jnp.float32(sh)]),
+             ck.astype(jnp.float32),
+             jnp.zeros(2, jnp.float32)])[None, :]
+        o = _cheb_ds4_step(scal, dgh, dgl, t0h, t0l, ach, acl, t1h, t1l,
+                           offsets=offsets, block=block, grid_n=grid_n,
+                           interpret=interpret)
+        return o, None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, quads)
+    return carry
+
+
 # -------------------------------------------------------- f32 variant
 
 def _cheb_f32_kernel(scal_ref, dg_ref, t0_ref, ac_ref, x_l, x_c, x_r,
@@ -661,6 +844,123 @@ def cheb_f32_2_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
     return carry
 
 
+def _cheb_f32_4_kernel(scal_ref, d0_ref, d1_ref, d2_ref, d3_ref,
+                       t0_ref, t1_ref, ac_ref, t4_o, t5_o, a2_o,
+                       r1, r2, r3, r4, *, offsets, block):
+    """Four fused f32 steps per pass (same ring discipline as the DS
+    four-step kernel): 6 planes of HBM traffic per FOUR steps."""
+    j = pl.program_id(0)
+    sc = scal_ref[0, 0]
+    sh = scal_ref[0, 1]
+    ck0 = scal_ref[0, 2]
+    ck1 = scal_ref[0, 3]
+    ck2 = scal_ref[0, 4]
+    ck3 = scal_ref[0, 5]
+
+    @pl.when(j == 0)
+    def _zero_rings():
+        for r in (r1, r2, r3, r4):
+            r[...] = jnp.zeros(r.shape, jnp.float32)
+
+    r1[0] = r1[1]
+    r1[1] = r1[2]
+    r1[2] = t1_ref[...]
+
+    def matvec(d_ref, xl, xc, xr):
+        y = jnp.zeros(t0_ref.shape, jnp.float32)
+        for k, off in enumerate(offsets):
+            y = y + d_ref[k, :][None, :] * _shifted(xl, xc, xr, off, block)
+        return y
+
+    # T2 at block j+3
+    t2 = 2.0 * (sc * matvec(d3_ref, r1[0], r1[1], r1[2]) - sh * r1[1]) \
+        - t0_ref[...]
+    r2[0] = r2[1]
+    r2[1] = r2[2]
+    r2[2] = r2[3]
+    r2[3] = t2
+    # T3 at block j+2 (prev = T1[j+2] = r1[0])
+    t3 = 2.0 * (sc * matvec(d2_ref, r2[1], r2[2], r2[3]) - sh * r2[2]) \
+        - r1[0]
+    r3[0] = r3[1]
+    r3[1] = r3[2]
+    r3[2] = t3
+    # T4 at block j+1 (prev = T2[j+1] = r2[1])
+    t4 = 2.0 * (sc * matvec(d1_ref, r3[0], r3[1], r3[2]) - sh * r3[1]) \
+        - r2[1]
+    r4[0] = r4[1]
+    r4[1] = r4[2]
+    r4[2] = t4
+    # T5 at block j (prev = T3[j] = r3[0])
+    t5 = 2.0 * (sc * matvec(d0_ref, r4[0], r4[1], r4[2]) - sh * r4[1]) \
+        - r3[0]
+    t4_o[...] = r4[1]
+    t5_o[...] = t5
+    a2_o[...] = (ac_ref[...] + ck0 * r2[0] + ck1 * r3[0]
+                 + ck2 * r4[1] + ck3 * t5)
+
+
+def _cheb_f32_4_step(scal, dg, t0, ac, t1, *, offsets, block, grid_n,
+                     interpret):
+    Mp, N_tot = t0.shape
+    nd = dg.shape[0]
+    blk = lambda i_off: pl.BlockSpec(        # noqa: E731
+        (Mp, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    dblk = lambda i_off: pl.BlockSpec(       # noqa: E731
+        (nd, block), lambda j, o=i_off: (0, j + o),
+        memory_space=pltpu.VMEM)
+    scratch = ([pltpu.VMEM((3, Mp, block), jnp.float32)]
+               + [pltpu.VMEM((4, Mp, block), jnp.float32)]
+               + [pltpu.VMEM((3, Mp, block), jnp.float32)] * 2)
+    t4, t5, a2 = pl.pallas_call(
+        functools.partial(_cheb_f32_4_kernel, offsets=offsets,
+                          block=block),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            dblk(0), dblk(1), dblk(2), dblk(3),   # diag at j..j+3
+            blk(3),                               # T0 at j+3
+            blk(4),                               # T1 fresh at j+4
+            blk(0),                               # acc at j
+        ],
+        out_specs=[blk(0)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Mp, N_tot), jnp.float32)] * 3,
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_CPARAMS,
+    )(scal, dg, dg, dg, dg, t0, t1, ac)
+    return t4, t5, a2
+
+
+def cheb_f32_4_chunk(dg, carry, coeffs_chunk, sc, sh, *, plan,
+                     interpret=False):
+    """Advance the f32 recurrence FOUR steps per fused pass; carry =
+    (t0, t1, ac) packed planes on a margin >= 4 layout; chunk length a
+    multiple of 4."""
+    assert _margin(plan) >= 4, "cheb_f32_4_chunk requires margin >= 4"
+    offsets = plan["offsets"]
+    block = plan["block"]
+    grid_n = plan["n_blocks"] + _margin(plan)
+    quads = coeffs_chunk.reshape(-1, 4)
+
+    def body(c, ck):
+        t0, t1, ac = c
+        scal = jnp.concatenate(
+            [jnp.stack([jnp.float32(sc), jnp.float32(sh)]),
+             ck.astype(jnp.float32),
+             jnp.zeros(2, jnp.float32)])[None, :]
+        o = _cheb_f32_4_step(scal, dg, t0, ac, t1, offsets=offsets,
+                             block=block, grid_n=grid_n,
+                             interpret=interpret)
+        return o, None
+
+    with jax.enable_x64(False):
+        carry, _ = jax.lax.scan(body, carry, quads)
+    return carry
+
+
 # -------------------------------------------- generalized (SPD B) fusion
 #
 # Consistent-mass pencils (solver="cheb" with sparse SPD B) filter the
@@ -726,29 +1026,30 @@ def _ds_combine(scal, zh, zl, xh, xl, t0h, t0l, fh, fl, *, block,
     return outs
 
 
-def cheb_gen_plan(offsets_A, offsets_B, N, M):
-    """Margin-2 layout plan shared by both operands: block from the UNION
-    of the offset patterns (FEM stiffness/mass pairs share sparsity, so
-    this is usually the same block either way)."""
+def cheb_gen_plan(offsets_A, offsets_B, N, M, margin=2):
+    """Layout plan shared by both operands: block from the UNION of the
+    offset patterns (FEM stiffness/mass pairs share sparsity, so this is
+    usually the same block either way). margin=2 for the two-step inner
+    Clenshaw, 4 when the four-step inner kernels carry it."""
     union = tuple(sorted(set(offsets_A) | set(offsets_B)))
-    plan = cheb_plan(union, N, M, margin=2)
+    plan = cheb_plan(union, N, M, margin=margin)
     plan["offsets_A"] = tuple(int(d) for d in offsets_A)
     plan["offsets_B"] = tuple(int(d) for d in offsets_B)
     return plan
 
 
-def cheb_gen_plan_fits(offsets_A, offsets_B, N, M, *, ds=True,
+def cheb_gen_plan_fits(offsets_A, offsets_B, N, M, *, ds=True, steps=2,
                        vmem_budget=32 << 20):
     """VMEM gate for the generalized fusion: the phases run the standard
-    1-/2-step kernels one at a time, so the binding working set is the
-    two-step kernel's on the union block."""
+    1-/2-/4-step kernels one at a time, so the binding working set is the
+    deepest inner kernel's on the union block."""
     union = tuple(sorted(set(offsets_A) | set(offsets_B)))
-    return cheb_plan_fits(union, N, M, ds=ds, steps=2,
+    return cheb_plan_fits(union, N, M, ds=ds, steps=steps,
                           vmem_budget=vmem_budget)
 
 
 def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
-                   interpret=False):
+                   inner_steps=2, interpret=False):
     """Advance the OUTER composite recurrence over one coefficient chunk.
 
     dgA/dgB: packed diagonal planes — (hi, lo) tuples when ds else single
@@ -756,13 +1057,14 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
     carry: (T0, T1, accF) where each element is an (hi, lo) tuple when ds
     else a plane. scals: dict with sc_C, sh_C (outer affine map) and
     scB, shB (inner B-hat map) — python floats or traced f32 scalars.
-    Requires a margin-2 plan (the inner pairs run the two-step
-    kernels)."""
-    assert _margin(plan) == 2, "cheb_gen_chunk requires a margin-2 plan"
+    inner_steps: 2 runs the inner Clenshaw as two-step pairs (margin >= 2);
+    4 as four-step quads (margin >= 4), halving the inner HBM traffic."""
+    assert _margin(plan) >= inner_steps, \
+        "cheb_gen_chunk requires margin >= inner_steps"
     offsets_A = plan["offsets_A"]
     offsets_B = plan["offsets_B"]
     block = plan["block"]
-    g2 = plan["n_blocks"] + _margin(plan)
+    gi = plan["n_blocks"] + _margin(plan)
     g1 = _grid_1step(plan)
     m_b = int(qc.shape[0]) - 1
     sc_C = jnp.float32(scals["sc_C"])
@@ -770,17 +1072,21 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
     scB = jnp.float32(scals["scB"])
     shB = jnp.float32(scals["shB"])
     qcf = jnp.asarray(qc, jnp.float32)
-    # inner steps j = 2..m_B as two-step pairs (+ zero-pad: a 0-coefficient
+    # inner steps j = 2..m_B as pairs/quads (+ zero-pad: a 0-coefficient
     # step advances the T carry harmlessly past m_B — the accumulator is
     # untouched and the carry is discarded after the inner loop)
     n_inner = max(m_b - 1, 0)
-    n_pairs = (n_inner + 1) // 2
-    qpad = jnp.concatenate([qcf[2:], jnp.zeros(2 * n_pairs - n_inner,
-                                               jnp.float32)])
+    n_groups = -(-n_inner // inner_steps) if n_inner else 0
+    qpad = jnp.concatenate([qcf[2:], jnp.zeros(
+        inner_steps * n_groups - n_inner, jnp.float32)])
 
     def smem(a, b, c, d=0.0):
         return jnp.stack([jnp.float32(a), jnp.float32(b), jnp.float32(c),
                           jnp.float32(d)])[None, :]
+
+    def smem_n(*vals):
+        vals = vals + (0.0,) * (8 - len(vals))
+        return jnp.stack([jnp.float32(v) for v in vals])[None, :]
 
     def apply_q_of_B_ds(yh, yl):
         z = _zero_like_planes(yh)
@@ -797,16 +1103,26 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
             block=block, interpret=interpret)
         c = (yh, yl, t1h, t1l, ah, al)
 
-        def body(c, ck):
-            t0h, t0l, t1h, t1l, ah, al = c
-            o = _cheb_ds2_step(
-                smem(scB, shB, ck[0], ck[1]), dgB[0], dgB[1],
-                t0h, t0l, ah, al, t1h, t1l,
-                offsets=offsets_B, block=block, grid_n=g2,
-                interpret=interpret)
-            return o, None
+        if inner_steps == 4:
+            def body(c, ck):
+                t0h, t0l, t1h, t1l, ah, al = c
+                o = _cheb_ds4_step(
+                    smem_n(scB, shB, ck[0], ck[1], ck[2], ck[3]),
+                    dgB[0], dgB[1], t0h, t0l, ah, al, t1h, t1l,
+                    offsets=offsets_B, block=block, grid_n=gi,
+                    interpret=interpret)
+                return o, None
+        else:
+            def body(c, ck):
+                t0h, t0l, t1h, t1l, ah, al = c
+                o = _cheb_ds2_step(
+                    smem(scB, shB, ck[0], ck[1]), dgB[0], dgB[1],
+                    t0h, t0l, ah, al, t1h, t1l,
+                    offsets=offsets_B, block=block, grid_n=gi,
+                    interpret=interpret)
+                return o, None
 
-        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, 2))
+        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, inner_steps))
         return c[4], c[5]
 
     def apply_q_of_B_f32(y):
@@ -817,15 +1133,25 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
             interpret=interpret)
         c = (y, t1, a)
 
-        def body(c, ck):
-            t0, t1, a = c
-            o = _cheb_f32_2_step(
-                smem(scB, shB, ck[0], ck[1]), dgB, t0, a, t1,
-                offsets=offsets_B, block=block, grid_n=g2,
-                interpret=interpret)
-            return o, None
+        if inner_steps == 4:
+            def body(c, ck):
+                t0, t1, a = c
+                o = _cheb_f32_4_step(
+                    smem_n(scB, shB, ck[0], ck[1], ck[2], ck[3]),
+                    dgB, t0, a, t1,
+                    offsets=offsets_B, block=block, grid_n=gi,
+                    interpret=interpret)
+                return o, None
+        else:
+            def body(c, ck):
+                t0, t1, a = c
+                o = _cheb_f32_2_step(
+                    smem(scB, shB, ck[0], ck[1]), dgB, t0, a, t1,
+                    offsets=offsets_B, block=block, grid_n=gi,
+                    interpret=interpret)
+                return o, None
 
-        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, 2))
+        c, _ = jax.lax.scan(body, c, qpad.reshape(-1, inner_steps))
         return c[2]
 
     if ds:
@@ -864,7 +1190,7 @@ def cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals, *, plan, ds,
 
 
 def cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, *, plan, ds,
-                  interpret=False):
+                  inner_steps=2, interpret=False):
     """Outer carry after the k=0,1 terms: T0 = Q, T1 = Chat Q,
     accF = c0 T0 + c1 T1 (packed planes; Qp = packed Q)."""
     # reuse the chunk machinery: one step with ck=0 starting from
@@ -874,7 +1200,8 @@ def cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, *, plan, ds,
         z = jnp.zeros_like(qh)
         c = cheb_gen_chunk(dgA, dgB, qc, (z, z, qh, ql, z, z),
                            jnp.zeros(1, jnp.float32), scals, plan=plan,
-                           ds=True, interpret=interpret)
+                           ds=True, inner_steps=inner_steps,
+                           interpret=interpret)
         # halving both planes by an exact power of two is safe in XLA;
         # the c0/c1 combine is EFT and must run in-kernel (traced with x64
         # OFF like every kernel here — Mosaic rejects i64 grid indices)
@@ -890,7 +1217,8 @@ def cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, *, plan, ds,
     q = Qp
     z = jnp.zeros_like(q)
     c = cheb_gen_chunk(dgA, dgB, qc, (z, q, z), jnp.zeros(1, jnp.float32),
-                       scals, plan=plan, ds=False, interpret=interpret)
+                       scals, plan=plan, ds=False,
+                       inner_steps=inner_steps, interpret=interpret)
     t1 = 0.5 * c[1]
     return q, t1, (c01[0].astype(jnp.float32) * q
                    + c01[1].astype(jnp.float32) * t1)

@@ -1142,6 +1142,20 @@ def _cheb_ds2_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl,
         interpret=interpret)
 
 
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"),
+      donate_argnums=(2, 3, 4, 5, 6, 7))
+def _cheb_ds4_chunk_jit(dgh, dgl, t0h, t0l, t1h, t1l, ach, acl,
+                        coeffs_chunk, sc, sh, *, block, n_blocks, offsets,
+                        interpret=False, margin=4):
+    from ..ops.cheb_pallas import cheb_ds4_chunk
+    return cheb_ds4_chunk(
+        dgh, dgl, (t0h, t0l, t1h, t1l, ach, acl), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
+        interpret=interpret)
+
+
 @cjit(static_argnames=("block", "N", "M", "margin"))
 def _cheb_ds_unpack_jit(hi, lo, *, block, N, M, margin=1):
     from ..ops.cheb_pallas import unpack_state
@@ -1183,6 +1197,19 @@ def _cheb_f32_2_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
         interpret=interpret)
 
 
+@cjit(static_argnames=("block", "n_blocks", "offsets", "interpret",
+                       "margin"),
+      donate_argnums=(1, 2, 3))
+def _cheb_f32_4_chunk_jit(dg, t0, t1, ac, coeffs_chunk, sc, sh, *, block,
+                          n_blocks, offsets, interpret=False, margin=4):
+    from ..ops.cheb_pallas import cheb_f32_4_chunk
+    return cheb_f32_4_chunk(
+        dg, (t0, t1, ac), coeffs_chunk, sc, sh,
+        plan=dict(block=block, n_blocks=n_blocks, offsets=offsets,
+                  margin=margin),
+        interpret=interpret)
+
+
 @cjit(static_argnames=("block", "N", "M", "margin"))
 def _cheb_f32_unpack_jit(buf, *, block, N, M, margin=1):
     from ..ops.cheb_pallas import unpack_state32
@@ -1198,14 +1225,20 @@ def _cheb_ds_context(arrs, coeffs, lo, hi, N, M, statics):
     offs = statics["offsets_A"]
     f32_2 = cheb_plan_fits(offs, N, M, ds=False, steps=2)
     ds_2 = cheb_plan_fits(offs, N, M, ds=True, steps=2)
+    f32_4 = cheb_plan_fits(offs, N, M, ds=False, steps=4)
+    ds_4 = cheb_plan_fits(offs, N, M, ds=True, steps=4)
     import os as _os
     if _os.environ.get("FEAST_CHEB_FUSE2") in ("0", ""):  # opt-out knob
         f32_2 = ds_2 = False
-    margin = 2 if (f32_2 or ds_2) else 1
+        f32_4 = ds_4 = False
+    if _os.environ.get("FEAST_CHEB_FUSE4") in ("0", ""):  # opt-out knob
+        f32_4 = ds_4 = False
+    margin = 4 if (f32_4 or ds_4) else 2 if (f32_2 or ds_2) else 1
     plan = cheb_plan(offs, N, M, margin=margin)
     dgh, dgl = _cheb_ds_diags_jit(arrs[2], block=plan["block"],
                                   N_tot=plan["N_tot"], margin=margin)
     return dict(plan=plan, dgh=dgh, dgl=dgl, f32_2=f32_2, ds_2=ds_2,
+                f32_4=f32_4, ds_4=ds_4,
                 coeffs=np.asarray(coeffs, np.float32),
                 sc=np.float32(2.0 / (hi - lo)),
                 sh=np.float32((hi + lo) / (hi - lo)),
@@ -1223,19 +1256,18 @@ def _cheb_sync():
 
 
 def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M,
-                     even=False):
+                     mult=1):
     """Shared chunk loop for every host-driven recurrence: fixed static
     chunk length (the LAST chunk zero-padded — padded steps leave acc
     unchanged and the discarded T carry only wastes a few matvecs, keeping
     ONE compiled program for all chunks), sized so each dispatch's work
     stays under the remote execution watchdog while amortizing the
-    ~0.1 s per-dispatch tunnel RTT. ``even=True`` rounds the chunk length
-    to a multiple of two (the two-step-fused kernels consume coefficient
-    pairs)."""
+    ~0.1 s per-dispatch tunnel RTT. ``mult`` rounds the chunk length up
+    to a multiple (the two-/four-step-fused kernels consume coefficient
+    pairs/quads)."""
     m1 = len(coeffs)
     steps = int(max(64, min(m1, budget // max(2 * nnz * M, 1))))
-    if even:
-        steps += steps % 2
+    steps += (-steps) % mult
     sync = _cheb_sync()
     import time as _time
     _t0 = _time.perf_counter()
@@ -1266,6 +1298,7 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
         return _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, ds=ds)
     plan, coeffs = ctx["plan"], ctx["coeffs"]
     margin = int(plan.get("margin", 1))
+    four_step = bool(ctx.get("ds_4" if ds else "f32_4", False))
     two_step = bool(ctx.get("ds_2" if ds else "f32_2", False))
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
               offsets=plan["offsets"], interpret=ctx["interpret"],
@@ -1278,19 +1311,26 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
             ctx["dgh"], ctx["dgl"], *c, ch, s0, s1, **st)
         chunk2 = lambda ch, c: _cheb_ds2_chunk_jit(          # noqa: E731
             ctx["dgh"], ctx["dgl"], *c, ch, ctx["sc"], ctx["sh"], **st)
-        budget = 8e10 * (2 if two_step else 1)
+        chunk4 = lambda ch, c: _cheb_ds4_chunk_jit(          # noqa: E731
+            ctx["dgh"], ctx["dgl"], *c, ch, ctx["sc"], ctx["sh"], **st)
+        budget = 8e10 * (4 if four_step else 2 if two_step else 1)
     else:
         carry = _cheb_f32_init_jit(Q, jnp.asarray(coeffs[0]), **pk)
         chunk = lambda ch, c, s0, s1: _cheb_f32_chunk_jit(   # noqa: E731
             ctx["dgh"], *c, ch, s0, s1, **st)
         chunk2 = lambda ch, c: _cheb_f32_2_chunk_jit(        # noqa: E731
             ctx["dgh"], *c, ch, ctx["sc"], ctx["sh"], **st)
-        budget = 1.6e11 * (2 if two_step else 1)
+        chunk4 = lambda ch, c: _cheb_f32_4_chunk_jit(        # noqa: E731
+            ctx["dgh"], *c, ch, ctx["sc"], ctx["sh"], **st)
+        budget = 1.6e11 * (4 if four_step else 2 if two_step else 1)
     carry = chunk(jnp.asarray(coeffs[1:2]), carry,
                   ctx["sc"] * np.float32(0.5), ctx["sh"] * np.float32(0.5))
-    if two_step:
+    if four_step:
+        carry = _run_cheb_chunks(carry, chunk4, coeffs, 2, budget, nnz,
+                                 ctx["M"], mult=4)
+    elif two_step:
         carry = _run_cheb_chunks(carry, chunk2, coeffs, 2, budget, nnz,
-                                 ctx["M"], even=True)
+                                 ctx["M"], mult=2)
     else:
         carry = _run_cheb_chunks(
             carry, lambda ch, c: chunk(ch, c, ctx["sc"], ctx["sh"]),
@@ -1309,33 +1349,34 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
-                       "interpret", "ds"),
+                       "interpret", "ds", "margin", "inner_steps"),
       donate_argnums=(3,))
 def _cheb_gen_chunk_jit(dgA, dgB, qc, carry, coeffs_chunk, scals_arr, *,
                         block, n_blocks, offsets_A, offsets_B,
-                        interpret=False, ds=True):
+                        interpret=False, ds=True, margin=2, inner_steps=2):
     from ..ops.cheb_pallas import cheb_gen_chunk
     scals = dict(sc_C=scals_arr[0], sh_C=scals_arr[1],
                  scB=scals_arr[2], shB=scals_arr[3])
     plan = dict(block=block, n_blocks=n_blocks, offsets_A=offsets_A,
-                offsets_B=offsets_B, margin=2)
+                offsets_B=offsets_B, margin=margin)
     return cheb_gen_chunk(dgA, dgB, qc, carry, coeffs_chunk, scals,
-                          plan=plan, ds=ds, interpret=interpret)
+                          plan=plan, ds=ds, inner_steps=inner_steps,
+                          interpret=interpret)
 
 
 @cjit(static_argnames=("block", "n_blocks", "offsets_A", "offsets_B",
-                       "interpret", "ds"),
+                       "interpret", "ds", "margin", "inner_steps"),
       donate_argnums=(3,))
 def _cheb_gen_init_jit(dgA, dgB, qc, Qp, c01, scals_arr, *, block,
                        n_blocks, offsets_A, offsets_B, interpret=False,
-                       ds=True):
+                       ds=True, margin=2, inner_steps=2):
     from ..ops.cheb_pallas import cheb_gen_init
     scals = dict(sc_C=scals_arr[0], sh_C=scals_arr[1],
                  scB=scals_arr[2], shB=scals_arr[3])
     plan = dict(block=block, n_blocks=n_blocks, offsets_A=offsets_A,
-                offsets_B=offsets_B, margin=2)
+                offsets_B=offsets_B, margin=margin)
     return cheb_gen_init(dgA, dgB, qc, Qp, c01, scals, plan=plan, ds=ds,
-                         interpret=interpret)
+                         inner_steps=inner_steps, interpret=interpret)
 
 
 @cjit(static_argnames=("block", "N_tot", "Mp", "margin"))
@@ -1360,9 +1401,17 @@ def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
     map scalars. Built once per solve. ``qc_lo``: optional shorter inner
     inverse for the f32 rung (see the rung-adaptive note in
     _sparse_cheb_interval) — ds rungs always run the full ``qc``."""
-    from ..ops.cheb_pallas import cheb_gen_plan, pack_diags, pack_diags32
-    plan = cheb_gen_plan(statics["offsets_A"], statics["offsets_B"], N, M)
-    pk = dict(block=plan["block"], N_tot=plan["N_tot"], margin=2)
+    from ..ops.cheb_pallas import (cheb_gen_plan, cheb_gen_plan_fits,
+                                   pack_diags, pack_diags32)
+    offsA, offsB = statics["offsets_A"], statics["offsets_B"]
+    f32_4 = cheb_gen_plan_fits(offsA, offsB, N, M, ds=False, steps=4)
+    ds_4 = cheb_gen_plan_fits(offsA, offsB, N, M, ds=True, steps=4)
+    import os as _os
+    if _os.environ.get("FEAST_CHEB_FUSE4") in ("0", ""):  # opt-out knob
+        f32_4 = ds_4 = False
+    margin = 4 if (f32_4 or ds_4) else 2
+    plan = cheb_gen_plan(offsA, offsB, N, M, margin=margin)
+    pk = dict(block=plan["block"], N_tot=plan["N_tot"], margin=margin)
     A_j = cio.device_operand(np.asarray(A_dia, np.float64))
     B_j = cio.device_operand(np.asarray(B_dia, np.float64))
     dgA = _cheb_ds_diags_jit(A_j, **pk)
@@ -1370,8 +1419,8 @@ def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
     scals = np.asarray([2.0 / (hi - lo), (hi + lo) / (hi - lo),
                         2.0 / (b_hi - b_lo), (b_hi + b_lo) / (b_hi - b_lo)],
                        np.float32)
-    return dict(gen=True, plan=plan, dgA=dgA, dgB=dgB,
-                dgA32=dgA[0], dgB32=dgB[0],
+    return dict(gen=True, plan=plan, dgA=dgA, dgB=dgB, f32_4=f32_4,
+                ds_4=ds_4, dgA32=dgA[0], dgB32=dgB[0],
                 qc=np.asarray(qc, np.float32),
                 qc_lo=(np.asarray(qc_lo, np.float32)
                        if qc_lo is not None else np.asarray(qc, np.float32)),
@@ -1386,21 +1435,24 @@ def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds):
     combine — every double-single op in-kernel. ``nnz`` already counts
     the degree-m_B inner Clenshaw (driver's watchdog adjustment)."""
     plan, coeffs = ctx["plan"], ctx["coeffs"]
+    margin = int(plan.get("margin", 2))
+    inner_steps = 4 if ctx.get("ds_4" if ds else "f32_4", False) else 2
     qc = jnp.asarray(ctx["qc"] if ds else ctx.get("qc_lo", ctx["qc"]))
     scals = jnp.asarray(ctx["scals"])
     st = dict(block=plan["block"], n_blocks=plan["n_blocks"],
               offsets_A=plan["offsets_A"], offsets_B=plan["offsets_B"],
-              interpret=ctx["interpret"], ds=ds)
+              interpret=ctx["interpret"], ds=ds, margin=margin,
+              inner_steps=inner_steps)
     pk = dict(block=plan["block"], N_tot=plan["N_tot"], Mp=plan["Mp"],
-              margin=int(plan.get("margin", 2)))
+              margin=margin)
     if ds:
         Qp = _cheb_pack_jit(Q, **pk)
         dgA, dgB = ctx["dgA"], ctx["dgB"]
-        budget = 8e10
+        budget = 8e10 * (2 if inner_steps == 4 else 1)
     else:
         Qp = _cheb_pack32_jit(Q, **pk)
         dgA, dgB = ctx["dgA32"], ctx["dgB32"]
-        budget = 1.6e11
+        budget = 1.6e11 * (2 if inner_steps == 4 else 1)
     carry = _cheb_gen_init_jit(dgA, dgB, qc, Qp,
                                jnp.asarray(coeffs[:2]), scals, **st)
     Qp = None

@@ -201,6 +201,114 @@ def test_cheb_two_step_chunks_match_oracle(fixture, nsteps):
     assert float(jnp.abs(acc32 - acb).max()) / scale < 5e-4
 
 
+@pytest.mark.parametrize("fixture", ["lap1d", "lap2d", "off_eq_block"])
+@pytest.mark.parametrize("nsteps", [4, 12])
+def test_cheb_four_step_chunks_match_oracle(fixture, nsteps):
+    # the four-step-fused kernels (13-slot revolving rings, margin-4
+    # layout, 6 DS planes of HBM traffic per FOUR steps) must agree with
+    # the f64 oracle like the 1-/2-step kernels; the full carry
+    # (T_{k}, T_{k+1}, acc) is checked so the ring bookkeeping across
+    # the four levels cannot silently drift.
+    from feastkit_tpu.ops.cheb_pallas import (
+        cheb_ds4_chunk, cheb_f32_4_chunk, pack_diags32, pack_state32,
+        unpack_state32)
+    if fixture == "lap1d":
+        dia, offs = _lap_dia(300)
+        N = 300
+    elif fixture == "off_eq_block":
+        N = 1024
+        offs = (-256, -1, 0, 1, 256)
+        rng0 = np.random.default_rng(7)
+        dia = np.zeros((5, N))
+        dia[2] = 4.0 + rng0.random(N)
+        for k, d in zip((0, 1, 3, 4), (-256, -1, 1, 256)):
+            if d > 0:
+                dia[k, :N - d] = -rng0.random(N - d)
+            else:
+                dia[k, -d:] = -rng0.random(N + d)
+    else:
+        dia, offs = _lap2d_dia(18)
+        N = 18 * 18
+    M = 11
+    rng = np.random.default_rng(2)
+    Q = rng.standard_normal((N, M))
+    lo_e, hi_e = -0.1, 8.1
+    sc32 = float(np.float32(2.0 / (hi_e - lo_e)))
+    sh32 = float(np.float32((hi_e + lo_e) / (hi_e - lo_e)))
+    c32 = np.float32(rng.standard_normal(nsteps) * 0.1)
+
+    dia_j = jnp.asarray(dia)
+    T0 = jnp.asarray(Q)
+    T1 = sc32 * dia_matvec_reference(dia_j, T0, offs) - sh32 * T0
+    acc = 0.5 * T0
+    t0b, t1b, acb = T0, T1, acc
+    for ck in c32:
+        t2 = 2.0 * (sc32 * dia_matvec_reference(dia_j, t1b, offs)
+                    - sh32 * t1b) - t0b
+        acb = acb + float(ck) * t2
+        t0b, t1b = t1b, t2
+    scale = max(float(jnp.abs(acb).max()), 1e-30)
+
+    plan = cheb_plan(offs, N, M, margin=4)
+    dgh, dgl = pack_diags(dia_j, plan)
+    t0h, t0l = pack_state(T0, plan)
+    t1h, t1l = pack_state(T1, plan)
+    ah, al = pack_state(acc, plan)
+    carry = cheb_ds4_chunk(dgh, dgl, (t0h, t0l, t1h, t1l, ah, al),
+                           jnp.asarray(c32), sc32, sh32, plan=plan,
+                           interpret=True)
+    acc_k = unpack_state(carry[4], carry[5], N, M, plan)
+    t1_k = unpack_state(carry[2], carry[3], N, M, plan)
+    t0_k = unpack_state(carry[0], carry[1], N, M, plan)
+    assert float(jnp.abs(acc_k - acb).max()) / scale < 1e-10
+    assert float(jnp.abs(t1_k - t1b).max()) / float(
+        jnp.abs(t1b).max()) < 1e-10
+    assert float(jnp.abs(t0_k - t0b).max()) / float(
+        jnp.abs(t0b).max()) < 1e-10
+
+    dg = pack_diags32(dia_j, plan)
+    out = cheb_f32_4_chunk(dg, (pack_state32(T0, plan),
+                                pack_state32(T1, plan),
+                                pack_state32(acc, plan)),
+                           jnp.asarray(c32), sc32, sh32, plan=plan,
+                           interpret=True)
+    acc32 = unpack_state32(out[2], N, M, plan)
+    assert float(jnp.abs(acc32 - acb).max()) / scale < 5e-4
+
+
+def test_cheb_two_step_chunks_on_margin4_layout():
+    # the DS ladder may land on a margin-4 plan whose DS working set only
+    # fits the TWO-step kernel (steps=4 fits f32 but not DS): the 2-step
+    # chunks must run unchanged on the wider layout
+    from feastkit_tpu.ops.cheb_pallas import cheb_ds2_chunk
+    dia, offs = _lap_dia(300)
+    N, M = 300, 7
+    rng = np.random.default_rng(5)
+    Q = rng.standard_normal((N, M))
+    sc, sh = 0.5, 0.25
+    c32 = np.float32(rng.standard_normal(6) * 0.1)
+    dia_j = jnp.asarray(dia)
+    T0 = jnp.asarray(Q)
+    T1 = sc * dia_matvec_reference(dia_j, T0, offs) - sh * T0
+    t0b, t1b, acb = T0, T1, jnp.zeros_like(T0)
+    for ck in c32:
+        t2 = 2.0 * (sc * dia_matvec_reference(dia_j, t1b, offs)
+                    - sh * t1b) - t0b
+        acb = acb + float(ck) * t2
+        t0b, t1b = t1b, t2
+    plan = cheb_plan(offs, N, M, margin=4)
+    dgh, dgl = pack_diags(dia_j, plan)
+    t0h, t0l = pack_state(T0, plan)
+    t1h, t1l = pack_state(T1, plan)
+    ah, al = pack_state(jnp.zeros_like(T0), plan)
+    carry = cheb_ds2_chunk(dgh, dgl, (t0h, t0l, t1h, t1l, ah, al),
+                           jnp.asarray(c32), sc, sh, plan=plan,
+                           interpret=True)
+    acc_k = unpack_state(carry[4], carry[5], N, M, plan)
+    scale = max(float(jnp.abs(acb).max()), 1e-30)
+    assert float(jnp.abs(acc_k - acb).max()) / scale < 1e-10
+
+
 def test_cheb_one_step_kernels_on_margin2_layout():
     # the 1-step kernels must run unchanged on the margin-2 layout (the
     # init/odd-fixup steps of the two-step schedule drive them there):
@@ -517,6 +625,49 @@ def test_cheb_gen_chunk_ds_matches_f64():
     assert float(jnp.abs(acc_k - acc_o).max()) / scale < 1e-11
     assert (float(jnp.abs(t1_k - t1_o).max())
             / float(jnp.abs(t1_o).max())) < 1e-11
+
+
+def test_cheb_gen_chunk_inner4_matches_f64():
+    # the four-step inner Clenshaw (margin-4 gen plan, inner_steps=4)
+    # must agree with the f64 oracle exactly like the two-step inner,
+    # including the zero-padded quad tail (m_B - 1 not a multiple of 4)
+    from feastkit_tpu.ops.cheb_pallas import (cheb_gen_chunk, cheb_gen_init,
+                                              cheb_gen_plan, pack_diags,
+                                              pack_diags32, pack_state,
+                                              pack_state32, unpack_state,
+                                              unpack_state32)
+    dAj, dBj, offs, qc32, scals, Q, coeffs = _gen_setup()
+    n, M = Q.shape
+    acc_o, t1_o = _gen_oracle(dAj, dBj, offs, qc32, scals, Q, coeffs)
+    plan = cheb_gen_plan(offs, offs, n, M, margin=4)
+    dgA = pack_diags(dAj, plan)
+    dgB = pack_diags(dBj, plan)
+    Qp = pack_state(jnp.asarray(Q), plan)
+    carry = cheb_gen_init(dgA, dgB, jnp.asarray(qc32), Qp,
+                          jnp.asarray(coeffs[:2]), scals, plan=plan,
+                          ds=True, inner_steps=4, interpret=True)
+    carry = cheb_gen_chunk(dgA, dgB, jnp.asarray(qc32), carry,
+                           jnp.asarray(coeffs[2:]), scals, plan=plan,
+                           ds=True, inner_steps=4, interpret=True)
+    acc_k = unpack_state(carry[4], carry[5], n, M, plan)
+    t1_k = unpack_state(carry[2], carry[3], n, M, plan)
+    scale = float(jnp.abs(acc_o).max())
+    assert float(jnp.abs(acc_k - acc_o).max()) / scale < 1e-11
+    assert (float(jnp.abs(t1_k - t1_o).max())
+            / float(jnp.abs(t1_o).max())) < 1e-11
+
+    dg32A = pack_diags32(dAj, plan)
+    dg32B = pack_diags32(dBj, plan)
+    Qp32 = pack_state32(jnp.asarray(Q), plan)
+    c = cheb_gen_init(dg32A, dg32B, jnp.asarray(qc32), Qp32,
+                      jnp.asarray(coeffs[:2]), scals, plan=plan, ds=False,
+                      inner_steps=4, interpret=True)
+    c = cheb_gen_chunk(dg32A, dg32B, jnp.asarray(qc32), c,
+                       jnp.asarray(coeffs[2:]), scals, plan=plan, ds=False,
+                       inner_steps=4, interpret=True)
+    acc32 = unpack_state32(c[2], n, M, plan)
+    err = float(jnp.abs(acc32 - acc_o).max()) / scale
+    assert err < 1e-4
 
 
 def test_cheb_gen_chunk_f32_matches_f64_at_f32():

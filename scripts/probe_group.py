@@ -1,6 +1,10 @@
 """Probe: one group-pair dispatch exactly as the host-granular driver
 issues it (group size, chunking, statics) with timing, to isolate
 watchdog/crash behavior."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

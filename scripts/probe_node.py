@@ -3,6 +3,10 @@
 Isolates _sparse_node_pair_jit at a given grid size so watchdog crashes can
 be attributed (compile vs execution length vs solver stall).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -6,6 +6,10 @@ multigrid-preconditioned GMRES, and reports wall time + residuals.
 
 Usage: python scripts/scale_sparse.py [log2_side ...]   (default 9 10)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -14,6 +14,10 @@ ladder — this script exercises and reports whichever path the gate picks.
 
 Usage: python scripts/scale_sparse_3d.py [log2_side ...]   (default 6)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

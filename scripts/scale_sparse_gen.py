@@ -35,6 +35,10 @@ B = Mx(x)Mx share 1D generalized eigenvectors, so the pencil's
 eigenvalues are the pairwise sums mu_i + mu_j of the 1D pencil
 Dx v = mu Mx v (one dense nx-by-nx eigh on the host).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -89,7 +89,7 @@ for name, fn, sdiv in (("f32x4", cheb_f32_4_chunk, 4),
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     passes = STEPS // sdiv
-    bytes_pass = 6 * plane + sdiv * 2 * diag
+    bytes_pass = 6 * plane + sdiv * diag
     print(f"{name}: {dt*1e3:.1f} ms for {STEPS} steps -> "
           f"{dt/STEPS*1e3:.2f} ms/step, actual "
           f"{passes*bytes_pass/dt/1e9:.0f} GB/s")

@@ -10,7 +10,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys
 import time
 
 import jax
@@ -92,6 +91,23 @@ def main(sides):
             print(f"  warm(device_q) {t_dev:.1f}s  M={r.M} "
                   f"epsout={r.epsout:.2e}  + eigenvector download "
                   f"{t_fetch:.1f}s ({_.nbytes / 1e6:.0f} MB)", flush=True)
+            from record_measurement import record
+            record(f"sparse_scsrev_2Dlap_n{N}_{len(exp)}pairs_f64_cheb",
+                   round(t_dev, 1), "s_warm_device_q",
+                   note=(f"NORTH-STAR rung: {N}-dof 2D Laplacian, lowest "
+                         f"{len(exp)} eigenpairs, info={int(r.info)}, "
+                         f"epsout={r.epsout:.1e}, loops={r.loop}; "
+                         f"solver='cheb' with the fused Pallas recurrence "
+                         f"kernels; device-resident eigenvectors (the TPU-"
+                         f"native contract). host-fetch variant: warm "
+                         f"{t_warm:.1f}s cold {t_cold:.1f}s incl. remote "
+                         f"compiles; separate eigenvector download through "
+                         f"the tunnel {t_fetch:.1f}s "
+                         f"({_.nbytes / 1e6:.0f} MB)"),
+                   extra={"warm_hostq_s": round(t_warm, 1),
+                          "cold_s": round(t_cold, 1),
+                          "download_s": round(t_fetch, 1)},
+                   script=f"scripts/scale_sparse.py {p} cheb")
 
 
 if __name__ == "__main__":

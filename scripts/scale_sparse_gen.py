@@ -40,7 +40,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import sys
 import time
 
 import jax
@@ -95,6 +94,7 @@ def main(p, truth_path=None):
     print(f"N={N} generalized ({desc}) "
           f"target {len(exp) if exp is not None else '?'} pairs "
           f"interval=(0,{Emax:.3e})", flush=True)
+    times = {}
     for tag in ("cold", "warm", "warm(device_q)"):
         dev = tag == "warm(device_q)"
         t0 = time.perf_counter()
@@ -111,9 +111,28 @@ def main(p, truth_path=None):
             # tunnel-only device->host transfer, absent in-process
             t0 = time.perf_counter()
             q = np.asarray(r.q)
-            line += (f" + eigenvector download "
-                     f"{time.perf_counter() - t0:.1f}s "
+            t_fetch = time.perf_counter() - t0
+            line += (f" + eigenvector download {t_fetch:.1f}s "
                      f"({q.nbytes / 1e6:.0f} MB)")
+            from record_measurement import record
+            tag_m = ("consistentmass" if consistent else "lumpedmass")
+            record(f"sparse_scsrgv_{tag_m}_n{N}_{r.M}pairs_f64_cheb",
+                   round(t, 1), "s_warm_device_q",
+                   note=(f"generalized north-star rung ({desc}): {N}-dof "
+                         f"pencil, {r.M} pairs, info={int(r.info)}, "
+                         f"epsout={r.epsout:.1e}, loops={r.loop}; "
+                         f"device-resident eigenvectors; host-fetch warm "
+                         f"{times.get('warm', float('nan')):.1f}s, cold "
+                         f"{times.get('cold', float('nan')):.1f}s incl. "
+                         f"remote compiles; eigenvector download through "
+                         f"the tunnel {t_fetch:.1f}s "
+                         f"({q.nbytes / 1e6:.0f} MB)"),
+                   extra={"warm_hostq_s": round(times.get("warm", -1), 1),
+                          "cold_s": round(times.get("cold", -1), 1),
+                          "download_s": round(t_fetch, 1)},
+                   script=f"scripts/scale_sparse_gen.py {p}"
+                          + (" consistent" if consistent else ""))
+        times[tag if not dev else "device_q"] = t
         print(line, flush=True)
 
 

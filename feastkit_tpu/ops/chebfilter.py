@@ -44,8 +44,16 @@ __all__ = [
     "gershgorin_interval", "cheb_indicator_coeffs", "cheb_eval_scalar",
     "auto_cheb_degree", "build_cheb_filter_coeffs", "make_cheb_filter",
     "make_cheb_stepper", "cheb_inverse_coeffs", "make_apply_binv_a",
-    "binva_enclosure",
+    "binva_enclosure", "rational_eval_scalar", "rational_filter_cheb_coeffs",
+    "ChebInfeasible",
 ]
+
+
+class ChebInfeasible(ValueError):
+    """A polynomial filter cannot resolve the requested configuration
+    (degree cap bound, contour nodes on the real axis, ...). Routers catch
+    this to fall back to the Krylov contour engine; explicit solver=
+    requests surface it as the ValueError it is."""
 
 
 def gershgorin_interval(data, idx, N):
@@ -318,3 +326,133 @@ def make_cheb_stepper(apply_A, lo, hi):
             jnp.real(jnp.zeros((), acc.dtype)).dtype) * T2
 
     return step
+
+
+# ----------------------------------------------------------------------
+# Polynomial realization of the CONTOUR filter (the rational FEAST filter
+# rho(lam) = sum_e 2 Re[w_e / (z_e - lam)] applied as a Chebyshev series).
+#
+# Key structural fact: every contour node's resolvent action shares the
+# SAME Chebyshev basis T_k(A_hat) Y — so the whole quadrature sum is ONE
+# polynomial (coefficients = the DCT of the scalar rational filter over
+# the spectrum enclosure), applied by the same fused Pallas recurrence
+# kernels as the indicator filter (ops/cheb_pallas.py). This keeps the
+# reference's quadrature semantics EXACTLY (node count fpm[2], rule
+# fpm[16], ellipse fpm[18], expert/custom node sets — they all just
+# change the scalar function being expanded) while replacing ne
+# preconditioned Krylov solves per refinement loop with ~degree fused
+# DIA matvecs; parity target: the contour drivers' per-node solve loop,
+# /root/reference/src/sparse/feast_sparse.jl:294,334-348.
+#
+# The expansion converges geometrically with rate set by the contour
+# node CLOSEST to the real axis (Bernstein ellipse through z_e):
+# degree ~ ln(1/tol) / (2 sqrt(min_e Im z_e / span)). Feasibility is
+# decided here; infeasible configurations raise ChebInfeasible so the
+# sparse driver's auto-router can fall back to the Krylov contour
+# engine instead of silently under-resolving.
+# ----------------------------------------------------------------------
+
+
+def rational_eval_scalar(Zne, Wne, lam):
+    """Host oracle: the FEAST rational filter rho(lam) = sum_e
+    2 Re[w_e/(z_e - lam)] for real lam (half-contour node sets; the
+    conjugate half enters through the 2 Re, matching filter_partial_pair's
+    accumulation and the reference's -2*real(omega*Qe) update)."""
+    lam = np.asarray(lam, np.float64)
+    acc = np.zeros(lam.shape, np.float64)
+    for z, w in zip(np.asarray(Zne), np.asarray(Wne)):
+        acc = acc + 2.0 * np.real(w / (z - lam))
+    return acc
+
+
+def rational_filter_cheb_coeffs(Zne, Wne, lo, hi, Emin, Emax, *,
+                                tol=1e-4, cap=16000, lo_tol=3e-3):
+    """Chebyshev coefficients of the rational contour filter on the
+    spectrum enclosure [lo, hi] (host numpy + DCT; compile-time data).
+
+    Returns (coeffs, info): ``coeffs`` is the f64 coefficient array
+    truncated at the first degree whose TAIL SUM sum_{k>deg} |c_k| falls
+    below ``tol`` — |T_k| <= 1 on the enclosure, so the tail sum IS a
+    sup-norm bound on the filter perturbation. A perturbed filter is
+    still a polynomial of A (identical eigenvectors); the perturbation
+    only floors the per-loop contraction at ~2*tol, so tol = 1e-4 still
+    reaches 1e-10 residuals in ~3 refinement loops while shaving ~30% of
+    the degree a last-coefficient criterion would demand. ``info``
+    carries degree / inside_min / outside_at_1w / trunc_err and
+    ``degree_lo`` — the shorter truncation at ``lo_tol`` that the f32
+    recurrence rung runs (that rung's loops stop at epsout ~1e-5
+    anyway, so a tighter filter there is pure waste).
+
+    Raises ChebInfeasible when a node sits on (or numerically at) the
+    real axis inside the enclosure, or when the cap-bounded expansion
+    cannot resolve the filter — the caller falls back to the Krylov
+    contour engine.
+    """
+    from scipy.fft import dct
+
+    Zne = np.asarray(Zne, np.complex128)
+    Wne = np.asarray(Wne, np.complex128)
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    span = hi - lo
+    im_min = float(np.abs(np.imag(Zne)).min()) if Zne.size else 0.0
+    if im_min <= 1e-13 * max(span, 1.0):
+        raise ChebInfeasible(
+            "contour-polynomial filter needs every quadrature node "
+            f"strictly off the real axis; min |Im z_e| = {im_min:.3g}")
+    # predicted degree from the Bernstein ellipse through the worst node
+    # (only a sizing hint for the first DCT length; truncation decides)
+    rate = 2.0 * np.sqrt(max(im_min, 1e-300) / span)
+    d_pred = int(np.clip(np.log(1.0 / tol) / max(rate, 1e-12), 64, 4 * cap))
+    mid, half = 0.5 * (hi + lo), 0.5 * (hi - lo)
+
+    M = 1 << int(np.ceil(np.log2(max(2 * d_pred, 256))))
+    M = min(M, 1 << int(np.ceil(np.log2(4 * cap))))
+    while True:
+        j = np.arange(M)
+        x = np.cos(np.pi * (j + 0.5) / M)
+        f = rational_eval_scalar(Zne, Wne, mid + half * x)
+        c = dct(f, type=2) / M
+        c[0] *= 0.5
+        # tail[k] = sum_{j >= k} |c_j|: sup-norm bound on truncating at k-1
+        tail = np.cumsum(np.abs(c)[::-1])[::-1]
+        hit = np.nonzero(tail < tol)[0]
+        if hit.size and hit[0] < 0.9 * M:
+            break                       # decay resolved inside this M
+        if M >= 4 * cap:
+            break                       # cap decides below
+        M *= 2
+    deg = int(hit[0]) - 1 if hit.size else M
+    if deg > cap:
+        raise ChebInfeasible(
+            f"contour-polynomial filter needs degree ~{deg} > cap {cap} "
+            f"(closest node Im z = {im_min:.3g}, enclosure span "
+            f"{span:.3g}); falling back to the Krylov contour engine")
+    deg = max(deg, 2)
+    coeffs = np.asarray(c[:deg + 1], np.float64)
+    hit_lo = np.nonzero(tail < lo_tol)[0]
+    degree_lo = int(np.clip((hit_lo[0] - 1) if hit_lo.size else deg, 2, deg))
+
+    # quality probes (host, cheap): truncation error on a dense grid,
+    # inside plateau, outside level one interval-width out
+    grid = np.linspace(lo, hi, 4097)
+    err = float(np.max(np.abs(cheb_eval_scalar(coeffs, lo, hi, grid)
+                              - rational_eval_scalar(Zne, Wne, grid))))
+    ins = np.linspace(Emin, Emax, 257)
+    rin = rational_eval_scalar(Zne, Wne, ins)
+    inside_min, inside_max = float(np.min(rin)), float(np.max(rin))
+    if not inside_max > 0 or inside_min <= 0.25 * inside_max:
+        raise ChebInfeasible(
+            f"rational filter's inside plateau [{inside_min:.3g}, "
+            f"{inside_max:.3g}] cannot separate genuine from spurious "
+            "pairs (custom contour too eccentric?)")
+    w = Emax - Emin
+    probes = np.array([Emin - w, Emax + w])
+    probes = probes[(probes > lo) & (probes < hi)]
+    out_level = (float(np.max(np.abs(rational_eval_scalar(
+        Zne, Wne, probes)))) if probes.size else 0.0)
+    return coeffs, {"degree": deg, "degree_lo": degree_lo,
+                    "inside_min": inside_min, "inside_max": inside_max,
+                    "outside_at_1w": max(out_level, err),
+                    "trunc_err": err, "kind": "rational"}

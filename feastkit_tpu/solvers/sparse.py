@@ -1283,7 +1283,7 @@ def _run_cheb_chunks(carry, chunk_fn, coeffs, start, budget, nnz, M,
     return carry
 
 
-def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
+def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds, n_coeffs=None):
     """One filter application rho(A) Q through a fused Pallas kernel
     (ops/cheb_pallas.py): DIA matvec + three-term update + accumulator in
     one VMEM pass per step. ds=False: the single-f32 rung (the DS
@@ -1295,8 +1295,13 @@ def _sparse_cheb_filter_host_fused(ctx, Q, nnz, *, ds):
     ~4x (f32) / ~2x (DS) cheaper than the f64 figure the unfused path's
     4e10 was calibrated for."""
     if ctx.get("gen"):
-        return _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, ds=ds)
+        return _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, ds=ds,
+                                                  n_coeffs=n_coeffs)
     plan, coeffs = ctx["plan"], ctx["coeffs"]
+    if n_coeffs is not None:
+        # rung-truncated series (rational contour filters carry a shorter
+        # f32-rung truncation — see rational_filter_cheb_coeffs degree_lo)
+        coeffs = coeffs[:max(int(n_coeffs), 3)]
     margin = int(plan.get("margin", 1))
     four_step = bool(ctx.get("ds_4" if ds else "f32_4", False))
     two_step = bool(ctx.get("ds_2" if ds else "f32_2", False))
@@ -1428,13 +1433,15 @@ def _cheb_gen_ds_context(A_dia, B_dia, coeffs, lo, hi, b_lo, b_hi, qc, N,
                 interpret=not statics["use_pallas"], N=N, M=M)
 
 
-def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds):
+def _sparse_cheb_filter_host_fused_gen(ctx, Q, nnz, *, ds, n_coeffs=None):
     """One composite filter application rho(q(B~) A~) Q through the fused
     generalized Pallas kernels (ops/cheb_pallas.py cheb_gen_*): per outer
     step one A-matvec pass, (m_B+1)/2 + 1 inner B passes, one elementwise
     combine — every double-single op in-kernel. ``nnz`` already counts
     the degree-m_B inner Clenshaw (driver's watchdog adjustment)."""
     plan, coeffs = ctx["plan"], ctx["coeffs"]
+    if n_coeffs is not None:
+        coeffs = coeffs[:max(int(n_coeffs), 3)]
     margin = int(plan.get("margin", 2))
     inner_steps = 4 if ctx.get("ds_4" if ds else "f32_4", False) else 2
     qc = jnp.asarray(ctx["qc"] if ds else ctx.get("qc_lo", ctx["qc"]))
@@ -1689,8 +1696,21 @@ def _pencil_upper_edge(A_data, A_idx, B_data, B_idx, N):
 
 
 def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
-                          Q0=None, mesh=None, device_q=False) -> FeastResult:
+                          Q0=None, mesh=None, device_q=False,
+                          contour=None, route=False) -> FeastResult:
     """solver="cheb" driver: polynomial-filtered FEAST (standard problems).
+
+    ``contour``: optional Contour (Zne/Wne) — when given, the filter is the
+    POLYNOMIAL REALIZATION OF THE RATIONAL CONTOUR FILTER (all quadrature
+    nodes share the Chebyshev basis T_k(A_hat) Y, so the whole quadrature
+    sum is one polynomial; ops/chebfilter.rational_filter_cheb_coeffs).
+    This preserves the reference contour engine's quadrature semantics
+    (fpm[2]/[16]/[18], custom node sets) while riding the fused Pallas
+    recurrence kernels — the TPU-native replacement for the per-node
+    cached direct solves of feast_sparse.jl:294,334-348. ``route=True``:
+    called from the auto-router — eligibility failures raise
+    ChebInfeasible (caught, falls back to the Krylov contour engine)
+    instead of user-facing ValueError/RuntimeError.
 
     Generalized pencils need B-resolvent applications inside the polynomial
     recurrence — that is a contour problem again, so cheb is gated to B=I
@@ -1708,13 +1728,15 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     are solved exactly via the congruence A_hat = D^-1/2 A D^-1/2
     (identical eigenvalues; eigenvectors back-transformed x = D^-1/2 y
     and re-normalized, residuals recomputed for the ORIGINAL pencil)."""
-    from ..ops.chebfilter import build_cheb_filter_coeffs, gershgorin_interval
+    from ..ops.chebfilter import (build_cheb_filter_coeffs,
+                                  gershgorin_interval, ChebInfeasible)
+    _elig_err = ChebInfeasible if route else ValueError
     fpm = _ensure_fpm(fpm)
     b_kind, b_diag = _b_diagonal(B)
     if b_kind is None:
         b_kind, b_diag = _b_sparse_spd(B)
     if b_kind is None:
-        raise ValueError(
+        raise _elig_err(
             "solver='cheb' (polynomial filter) requires a standard problem "
             "(B=None/identity), a positive diagonal B (lumped mass), or a "
             "real symmetric positive-definite sparse B (consistent mass); "
@@ -1728,7 +1750,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # the XLA:TPU x64 rewriter cannot compile programs carrying
         # complex128 tensors (platform limit, see utils/cio.py) — fail
         # with the remediation instead of a deep XLA RET_CHECK
-        raise RuntimeError(
+        raise (ChebInfeasible if route else RuntimeError)(
             "solver='cheb' on a complex Hermitian operator in float64 "
             "cannot compile on this TPU attachment (XLA x64 rewriter has "
             "no complex128 support); run with jax_enable_x64 disabled "
@@ -1738,7 +1760,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     work_dtype = cdtype if hermitian else rdtype
 
     if b_kind == "spd" and hermitian:
-        raise ValueError(
+        raise _elig_err(
             "solver='cheb' with a sparse SPD B currently supports real "
             "symmetric A (complex Hermitian A + sparse B: use the contour "
             "solvers)")
@@ -1774,8 +1796,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         outB = bcoo_to_dia(B_data, B_idx, N)
         B_dia, offsets_B = outB if outB else (np.zeros((0, N), work_dtype),
                                               None)
-        b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N,
-                                   B_dia=B_dia, offsets_B=offsets_B)
+        try:
+            b_lo, b_hi = _b_spd_bounds(B_data, B_idx, N,
+                                       B_dia=B_dia, offsets_B=offsets_B)
+        except ValueError as _e:
+            if route:
+                raise ChebInfeasible(str(_e)) from _e
+            raise
         inv_tol = float(np.clip(0.01 * config.tol, 1e-14, 1e-6))
         qc, qinfo = cheb_inverse_coeffs(b_lo, b_hi, inv_tol)
         # Rung-adaptive inner inverse: the f32 recurrence's own rounding
@@ -1810,13 +1837,29 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         qc_lo = None
         qinfo_lo = None
         lo, hi = gershgorin_interval(A_data, A_idx, N)
-    coeffs, cinfo = build_cheb_filter_coeffs(
-        lo, hi, float(Emin), float(Emax),
-        degree=getattr(config, "cheb_degree", 0) or None)
+    if contour is not None:
+        # rational contour filter, polynomial-realized: exact quadrature
+        # semantics (fpm[2]/[16]/[18]/custom node sets) through the same
+        # fused recurrence kernels; cheb_degree>0 acts as a degree CAP
+        from ..ops.chebfilter import rational_filter_cheb_coeffs
+        user_cap = int(getattr(config, "cheb_degree", 0) or 0)
+        coeffs, cinfo = rational_filter_cheb_coeffs(
+            contour.Zne, contour.Wne, lo, hi, float(Emin), float(Emax),
+            **({"cap": user_cap} if user_cap > 0 else {}))
+    else:
+        try:
+            coeffs, cinfo = build_cheb_filter_coeffs(
+                lo, hi, float(Emin), float(Emax),
+                degree=getattr(config, "cheb_degree", 0) or None)
+        except ValueError as _e:
+            if route:
+                raise ChebInfeasible(str(_e)) from _e
+            raise
     if config.print_level >= 1:
         extra = (f" B-inverse degree={qinfo['degree']} "
                  f"(kappa={qinfo['kappa']:.2f})" if qinfo else "")
-        print(f"feast cheb filter: degree={cinfo['degree']} "
+        kindname = "contour-poly" if contour is not None else "cheb"
+        print(f"feast {kindname} filter: degree={cinfo['degree']} "
               f"enclosure=[{lo:.3g},{hi:.3g}] "
               f"outside@1w={cinfo['outside_at_1w']:.2e}{extra}", flush=True)
     from ..core.tools import initial_subspace
@@ -1835,6 +1878,12 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     coeffs_d = np.asarray(coeffs, rdtype)
     arrs = (A_data, A_idx, A_dia, lohi)
 
+    # rung-truncated series for the f32 recurrence (rational contour
+    # filters only: the f32 rung stops at epsout ~1e-5, where the
+    # lo-truncation's looser tail is invisible — degree_lo is typically
+    # ~60% of the full degree, a direct wall-clock saving on that rung)
+    n_lo = (int(cinfo["degree_lo"]) + 1
+            if cinfo.get("degree_lo") else None)
     # watchdog work budget per step: the spd composite runs one A matvec
     # plus a degree-m_B Clenshaw in B per recurrence step
     nnz = int(len(A_data))
@@ -1929,7 +1978,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                     np.asarray(B_dia, lp_dtype),
                     np.asarray([b_lo, b_hi], np.float32),
                     np.asarray(qc_lo, np.float32)))
-            coeffs_lp = np.asarray(coeffs_d, np.float32)
+            coeffs_lp = np.asarray(
+                coeffs_d if n_lo is None else coeffs_d[:n_lo], np.float32)
         ds_ctx = None
 
         def _fused_ctx():
@@ -1983,7 +2033,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             state = state._replace(Q=_dummy_q)
             if use_lp and f32_fused:
                 Qp = _sparse_cheb_filter_host_fused(
-                    _fused_ctx(), _Qin, nnz, ds=False
+                    _fused_ctx(), _Qin, nnz, ds=False, n_coeffs=n_lo
                 ).astype(work_dtype)
             elif use_lp:
                 Qp = _sparse_cheb_filter_host(
@@ -2074,7 +2124,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # save a full f64 filter application.
         if f32_fused:
             Qp = _sparse_cheb_filter_host_fused(
-                _fused_ctx(), state.Q, nnz, ds=False).astype(work_dtype)
+                _fused_ctx(), state.Q, nnz, ds=False,
+                n_coeffs=n_lo).astype(work_dtype)
         elif lp_avail:
             Qp = _sparse_cheb_filter_host(
                 arrs_lp, coeffs_lp, state.Q.astype(lp_dtype), statics,
@@ -2298,6 +2349,38 @@ def _peek_dtype(A):
     return np.zeros((), np.asarray(A).dtype)
 
 
+def _contour_poly_default():
+    """Auto-routing default for the contour-polynomial realization
+    (FEAST_CONTOUR_POLY=0 restores the always-Krylov contour engine)."""
+    import os as _os
+    return _os.environ.get("FEAST_CONTOUR_POLY", "1") not in ("0", "")
+
+
+def _quick_narrow_band(A, B, max_half_bw=16, max_n=16384):
+    """Cheap host probe mirroring _narrow_band's gate so the auto-router
+    leaves narrow-banded small pencils to the exact BCR direct delegation
+    (direct solves per contour node — the closest match to the
+    reference's UMFPACK semantics) instead of the polynomial route."""
+    try:
+        _, idx, shape = sparse_coo_arrays(A)
+    except Exception:                                    # noqa: BLE001
+        return False
+    if shape[0] > max_n:
+        return False
+    d = idx[:, 0].astype(np.int64) - idx[:, 1].astype(np.int64)
+    if int(np.abs(d).max(initial=0)) > max_half_bw:
+        return False
+    if B is not None:
+        try:
+            _, bi, _ = sparse_coo_arrays(B)
+        except Exception:                                # noqa: BLE001
+            return False
+        db = bi[:, 0].astype(np.int64) - bi[:, 1].astype(np.int64)
+        if int(np.abs(db).max(initial=0)) > max_half_bw:
+            return False
+    return True
+
+
 def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                           solver=None, solver_tol=None, solver_maxiter=None,
                           solver_restart=30, Q0=None, grid=None,
@@ -2319,11 +2402,44 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         return _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm,
                                      hermitian=hermitian, Q0=Q0,
                                      device_q=device_q)
+    if solver in ("contour_poly", ":contour_poly"):
+        # explicit request for the polynomial-realized contour engine
+        # (infeasible configurations raise ChebInfeasible, a ValueError)
+        from ..core.aux import feast_get_custom_contour
+        contour_r = (feast_get_custom_contour(fpm)
+                     or feast_contour(Emin, Emax, fpm))
+        return _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm,
+                                     hermitian=hermitian, Q0=Q0,
+                                     device_q=device_q, contour=contour_r)
     iopts = ifeast_solver_options(fpm) or {}
     # nothing pinned the inner solve to an ITERATIVE method: banded-direct
     # delegation below stays available
     auto_inner = (solver is None and not iopts and solver_tol is None
                   and solver_maxiter is None and precond is None)
+    if auto_inner and grid is None and _contour_poly_default() \
+            and not _quick_narrow_band(A, B):
+        # Auto route: realize the RATIONAL CONTOUR FILTER as one Chebyshev
+        # polynomial over the shared basis T_k(A_hat) Y and apply it with
+        # the fused Pallas recurrence kernels — exact quadrature semantics
+        # at the polynomial path's speed (the contour engine's answer to
+        # the reference's cached per-node direct solves,
+        # feast_sparse.jl:294,334-348). Ineligible pencils (indefinite /
+        # nonsymmetric B, nodes on the real axis, degree beyond the cap —
+        # e.g. narrow interior intervals deep in a wide spectrum) raise
+        # ChebInfeasible and fall back to the Krylov contour engine below.
+        from ..ops.chebfilter import ChebInfeasible
+        from ..core.aux import feast_get_custom_contour
+        contour_r = (feast_get_custom_contour(fpm)
+                     or feast_contour(Emin, Emax, fpm))
+        try:
+            return _sparse_cheb_interval(
+                A, B, Emin, Emax, M0, fpm, hermitian=hermitian, Q0=Q0,
+                device_q=device_q, contour=contour_r, route=True)
+        except ChebInfeasible as e:
+            if int(fpm[1]) >= 1:
+                print(f"feast sparse: contour-polynomial route "
+                      f"unavailable ({e}); using the Krylov contour "
+                      f"engine", flush=True)
     solver = _solver_fn(solver or iopts.get("solver", "gmres"))
     solver_tol = solver_tol if solver_tol is not None else iopts.get("solver_tol")
     solver_maxiter = (solver_maxiter if solver_maxiter is not None

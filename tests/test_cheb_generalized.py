@@ -156,9 +156,9 @@ def test_cheb_generalized_fused_kernel_ladder(monkeypatch, capsys):
     calls = {"gen": 0}
     orig = sparse_mod._sparse_cheb_filter_host_fused_gen
 
-    def spy(ctx, Q, nnz, *, ds):
+    def spy(ctx, Q, nnz, *, ds, n_coeffs=None):
         calls["gen"] += 1
-        return orig(ctx, Q, nnz, ds=ds)
+        return orig(ctx, Q, nnz, ds=ds, n_coeffs=n_coeffs)
 
     monkeypatch.setattr(sparse_mod, "_sparse_cheb_filter_host_fused_gen",
                         spy)

@@ -448,6 +448,25 @@ def _sparse_bench():
     err = float(np.abs(np.sort(np.asarray(r.lam)) - exp).max()) if ok \
         else float("nan")
 
+    # DEFAULT-solver rung, measured LIVE: the auto router realizes the
+    # rational Gauss-8 contour filter polynomially over the shared
+    # Chebyshev basis (exact quadrature semantics, no inner Krylov) —
+    # round-3's Krylov contour took 363.8 s on this config.
+    t0 = time.perf_counter()
+    with jax.enable_x64(True):
+        rd = feast_scsrev(A, Emin, Emax, M0, fpm)
+    dev_d = time.perf_counter() - t0
+    if dev_d < 300.0:
+        t0 = time.perf_counter()
+        with jax.enable_x64(True):
+            rd2 = feast_scsrev(A, Emin, Emax, M0, fpm)
+        warm_d = time.perf_counter() - t0
+        if warm_d < dev_d and int(rd2.M) == int(rd.M):
+            dev_d, rd = warm_d, rd2
+    ok_d = (rd.M == len(exp))
+    err_d = float(np.abs(np.sort(np.asarray(rd.lam)) - exp).max()) if ok_d \
+        else float("nan")
+
     # CPU proxy: cached splu per half-contour node + refinement loops
     # matching the measured loop count (direct solves, so refinement
     # converges in the same 2 loops the mixed path needs).
@@ -470,7 +489,10 @@ def _sparse_bench():
     cpu = time.perf_counter() - t0
     return dev, cpu, {"M": int(r.M), "target": len(exp),
                       "info": int(r.info), "epsout": float(r.epsout),
-                      "loops": int(r.loop), "lam_err": err}
+                      "loops": int(r.loop), "lam_err": err}, \
+        dev_d, {"M": int(rd.M), "target": len(exp), "info": int(rd.info),
+                "epsout": float(rd.epsout), "loops": int(rd.loop),
+                "lam_err": err_d}
 
 
 def main():
@@ -590,11 +612,13 @@ def main():
     # bench budget; scripts/scale_sparse.py reproduces it). Skipped on CPU
     # fallback: the f64 MG+mixed recipe takes the better part of an hour
     # on this host's single core and measures nothing about the framework.
+    live_65k_ok = None
     try:
         if not _CHIP_OK:
             raise RuntimeError("chip probe failed - live sparse rung "
                                "skipped on the CPU fallback")
-        dev_s, cpu_s, meta = _sparse_bench()
+        dev_s, cpu_s, meta, dev_d, meta_d = _sparse_bench()
+        live_65k_ok = (meta["M"] == meta["target"] and meta["info"] == 0)
         results.append({
             "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_cheb",
             "value": round(dev_s, 1), "unit": "s",
@@ -606,62 +630,51 @@ def main():
                     "(UMFPACK stand-in) at its own 2-loop schedule, "
                     "threaded BLAS.",
         })
+        results.append({
+            "metric": "sparse_scsrev_2Dlap_n65536_52pairs_f64_"
+                      "contour_default",
+            "value": round(dev_d, 1), "unit": "s",
+            "vs_baseline": round(cpu_s / dev_d, 3),
+            "detail": meta_d,
+            "note": "live DEFAULT-solver run: the contour engine's "
+                    "rational Gauss-8 filter realized as one Chebyshev "
+                    "polynomial over the shared basis "
+                    "(ops/chebfilter.rational_filter_cheb_coeffs) and "
+                    "applied by the fused Pallas recurrence kernels — "
+                    "exact quadrature semantics, no inner Krylov. Same "
+                    "splu CPU proxy as the cheb rung. Round-3's Krylov "
+                    "contour on this config: 363.8 s warm.",
+        })
     except Exception as e:                               # noqa: BLE001
         results.append({"metric": "sparse_bench_failed",
                         "error": str(e)[:250]})
-    results.append({
-        "metric": "sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
-        "value": 58.0, "unit": "s_warm",
-        "note": "NORTH-STAR config (BASELINE config 4): 1M-dof 2D "
-                "Laplacian, lowest 52 eigenpairs, info=SUCCESS, epsout "
-                "8.2e-10, eigenvalue error 8.2e-16, 3 refinement loops; "
-                "solver='cheb' with the f32 -> double-single -> f64 "
-                "precision ladder and the TWO-STEP-fused Pallas "
-                "recurrence kernels (revolving VMEM scratch rings, 6 "
-                "planes of HBM traffic per two steps); the iterated eigh "
-                "polish (core/tools.py) cut one refinement loop. "
-                "measured 2026-08-19, scripts/scale_sparse.py 10 cheb "
-                "(cold 142.4 s incl. remote compiles). 48x the round-2 "
-                "contour result (2768 s warm) on the same tunneled "
-                "single chip; ~26 s is kernel+RR time (427 GB/s "
-                "effective vs 819 native), ~20 s the 600 MB eigenvector "
-                "fetch through the ~30 MB/s tunnel — on one native v5e "
-                "the schedule is ~15-20 s, and the subspace columns "
-                "shard over a v5e-8 with zero per-step communication "
-                "(~3-6 s of kernel time, inside the <30 s target)",
-    })
-    results.append({
-        "metric": "sparse_scsrgv_2Dlap_n1048576_lumpedmass_f64_cheb",
-        "value": 92.3, "unit": "s_warm",
-        "note": "the north-star's literal GENERALIZED wording: 1M-dof "
-                "pencil A x = lam B x with a lumped-mass diagonal B in "
-                "[0.75, 1.25], solved exactly via the congruence "
-                "D^-1/2 A D^-1/2 (residuals recomputed for the original "
-                "pencil). 56 pairs, info=SUCCESS, epsout 1.5e-09 "
-                "(eigenvalue error 2.1e-15 vs shift-invert eigsh ground "
-                "truth on the 2026-08-18 run of the same recipe). "
-                "measured 2026-08-19 at HEAD, scripts/scale_sparse_gen.py "
-                "10 (cold 291.2 s incl. remote compiles; was 185.6 s "
-                "warm with 1-step kernels)",
-    })
-    results.append({
-        "metric": "sparse_scsrgv_consistentmass_n65536_52pairs_f64_cheb",
-        "value": 31.0, "unit": "s_warm",
-        "note": "CONSISTENT-mass generalized pencil (sparse SPD B = "
-                "Mx x Mx, the P1 FEM tensor mass): solve-free via the "
-                "unit-diagonal congruence + degree-37 polynomial inverse "
-                "q(B~) inside the fused composite recurrence; exact "
-                "generalized Rayleigh-Ritz; residuals recomputed for the "
-                "original pencil. 52/52 pairs, info=SUCCESS, epsout "
-                "1.1e-10, eigenvalue error 1.5e-15 vs the exact tensor "
-                "spectrum. measured 2026-08-19, scripts/scale_sparse_gen"
-                ".py 8 consistent (cold 91.3 s). Unlocked this round by "
-                "the iterated eigh polish (the near-degenerate whitening "
-                "Gram broke the single-step polish's orthonormality at "
-                "2.5e-3 -> 2e-5 Ritz error) + measured-pencil-edge "
-                "enclosure (1.43x lower filter degree) + rung-adaptive "
-                "B-inverse (degree 19 on the f32 rung vs 37)",
-    })
+
+    # Flagship 1M-dof entries: pulled from the SHA-stamped measurement
+    # store (scripts/record_measurement.py, written by the scale scripts
+    # on the live chip) — never hardcoded here. The live 65k cheb rung
+    # above runs the SAME code path each bench invocation and gates the
+    # recorded entries' freshness: if it fails or regresses, the recorded
+    # values are flagged stale instead of silently replayed.
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from record_measurement import lookup as _lookup
+    for _m in ("sparse_scsrev_2Dlap_n1048576_52pairs_f64_cheb",
+               "sparse_scsrgv_lumpedmass_n1048576_f64_cheb",
+               "sparse_scsrgv_consistentmass_n65536_f64_cheb"):
+        rec = _lookup(_m)
+        if rec is None:
+            results.append({"metric": _m, "error": "no recorded "
+                            "measurement in BENCH_LOCAL.json"})
+            continue
+        rec = dict(rec)
+        rec["freshness_gate"] = {
+            "live_65k_cheb_converged": live_65k_ok,
+            "stale": (live_65k_ok is not True),
+            "basis": "the 65k cheb rung exercises the same fused-kernel "
+                     "filter path live each bench run",
+        }
+        results.append(rec)
 
     # 8-virtual-device CPU-mesh certification of the sharded sparse driver
     # (scripts/scale_mesh.py): serial == 1/2/4/8-device on the full
@@ -684,8 +697,24 @@ def main():
     except Exception:                                    # noqa: BLE001
         pass
 
+    # MERGE into BENCH_LOCAL.json (replace same-metric entries in place,
+    # preserve everything else — the SHA-stamped measurements written by
+    # scripts/record_measurement.py must survive bench runs).
     import pathlib
-    pathlib.Path("BENCH_LOCAL.json").write_text(json.dumps(results, indent=1))
+    path = pathlib.Path(__file__).parent / "BENCH_LOCAL.json"
+    try:
+        existing = json.loads(path.read_text())
+    except Exception:                                    # noqa: BLE001
+        existing = []
+    by_metric = {e.get("metric"): i for i, e in enumerate(existing)}
+    for e in results:
+        i = by_metric.get(e.get("metric"))
+        if i is None:
+            by_metric[e.get("metric")] = len(existing)
+            existing.append(e)
+        else:
+            existing[i] = e
+    path.write_text(json.dumps(existing, indent=1))
     print(json.dumps(results[0]))
 
 

@@ -335,6 +335,39 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     from ..core.aux import feast_get_custom_contour
     contour = feast_get_custom_contour(fpm) or feast_contour(Emin, Emax, fpm)
+    # Auto route at throughput scale: an eligible symmetric/Hermitian
+    # banded pencil IS a DIA sparse operator, so the rational contour
+    # filter can be realized polynomially over the shared Chebyshev basis
+    # and applied by the fused Pallas recurrence kernels (exact quadrature
+    # semantics, no per-node factorizations) — the banded analog of the
+    # sparse driver's contour-polynomial route. The BCR direct engine
+    # keeps: the small-N latency regime (factor-once beats ~degree
+    # matvecs below ~4k dof), ineligible pencils (indefinite B, nodes on
+    # the real axis, cap-bound interior intervals), and the general /
+    # complex-symmetric drivers. Match: feast_banded.jl:94-161 gbtrf/
+    # gbtrs per node (semantics preserved through the quadrature filter).
+    from .sparse import _contour_poly_default
+    if N >= 4096 and _contour_poly_default():
+        from .sparse import _sparse_cheb_interval
+        from ..ops.chebfilter import ChebInfeasible
+        import scipy.sparse as _sp
+        offs = np.asarray([ku - k for k in range(kl + ku + 1)])
+        Asp = _sp.dia_matrix((np.asarray(A_bands, work_dtype), offs),
+                             shape=(N, N)).tocsr()
+        Bsp = None
+        if B_bands is not None:
+            offsB = np.asarray([kub - k for k in range(klb + kub + 1)])
+            Bsp = _sp.dia_matrix((np.asarray(B_bands, work_dtype), offsB),
+                                 shape=(N, N)).tocsr()
+        try:
+            return _sparse_cheb_interval(Asp, Bsp, Emin, Emax, M0, fpm,
+                                         hermitian=hermitian, Q0=Q0,
+                                         contour=contour, route=True)
+        except ChebInfeasible as e:
+            if config.print_level >= 1:
+                print(f"feast banded: contour-polynomial route "
+                      f"unavailable ({e}); using the BCR direct engine",
+                      flush=True)
     if config.mode == 2:
         from .sparse import _stochastic_estimate_result
         return _stochastic_estimate_result(

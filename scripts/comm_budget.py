@@ -1,0 +1,222 @@
+"""Measured communication budget for the sharded polynomial-filter path.
+
+Round-3 claimed "the subspace columns shard over a v5e-8 with zero
+per-step communication" as prose; this script turns it into a FALSIFIABLE
+measured artifact (SCALING_COMM.json):
+
+1. Compiles the PRODUCTION column-sharded programs — the recurrence chunk
+   (`_sparse_cheb_chunk_jit`) and the Rayleigh-Ritz outer update
+   (`_sparse_cheb_outer_jit`) — on an 8-virtual-device CPU mesh with XLA
+   HLO dumping on, then audits every optimized module for collective ops
+   (all-reduce / all-gather / reduce-scatter / collective-permute /
+   all-to-all), summing output bytes.
+2. Verifies the recurrence chunk contains ZERO collectives (the filter is
+   embarrassingly column-parallel), and that the RR module's collective
+   bytes are independent of N (they are M0 x M0 Gram/Ritz reductions) by
+   auditing two grid sizes.
+3. Emits the v5e-8 extrapolation table: measured per-loop kernel seconds
+   on the live chip (SHA-stamped entries in BENCH_LOCAL.json) vs the
+   audited per-loop collective bytes over public ICI figures — the comm
+   fraction of a refinement loop.
+
+Physical context: this host exposes ONE CPU core, so any wall-clock
+scaling experiment on the virtual mesh measures time-slicing, not
+parallelism (round-3's inverse "scaling" curves). The audited byte
+counts + the single-chip kernel times are the quantities a v5e-8 run is
+made of; both are measured here, so the extrapolation is arithmetic, not
+narrative.
+
+Usage: python scripts/comm_budget.py
+"""
+import json
+import os
+import re
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DUMP = "/tmp/feast_hlo_dump"
+shutil.rmtree(DUMP, ignore_errors=True)
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=8 "
+    f"--xla_dump_to={DUMP} --xla_dump_hlo_as_text "
+    "--xla_dump_hlo_pass_re=.* ")
+
+import jax                                               # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np                                       # noqa: E402
+import scipy.sparse as sp                                # noqa: E402
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "f16": 2, "bf16": 2, "c64": 8,
+                "c128": 16, "s32": 4, "u32": 4, "s64": 8, "u64": 8,
+                "pred": 1, "s8": 1, "u8": 1}
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(sig):
+    """Total bytes of every array shape in an HLO result signature."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(sig):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def audit_module(path):
+    """Collective ops in one optimized HLO module: [(op, result_sig,
+    bytes)] summed across the whole module (loop bodies included)."""
+    out = []
+    for line in open(path):
+        ls = line.strip()
+        m = re.match(r"%?[\w\.\-]+ = (\(?.*?\)?) (" +
+                     "|".join(_COLLECTIVES) + r")\(", ls)
+        if m:
+            out.append({"op": m.group(2), "result": m.group(1)[:120],
+                        "bytes": _shape_bytes(m.group(1))})
+    return out
+
+
+def newest_module(tag):
+    """Newest after-optimizations dump whose filename mentions ``tag``."""
+    cands = [f for f in os.listdir(DUMP)
+             if tag in f and "after_optimizations" in f
+             and f.endswith(".txt") and "before" not in f]
+    if not cands:
+        return None
+    cands.sort(key=lambda f: os.path.getmtime(os.path.join(DUMP, f)))
+    return os.path.join(DUMP, cands[-1])
+
+
+def run_sharded_filter(nx, M0=72):
+    """Drive the production chunked cheb programs with column-sharded
+    operands on the 8-device mesh; returns (chunk_audit, outer_audit)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from feastkit_tpu.solvers.sparse import (
+        sparse_coo_arrays, bcoo_to_dia, _sparse_cheb_init_jit,
+        _sparse_cheb_chunk_jit, _sparse_cheb_outer_jit)
+    from feastkit_tpu.core.parameters import FeastConfig, feastinit
+    from feastkit_tpu.ops.chebfilter import (gershgorin_interval,
+                                             build_cheb_filter_coeffs)
+    from feastkit_tpu.solvers.dense import _host_state
+
+    N = nx * nx
+    D = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    A = (sp.kron(D, sp.eye(nx)) + sp.kron(sp.eye(nx), D)).tocsr()
+    wx = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
+    w = np.sort((wx[:, None] + wx[None, :]).ravel())
+    Emin, Emax = float(w[0] * 0.5), float(0.5 * (w[51] + w[52]))
+
+    A_data, A_idx, shape = sparse_coo_arrays(A, np.float64)
+    A_dia, offsets_A = bcoo_to_dia(A_data, A_idx, N)
+    lo, hi = gershgorin_interval(A_data, A_idx, N)
+    coeffs, cinfo = build_cheb_filter_coeffs(lo, hi, Emin, Emax)
+    fpm = feastinit()
+    config = FeastConfig.from_fpm(fpm, dtype=np.complex128)
+    statics = dict(shape=tuple(shape), config=config, offsets_A=offsets_A,
+                   use_pallas=False, offsets_B=None)
+    lohi = np.asarray([lo, hi], np.float64)
+    arrs = (A_data, A_idx, A_dia, lohi)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("cols",))
+    cols = NamedSharding(mesh, PartitionSpec(None, "cols"))
+    rng = np.random.default_rng(0)
+    Q = jax.device_put(rng.standard_normal((N, M0)), cols)
+
+    carry = _sparse_cheb_init_jit(*arrs, np.asarray(coeffs[:2]), Q,
+                                  barrs=None, **statics)
+    chunk = np.asarray(coeffs[2:66])
+    carry = _sparse_cheb_chunk_jit(*arrs[:3], arrs[3], chunk, carry,
+                                   barrs=None, **statics)
+    jax.block_until_ready(carry)
+    chunk_mod = newest_module("_sparse_cheb_chunk_jit")
+    Qp = carry[2]
+    state = _host_state(Q)
+    state = _sparse_cheb_outer_jit(*arrs[:3], state, Qp,
+                                   np.float64(Emin), np.float64(Emax),
+                                   barrs=None, **statics)
+    jax.block_until_ready(state.epsout)
+    outer_mod = newest_module("_sparse_cheb_outer_jit")
+    return (audit_module(chunk_mod) if chunk_mod else None,
+            audit_module(outer_mod) if outer_mod else None,
+            cinfo["degree"])
+
+
+def main():
+    audits = {}
+    for nx in (32, 64):
+        chunk, outer, degree = run_sharded_filter(nx)
+        audits[nx] = {
+            "N": nx * nx, "degree": degree,
+            "recurrence_chunk_collectives": chunk,
+            "recurrence_chunk_bytes": sum(c["bytes"] for c in chunk or []),
+            "outer_rr_collectives_count": len(outer or []),
+            "outer_rr_bytes": sum(c["bytes"] for c in outer or []),
+            "outer_rr_breakdown": outer,
+        }
+        print(f"nx={nx}: chunk collectives="
+              f"{len(chunk or [])} ({audits[nx]['recurrence_chunk_bytes']}"
+              f" B), outer RR collectives={len(outer or [])} "
+              f"({audits[nx]['outer_rr_bytes']} B)", flush=True)
+
+    zero_per_step = all(a["recurrence_chunk_bytes"] == 0
+                        for a in audits.values())
+    n_indep = (audits[32]["outer_rr_bytes"] == audits[64]["outer_rr_bytes"])
+
+    # v5e-8 extrapolation from measured quantities: per-loop kernel time
+    # measured on the live chip (BENCH_LOCAL SHA-stamped 1M north-star:
+    # f32 loops ~2.6 s, DS loops ~8.8 s at degree 1943, M0=72) vs the
+    # audited per-loop collective volume over public v5e ICI figures
+    # (~45 GB/s/link one-way; even 1 GB/s changes nothing below).
+    rr_bytes = audits[64]["outer_rr_bytes"]
+    ici_gbs = 45.0
+    comm_s = rr_bytes / (ici_gbs * 1e9) + 10e-6 * max(
+        audits[64]["outer_rr_collectives_count"], 1)
+    extrap = {
+        "per_loop_collective_bytes": rr_bytes,
+        "per_step_collective_bytes": 0 if zero_per_step else "NONZERO",
+        "bytes_independent_of_N": bool(n_indep),
+        "ici_assumption_GBps_per_link": ici_gbs,
+        "per_loop_comm_seconds_v5e8": comm_s,
+        "per_loop_kernel_seconds_measured_1chip": {
+            "f32_rung": 2.6, "ds_rung": 8.8,
+            "source": "BENCH_LOCAL.json sparse_scsrev_2Dlap_n1048576_"
+                      "52pairs_f64_cheb (sha-stamped), scale_sparse.py 10 "
+                      "cheb live log 2026-08-20"},
+        "comm_fraction_of_ds_loop": comm_s / 8.8,
+    }
+    out = {
+        "method": "XLA HLO dump audit of the production column-sharded "
+                  "programs on an 8-virtual-device CPU mesh "
+                  "(scripts/comm_budget.py); collective bytes counted "
+                  "from optimized-module result shapes",
+        "host_physical_cores": 1,
+        "why_no_wallclock_curve": "one physical core: virtual-mesh "
+                                  "wall-clock measures time-slicing, not "
+                                  "parallelism",
+        "audits": audits,
+        "claims": {
+            "recurrence_has_zero_collectives": bool(zero_per_step),
+            "rr_collective_bytes_independent_of_N": bool(n_indep),
+        },
+        "v5e8_extrapolation": extrap,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING_COMM.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, flush=True)
+    print(json.dumps(out["claims"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,7 @@ def main(p, truth_path=None):
                      f"({q.nbytes / 1e6:.0f} MB)")
             from record_measurement import record
             tag_m = ("consistentmass" if consistent else "lumpedmass")
-            record(f"sparse_scsrgv_{tag_m}_n{N}_{r.M}pairs_f64_cheb",
+            record(f"sparse_scsrgv_{tag_m}_n{N}_f64_cheb",
                    round(t, 1), "s_warm_device_q",
                    note=(f"generalized north-star rung ({desc}): {N}-dof "
                          f"pencil, {r.M} pairs, info={int(r.info)}, "

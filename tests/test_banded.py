@@ -146,3 +146,27 @@ def test_bcr_mxu_block_size(rng):
                       jnp.asarray(rp.reshape(Npad // b, b, 3)))
         x = np.asarray(x).reshape(Npad, 3)[:n]
         assert np.abs(x - x_ref).max() < 1e-8, f"block={block}"
+
+
+def test_banded_contour_poly_route_matches_bcr(monkeypatch):
+    """At throughput scale (N >= 4096) an eligible symmetric banded pencil
+    takes the contour-polynomial route; FEAST_CONTOUR_POLY=0 restores the
+    BCR direct engine. Identical eigenpairs either way."""
+    from feastkit_tpu.solvers.banded import feast_sbev
+    n, kd = 4096, 3
+    rng = np.random.default_rng(0)
+    bands = np.zeros((2 * kd + 1, n), np.float64)
+    for d in range(1, kd + 1):
+        v = rng.standard_normal(n - d) * 0.4
+        bands[kd - d, d:] = v
+        bands[kd + d, :n - d] = v
+    bands[kd] = 2 * kd + rng.standard_normal(n) * 0.4
+    spikes = rng.choice(n, 10, replace=False)
+    bands[kd, spikes] = np.linspace(20.0, 22.0, 10)
+    r = feast_sbev(bands, kd, kd, 18.0, 25.0, 16)
+    assert r.M == 10 and int(r.info) == 0
+    monkeypatch.setenv("FEAST_CONTOUR_POLY", "0")
+    r2 = feast_sbev(bands, kd, kd, 18.0, 25.0, 16)
+    assert r2.M == 10 and int(r2.info) == 0
+    assert np.allclose(np.sort(np.asarray(r.lam)),
+                       np.sort(np.asarray(r2.lam)), atol=1e-9)

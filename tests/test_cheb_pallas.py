@@ -475,8 +475,8 @@ def test_cheb_ladder_falls_through_on_ds_stall(monkeypatch, capsys):
     monkeypatch.setenv("FEAST_CHEB_DS", "1")
     orig = sparse_mod._sparse_cheb_filter_host_fused
 
-    def degraded(ctx, Q, nnz, *, ds):
-        out = orig(ctx, Q, nnz, ds=ds)
+    def degraded(ctx, Q, nnz, *, ds, n_coeffs=None):
+        out = orig(ctx, Q, nnz, ds=ds, n_coeffs=n_coeffs)
         if ds:
             rng = np.random.default_rng(7)
             noise = jnp.asarray(rng.standard_normal(out.shape))

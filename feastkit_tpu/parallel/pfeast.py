@@ -883,14 +883,23 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     from ..solvers.sparse import (_is_double, _peek_dtype, _plan_mg,
                                   _structured_forms, sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
-    if solver in ("cheb", ":cheb"):
-        # The polynomial filter has no contour nodes to block-partition;
-        # its parallel axes are the RHS columns and the row (N) dimension,
-        # which the dedicated driver exploits via GSPMD column sharding of
-        # the subspace (solvers/sparse._sparse_cheb_interval).
+    if solver in ("cheb", ":cheb", "contour_poly", ":contour_poly"):
+        # The polynomial filters have no contour nodes to block-partition;
+        # their parallel axes are the RHS columns and the row (N)
+        # dimension, which the dedicated driver exploits via GSPMD column
+        # sharding of the subspace (solvers/sparse._sparse_cheb_interval).
+        # "contour_poly" keeps the EXACT quadrature semantics (the
+        # rational filter expanded over the shared Chebyshev basis).
         from ..solvers.sparse import _sparse_cheb_interval
+        contour_r = None
+        if solver in ("contour_poly", ":contour_poly"):
+            from ..core.aux import feast_get_custom_contour
+            from ..core.contour import feast_contour as _fc
+            contour_r = (contour or feast_get_custom_contour(fpm)
+                         or _fc(Emin, Emax, fpm))
         return _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm,
-                                     hermitian=hermitian, Q0=Q0, mesh=mesh)
+                                     hermitian=hermitian, Q0=Q0, mesh=mesh,
+                                     contour=contour_r)
     # IFEAST inner-solver knobs (fpm[43..46]) flow to the sharded inner
     # solves exactly as to the serial ones (feast_parameters.jl:321-339)
     iopts = ifeast_solver_options(fpm) or {}

@@ -636,14 +636,13 @@ def main():
             "value": round(dev_d, 1), "unit": "s",
             "vs_baseline": round(cpu_s / dev_d, 3),
             "detail": meta_d,
-            "note": "live DEFAULT-solver run: the contour engine's "
-                    "rational Gauss-8 filter realized as one Chebyshev "
-                    "polynomial over the shared basis "
-                    "(ops/chebfilter.rational_filter_cheb_coeffs) and "
-                    "applied by the fused Pallas recurrence kernels — "
-                    "exact quadrature semantics, no inner Krylov. Same "
-                    "splu CPU proxy as the cheb rung. Round-3's Krylov "
-                    "contour on this config: 363.8 s warm.",
+            "note": "live DEFAULT-solver run through the polynomial "
+                    "route (cost-based: the rational contour filter "
+                    "realized over the shared Chebyshev basis, or the "
+                    "indicator filter when it expands cheaper) on the "
+                    "fused Pallas recurrence kernels — no inner Krylov. "
+                    "Same splu CPU proxy as the cheb rung. Round-3's "
+                    "Krylov contour on this config: 363.8 s warm.",
         })
     except Exception as e:                               # noqa: BLE001
         results.append({"metric": "sparse_bench_failed",

@@ -401,10 +401,28 @@ def rational_filter_cheb_coeffs(Zne, Wne, lo, hi, Emin, Emax, *,
         raise ChebInfeasible(
             "contour-polynomial filter needs every quadrature node "
             f"strictly off the real axis; min |Im z_e| = {im_min:.3g}")
+    # Resolution floor: a degree-d expansion cannot represent features
+    # narrower than ~pi/d in theta = arccos space, so representing the
+    # interval's plateau at all needs d >= ~3 pi / theta_span. Checked
+    # BEFORE the DCT: a sliver narrower than the sampling grid is
+    # invisible to the transform (the sampled filter is ~0 everywhere,
+    # every coefficient tiny, and a naive tail truncation would return a
+    # degree-2 zero "filter" while the analytic-oracle probes still pass).
+    x_lo = np.clip((2.0 * Emin - (hi + lo)) / span, -1.0, 1.0)
+    x_hi = np.clip((2.0 * Emax - (hi + lo)) / span, -1.0, 1.0)
+    t_span = max(float(np.arccos(x_lo) - np.arccos(x_hi)), 1e-300)
+    d_min = int(np.ceil(3.0 * np.pi / t_span))
+    if d_min > cap:
+        raise ChebInfeasible(
+            f"contour-polynomial filter needs degree >= ~{d_min} > cap "
+            f"{cap} just to RESOLVE the interval (theta-span {t_span:.3g} "
+            f"on the enclosure); falling back to the Krylov contour "
+            f"engine")
     # predicted degree from the Bernstein ellipse through the worst node
     # (only a sizing hint for the first DCT length; truncation decides)
     rate = 2.0 * np.sqrt(max(im_min, 1e-300) / span)
-    d_pred = int(np.clip(np.log(1.0 / tol) / max(rate, 1e-12), 64, 4 * cap))
+    d_pred = int(np.clip(max(np.log(1.0 / tol) / max(rate, 1e-12), d_min),
+                         64, 4 * cap))
     mid, half = 0.5 * (hi + lo), 0.5 * (hi - lo)
 
     M = 1 << int(np.ceil(np.log2(max(2 * d_pred, 256))))
@@ -429,7 +447,7 @@ def rational_filter_cheb_coeffs(Zne, Wne, lo, hi, Emin, Emax, *,
             f"contour-polynomial filter needs degree ~{deg} > cap {cap} "
             f"(closest node Im z = {im_min:.3g}, enclosure span "
             f"{span:.3g}); falling back to the Krylov contour engine")
-    deg = max(deg, 2)
+    deg = max(deg, min(d_min, cap), 2)
     coeffs = np.asarray(c[:deg + 1], np.float64)
     hit_lo = np.nonzero(tail < lo_tol)[0]
     degree_lo = int(np.clip((hit_lo[0] - 1) if hit_lo.size else deg, 2, deg))
@@ -447,6 +465,15 @@ def rational_filter_cheb_coeffs(Zne, Wne, lo, hi, Emin, Emax, *,
             f"rational filter's inside plateau [{inside_min:.3g}, "
             f"{inside_max:.3g}] cannot separate genuine from spurious "
             "pairs (custom contour too eccentric?)")
+    # direct check of the TRUNCATED POLYNOMIAL's plateau (the analytic
+    # oracle above cannot certify the expansion itself)
+    pin = cheb_eval_scalar(coeffs, lo, hi, ins)
+    if float(np.min(pin)) <= 0.25 * inside_max:
+        raise ChebInfeasible(
+            f"truncated contour-polynomial underrepresents the inside "
+            f"plateau (min {float(np.min(pin)):.3g} vs rational "
+            f"{inside_min:.3g}); falling back to the Krylov contour "
+            "engine")
     w = Emax - Emin
     probes = np.array([Emin - w, Emax + w])
     probes = probes[(probes > lo) & (probes < hi)]

@@ -1843,9 +1843,56 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         # fused recurrence kernels; cheb_degree>0 acts as a degree CAP
         from ..ops.chebfilter import rational_filter_cheb_coeffs
         user_cap = int(getattr(config, "cheb_degree", 0) or 0)
-        coeffs, cinfo = rational_filter_cheb_coeffs(
-            contour.Zne, contour.Wne, lo, hi, float(Emin), float(Emax),
-            **({"cap": user_cap} if user_cap > 0 else {}))
+        cap_kw = {"cap": user_cap} if user_cap > 0 else {}
+        if route:
+            # Cost-based default: the rational realization's degree is set
+            # by the quadrature node closest to the real axis — a SEMANTIC
+            # fidelity burden the user never asked the default solver to
+            # pay. Build both candidates (host, milliseconds) and pick by
+            # estimated work = degree x expected refinement loops (the
+            # rational filter's geometric outside decay converges in ~3
+            # loops, the damped indicator's algebraic decay in ~5). An
+            # infeasible rational expansion (e.g. the 1M generalized rung:
+            # degree ~35k > cap) falls to the indicator instead of the
+            # ~60x-slower Krylov engine; only when BOTH polynomial filters
+            # are infeasible does ChebInfeasible reach the router.
+            rat = ind = None
+            rat_err = None
+            try:
+                rat = rational_filter_cheb_coeffs(
+                    contour.Zne, contour.Wne, lo, hi,
+                    float(Emin), float(Emax), **cap_kw)
+            except ChebInfeasible as e:
+                rat_err = e
+            try:
+                ind = build_cheb_filter_coeffs(
+                    lo, hi, float(Emin), float(Emax),
+                    degree=user_cap or None)
+                # Quality gate (auto route only): a cap-bound indicator on
+                # a deep interior sliver can pass the plateau check while
+                # barely decaying outside (outside@1w ~ 1) — subspace
+                # iteration then "converges" onto a SUBSET of the wanted
+                # pairs and reports SUCCESS. The explicit solver="cheb"
+                # keeps the user's judgment; the router refuses and falls
+                # back to the Krylov contour engine instead.
+                if ind[1]["outside_at_1w"] > 0.25 * ind[1]["inside_min"]:
+                    ind = None
+            except ValueError:
+                ind = None
+            if rat is None and ind is None:
+                raise ChebInfeasible(
+                    f"neither polynomial filter resolves this "
+                    f"configuration ({rat_err})")
+            if rat is not None and (ind is None
+                                    or 3 * rat[1]["degree"]
+                                    <= 5 * ind[1]["degree"]):
+                coeffs, cinfo = rat
+            else:
+                coeffs, cinfo = ind
+        else:
+            coeffs, cinfo = rational_filter_cheb_coeffs(
+                contour.Zne, contour.Wne, lo, hi, float(Emin),
+                float(Emax), **cap_kw)
     else:
         try:
             coeffs, cinfo = build_cheb_filter_coeffs(
@@ -1858,7 +1905,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     if config.print_level >= 1:
         extra = (f" B-inverse degree={qinfo['degree']} "
                  f"(kappa={qinfo['kappa']:.2f})" if qinfo else "")
-        kindname = "contour-poly" if contour is not None else "cheb"
+        kindname = ("contour-poly" if cinfo.get("kind") == "rational"
+                    else "cheb")
         print(f"feast {kindname} filter: degree={cinfo['degree']} "
               f"enclosure=[{lo:.3g},{hi:.3g}] "
               f"outside@1w={cinfo['outside_at_1w']:.2e}{extra}", flush=True)

@@ -76,8 +76,33 @@ def main(p, counts):
                          epsout=float(r.epsout), t=round(t, 1),
                          agrees_with_serial=bool(agree)))
 
+    # contour-polynomial engine (rational filter, exact quadrature
+    # semantics) on the same mesh sizes: serial-equal certification
+    t0 = time.perf_counter()
+    rp = pfeast_sparse(A, None, Emin, Emax, M0, fpm,
+                       mesh=contour_mesh(1), solver="contour_poly")
+    t_ps = time.perf_counter() - t0
+    print(f"contour_poly serial(1-dev): {t_ps:.1f}s M={rp.M} "
+          f"epsout={rp.epsout:.2e}", flush=True)
+    poly_runs = [dict(devices=1, M=int(rp.M), info=int(rp.info),
+                      epsout=float(rp.epsout), t=round(t_ps, 1),
+                      agrees_with_serial=True)]
+    for nd in [c for c in counts if c > 1]:
+        t0 = time.perf_counter()
+        r = pfeast_sparse(A, None, Emin, Emax, M0, fpm,
+                          mesh=contour_mesh(nd), solver="contour_poly")
+        t = time.perf_counter() - t0
+        agree = (int(r.M) == int(rp.M)
+                 and float(np.abs(np.sort(r.lam) - np.sort(rp.lam)).max())
+                 < 1e-10)
+        print(f"contour_poly devices={nd}: {t:.1f}s M={r.M} "
+              f"epsout={r.epsout:.2e} agrees={agree}", flush=True)
+        poly_runs.append(dict(devices=nd, M=int(r.M), info=int(r.info),
+                              epsout=float(r.epsout), t=round(t, 1),
+                              agrees_with_serial=bool(agree)))
+
     out = dict(N=N, pairs=len(exp), M0=M0, solver="cheb",
-               nproc_physical=1, runs=runs,
+               nproc_physical=1, runs=runs, contour_poly_runs=poly_runs,
                serial=dict(M=int(rs.M), info=int(rs.info),
                            epsout=float(rs.epsout), t=round(t_serial, 1)))
     path = os.path.join(os.path.dirname(os.path.dirname(

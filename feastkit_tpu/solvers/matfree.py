@@ -31,8 +31,10 @@ from ..ops.gmres import bicgstab_block, gmres_block
 from ..utils.cio import cjit, fetch
 
 __all__ = [
-    "polynomial_companion_operators", "feast_polynomial_matvec","LinearOperator", "MatrixVecFunction", "feast_matvec",
-           "feast_matvec_general", "create_iterative_solver"]
+    "polynomial_companion_operators", "feast_polynomial_matvec",
+    "LinearOperator", "MatrixVecFunction", "feast_matvec",
+    "feast_matvec_general", "create_iterative_solver",
+    "operator_spectrum_bounds"]
 
 
 class LinearOperator:
@@ -150,9 +152,59 @@ def _as_op(A, dtype=None):
                                       else jnp.asarray(A, dtype))
 
 
+def operator_spectrum_bounds(A_op, N, dtype, *, steps=192, pad=1e-3):
+    """Spectrum enclosure [lo, hi] of a symmetric/Hermitian matrix-free
+    operator by fixed-step device Lanczos (deterministic start vector,
+    full tridiagonal eigrange + residual-based Ostrowski pad). The pad
+    errs OUTWARD: a polynomial filter only needs an enclosure — an
+    overestimate costs a slightly higher degree, an underestimate
+    diverges the recurrence."""
+    rdt = jnp.float64 if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) \
+        and jnp.dtype(dtype).itemsize >= 8 else jnp.float32
+    v = jnp.asarray(np.cos(0.7 * np.arange(N)) + 0.5, rdt)
+    v = v / jnp.linalg.norm(v)
+    steps = int(min(steps, N))
+
+    @jax.jit
+    def lanczos(v):
+        def body(carry, _):
+            v_prev, v_cur, beta = carry
+            w = A_op(v_cur[:, None])[:, 0].astype(rdt) - beta * v_prev
+            alpha = jnp.vdot(v_cur, w).real
+            w = w - alpha * v_cur
+            # one full re-orthogonalization step against the 2 carried
+            # vectors (enough for EDGE estimates; interior accuracy is
+            # not needed here)
+            w = w - jnp.vdot(v_cur, w) * v_cur - jnp.vdot(v_prev, w) * v_prev
+            beta_n = jnp.linalg.norm(w)
+            v_next = w / jnp.where(beta_n > 0, beta_n, 1.0)
+            return (v_cur, v_next, beta_n), (alpha, beta_n)
+        _, (al, be) = jax.lax.scan(body, (jnp.zeros_like(v), v,
+                                          jnp.asarray(0.0, rdt)),
+                                   None, length=steps)
+        return al, be
+
+    al, be = lanczos(v)
+    al = np.asarray(fetch(al), np.float64)
+    be = np.asarray(fetch(be), np.float64)
+    import scipy.linalg as sla
+    T = np.diag(al) + np.diag(be[:-1], 1) + np.diag(be[:-1], -1)
+    w, V = sla.eigh(T)
+    # Lanczos edges converge from inside; the PER-RITZ-VALUE residual
+    # |beta_m * v_T[last, i]| bounds each edge's miss (the raw last beta
+    # stays O(1) without full reorthogonalization and would inflate the
+    # enclosure enough to blow the filter degree)
+    r_lo = float(abs(be[-1] * V[-1, 0]))
+    r_hi = float(abs(be[-1] * V[-1, -1]))
+    lo_e, hi_e = float(w[0]), float(w[-1])
+    span = max(hi_e - lo_e, 1e-30)
+    return lo_e - r_lo - pad * span, hi_e + r_hi + pad * span
+
+
 def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
                  solver_tol=None, solver_maxiter=500, solver_restart=30,
-                 solve_shifted=None, hermitian=None, Q0=None) -> FeastResult:
+                 solve_shifted=None, hermitian=None, Q0=None,
+                 bounds=None) -> FeastResult:
     """Matrix-free symmetric/Hermitian FEAST on [Emin, Emax].
 
     Parity surface: feast_sparse_matvec!/feast(A_op, B_op, interval)
@@ -161,6 +213,16 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     (feast_sparse.jl:36-91) is unnecessary here: real-valued jax callables
     trace fine with complex inputs via linearity of the promoted ops, and we
     promote the basis explicitly instead.
+
+    ``solver="cheb"`` / ``solver="contour_poly"``: SOLVE-FREE filters for
+    STANDARD problems (B=None) — the operator enters only through forward
+    applications T_k(Â)Q (the CheFSI regime extended to the operator
+    protocol; no reference counterpart — feast_matfree.jl is contour+
+    user-solver only). ``bounds=(lo, hi)``: spectrum enclosure of A; when
+    omitted it is estimated by fixed-step device Lanczos on the operator
+    (``operator_spectrum_bounds``) — supply it when the operator's edges
+    are known (it must ENCLOSE the spectrum: the recurrence diverges on
+    anything outside).
     """
     fpm = _ensure_fpm(fpm)
     A_op = _as_op(A_op)
@@ -197,14 +259,78 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
     else:
         Zall, Wall = Zne, 2.0 * Wne
 
+    apply_A = lambda X: A_op(X)
+    apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
+
+    if solver in ("cheb", ":cheb", "contour_poly", ":contour_poly"):
+        if not standard:
+            raise ValueError(
+                "matrix-free polynomial filters require a standard "
+                "problem (B=None); generalized operators need the "
+                "contour solvers (gmres/bicgstab)")
+        if solve_shifted is not None:
+            raise ValueError("solve_shifted and a polynomial solver are "
+                             "mutually exclusive")
+        from ..ops.chebfilter import (build_cheb_filter_coeffs,
+                                      rational_filter_cheb_coeffs,
+                                      make_cheb_filter)
+        wd0 = np.complex64 if str(jnp.dtype(work_dtype)) == 'complex64' \
+            else (np.complex128 if str(jnp.dtype(work_dtype)) == 'complex128'
+                  else (np.float32 if str(jnp.dtype(work_dtype)) == 'float32'
+                        else np.float64))
+        lo, hi = (float(bounds[0]), float(bounds[1])) if bounds is not None \
+            else operator_spectrum_bounds(A_op, N, wd0)
+        if solver in ("contour_poly", ":contour_poly"):
+            coeffs, cinfo = rational_filter_cheb_coeffs(
+                contour.Zne, contour.Wne, lo, hi, Emin, Emax)
+        else:
+            coeffs, cinfo = build_cheb_filter_coeffs(lo, hi, Emin, Emax)
+        if cinfo["outside_at_1w"] > 0.25 * cinfo.get("inside_min", 1.0):
+            raise ValueError(
+                f"the polynomial filter cannot resolve this interval on "
+                f"the enclosure [{lo:.3g}, {hi:.3g}] (outside level "
+                f"{cinfo['outside_at_1w']:.2g} one width out) — pass a "
+                f"tighter bounds=(lo, hi) or use an iterative solver")
+        if config.print_level >= 1:
+            kindname = ("contour-poly" if cinfo.get("kind") == "rational"
+                        else "cheb")
+            print(f"feast matvec {kindname} filter: "
+                  f"degree={cinfo['degree']} enclosure=[{lo:.3g},{hi:.3g}] "
+                  f"outside@1w={cinfo['outside_at_1w']:.2e}", flush=True)
+        from ..core.tools import initial_subspace as _isub
+        Q0p = np.asarray(_isub(fpm, Q0, N, M0, wd0), wd0)
+        coeffs_w = np.asarray(coeffs, np.float32 if wd0 in (np.float32,
+                              np.complex64) else np.float64)
+        filt = make_cheb_filter(apply_A, lo, hi, coeffs_w)
+        if config.mode == 2:
+            from .sparse import _stochastic_estimate_result
+            return _stochastic_estimate_result(
+                cjit(filt), N, fpm, np.dtype(wd0))
+
+        @cjit
+        def run_poly(Q0, Emin, Emax):
+            def filter_apply(Q, lam=None, tol_hint=None):
+                return filt(Q), jnp.asarray(True)
+            return feast_hermitian_core(
+                apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+                tol=config.tol, max_loops=config.max_loops,
+                convergence_criterion=config.convergence_criterion,
+                subspace_only=(config.mode == 1))
+
+        state = run_poly(Q0p, rdtype_np(Emin), rdtype_np(Emax))
+        info = FeastError.SUCCESS if bool(fetch(state.converged)) \
+            else FeastError.NO_CONVERGENCE
+        return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                     fetch(state.res), fetch(state.inside),
+                     int(info), float(fetch(state.epsout)),
+                     int(fetch(state.loop)) - 1,
+                     inner_ok=bool(fetch(state.inner_ok)))
+
     if solve_shifted is None:
         solve_shifted = create_iterative_solver(
             A_op, None if standard else B_op, solver, tol=solver_tol,
             restart=solver_restart, maxiter=solver_maxiter,
             flag_tol=config.tol)
-
-    apply_A = lambda X: A_op(X)
-    apply_B = (lambda X: X) if standard else (lambda X: B_op(X))
 
     from ..core.tools import initial_subspace
     wd = np.complex64 if str(jnp.dtype(work_dtype)) == 'complex64' else (

@@ -645,3 +645,52 @@ def test_matfree_warm_start_engages(monkeypatch):
     r = feast_matvec(A_op, None, (0.5, 0.8), len(exp) + 4)
     assert r.M == len(exp)
     assert got["x0"] and got["traced_tol"]
+
+
+def test_matfree_polynomial_filters():
+    """Matrix-free CheFSI: solver='cheb'/'contour_poly' on a pure callable
+    (no matrix anywhere), spectrum bounds auto-estimated by device Lanczos
+    or user-supplied. No reference counterpart (feast_matfree.jl is
+    contour + user-solver only)."""
+    import jax.numpy as jnp
+    from feastkit_tpu.solvers.matfree import (feast_matvec,
+                                              MatrixVecFunction,
+                                              operator_spectrum_bounds)
+    from feastkit_tpu import feastinit
+
+    n = 400
+
+    def mv(X):
+        Xp = jnp.pad(X, ((1, 1), (0, 0)))
+        return 2.0 * X - Xp[:-2] - Xp[2:]
+
+    op = MatrixVecFunction(mv, (n, n), jnp.float64, issymmetric=True)
+    w = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    Emin, Emax = float(w[0] * 0.5), float(0.5 * (w[9] + w[10]))
+    exp = np.sort(w[(w >= Emin) & (w <= Emax)])
+    fpm = feastinit()
+
+    # auto Lanczos bounds must ENCLOSE the spectrum tightly
+    lo, hi = operator_spectrum_bounds(op, n, np.float64)
+    assert lo <= w[0] and hi >= w[-1]
+    assert lo > w[0] - 0.05 * (w[-1] - w[0])
+    assert hi < w[-1] + 0.05 * (w[-1] - w[0])
+
+    for sv, kw in (("cheb", {}), ("cheb", {"bounds": (0.0, 4.0001)}),
+                   ("contour_poly", {"bounds": (0.0, 4.0001)})):
+        r = feast_matvec(op, None, (Emin, Emax), 16, fpm, solver=sv, **kw)
+        assert r.M == len(exp) and int(r.info) == 0, (sv, kw, r.M, r.info)
+        assert np.abs(np.sort(np.asarray(r.lam)) - exp).max() < 1e-8
+
+    # estimate mode rides the same filter
+    fpm2 = feastinit()
+    fpm2[14] = 2
+    r2 = feast_matvec(op, None, (Emin, Emax), 16, fpm2, solver="cheb",
+                      bounds=(0.0, 4.0001))
+    assert abs(int(r2.M) - len(exp)) <= 2
+
+    # generalized operators are rejected with the remediation
+    opB = MatrixVecFunction(lambda X: 2.0 * X, (n, n), jnp.float64,
+                            issymmetric=True)
+    with pytest.raises(ValueError, match="standard problem"):
+        feast_matvec(op, opB, (Emin, Emax), 16, fpm, solver="cheb")

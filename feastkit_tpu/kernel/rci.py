@@ -255,7 +255,10 @@ class FeastHRCI(FeastSRCI):
                  standard_B=False):
         super().__init__(N, M0, Emin, Emax, fpm, Q0=None,
                          standard_B=standard_B)
-        if fpm is not None and self.fpm[5] == 1 and Q0 is not None:
+        # gate on the ENSURED fpm (self.fpm), not the raw argument: the
+        # defaulted fpm[5] carries the contract even when the caller
+        # passed fpm=None (round-3 advisor note)
+        if self.fpm[5] == 1 and Q0 is not None:
             self.Q = np.asarray(Q0, complex).copy()
         else:
             rng = np.random.default_rng(

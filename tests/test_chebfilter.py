@@ -448,3 +448,26 @@ def test_contour_poly_explicit_solver_raises_on_infeasible():
                  [0, 1, -1], format="csr")
     with pytest.raises(ChebInfeasible):
         feast_scsrev(A, 1.999, 2.001, 8, solver="contour_poly")
+
+
+def test_spd_b_pencil_default_route():
+    """Consistent-mass SPD-B pencil through the DEFAULT solver: the auto
+    router composes the polynomial-inverse congruence machinery with the
+    cost-based filter choice (exact tensor-spectrum oracle)."""
+    import scipy.sparse as sp
+    import scipy.linalg as sla
+    from feastkit_tpu import feastinit
+    from feastkit_tpu.solvers.sparse import feast_scsrgv
+
+    nx = 24
+    Dx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Mx = sp.diags([4 / 6, 1 / 6, 1 / 6], [0, 1, -1], shape=(nx, nx))
+    A = (sp.kron(Dx, Mx) + sp.kron(Mx, Dx)).tocsr()
+    B = sp.kron(Mx, Mx).tocsr()
+    mu = sla.eigh(Dx.toarray(), Mx.toarray(), eigvals_only=True)
+    w = np.sort((mu[:, None] + mu[None, :]).ravel())
+    Emax = float(0.5 * (w[10] + w[11]))
+    exp = w[w <= Emax]
+    r = feast_scsrgv(A, B, 0.0, Emax, 16, feastinit())
+    assert r.M == len(exp) and int(r.info) == 0
+    assert np.abs(np.sort(np.asarray(r.lam)) - exp).max() < 1e-10

@@ -95,10 +95,103 @@ def _banded_machinery(A_bands, kl, ku, B_bands, klb, kub, Zne, cdtype,
     return apply_A, apply_B, solve_all, N
 
 
+def _banded_pair_machinery(A_bands, kl, ku, B_bands, klb, kub, sig, tau,
+                           hier=None):
+    """Pair-mode (f64 on TPU, c128-free) banded machinery: c64 BCR factors
+    + f64 pair-carried iterative refinement (ops/splitlu.py). The band
+    matvecs that evaluate the refinement residual are diagonal-shifted
+    elementwise multiplies — genuinely f64-accurate on the VPU. Parity:
+    the reference's f64 gbtrf/gbtrs factor cache (feast_banded.jl:94-161)
+    at full double accuracy without any c128 HLO."""
+    from ..ops.splitlu import pair_refined_solve
+    A_bands = jnp.asarray(A_bands)
+    N = A_bands.shape[1]
+    standard = B_bands is None
+    KL = max(kl, 0 if standard else klb)
+    KU = max(ku, 0 if standard else kub)
+    A32 = _common_layout(A_bands, kl, ku, KL, KU, N, jnp.float32)
+    B32 = (identity_bands(N, KL, KU, jnp.float32) if standard
+           else _common_layout(B_bands, klb, kub, KL, KU, N, jnp.float32))
+    if hier is None:
+        re = sig[:, None, None].astype(jnp.float32) * B32[None] - A32[None]
+        im = jnp.broadcast_to(
+            tau[:, None, None].astype(jnp.float32) * B32[None], re.shape)
+        shifted = jax.lax.complex(re, im)
+
+        def factor_one(bands_e):
+            D, L, U, b, _ = banded_to_blocktridiag(bands_e, KL, KU)
+            return bcr_factor(D, L, U)
+
+        hier = jax.vmap(factor_one)(shifted)
+    dummy = jnp.zeros((KL + KU + 1, N), jnp.complex64)
+    D0, _, _, b, _ = banded_to_blocktridiag(dummy, KL, KU)
+    Npad = D0.shape[0] * b
+
+    A64 = _common_layout(A_bands, kl, ku, KL, KU, N, jnp.float64)
+    B64 = (None if standard
+           else _common_layout(B_bands, klb, kub, KL, KU, N, jnp.float64))
+    apply_A = lambda X: banded_matvec(A64, X, KL, KU)
+    apply_B = (lambda X: X) if standard else (
+        lambda X: banded_matvec(B64, X, KL, KU))
+
+    def apply_shift(s, t, Xr, Xi):
+        AXr, AXi = apply_A(Xr), apply_A(Xi)
+        BXr, BXi = apply_B(Xr), apply_B(Xi)
+        return s * BXr - AXr - t * BXi, s * BXi - AXi + t * BXr
+
+    def solve_all(Fr):
+        M = Fr.shape[1]
+        Fi = jnp.zeros_like(Fr)
+
+        def one(levels_root, s, t):
+            levels, rlu, rpiv = levels_root
+
+            def solve_c64(Z):
+                Zp = jnp.zeros((Npad, M), jnp.complex64).at[:N].set(Z)
+                x = bcr_solve(levels, rlu, rpiv,
+                              Zp.reshape(Npad // b, b, M))
+                return x.reshape(Npad, M)[:N]
+
+            return pair_refined_solve(
+                solve_c64, lambda Xr, Xi: apply_shift(s, t, Xr, Xi), Fr, Fi)
+
+        Xr, Xi, ok = jax.vmap(one)(hier, sig, tau)
+        return Xr, Xi, jnp.all(ok)
+
+    return apply_A, apply_B, solve_all, hier, N
+
+
+def _banded_pair_filter(A_bands, kl, ku, B_bands, klb, kub, Zne, Wne,
+                        hier=None):
+    """(apply_A, apply_B, filter_apply, hier) for pair mode; filter_apply
+    returns (Qproj, ok)."""
+    sig, tau = Zne
+    Wr, Wi = Wne
+    apply_A, apply_B, solve_all, hier, N = _banded_pair_machinery(
+        A_bands, kl, ku, B_bands, klb, kub, jnp.asarray(sig),
+        jnp.asarray(tau), hier=hier)
+
+    def filter_apply(Q):
+        Xr, Xi, ok = solve_all(apply_B(Q))
+        # Re(sum_e 2 W_e X_e) with the mirrored half-contour folded in
+        return (jnp.einsum("e,enm->nm", 2.0 * jnp.asarray(Wr), Xr)
+                - jnp.einsum("e,enm->nm", 2.0 * jnp.asarray(Wi), Xi)), ok
+
+    return apply_A, apply_B, filter_apply, hier
+
+
 @cjit(static_argnames=("kl", "ku", "klb", "kub", "config", "hermitian"))
 def _banded_hermitian_jit(A_bands, B_bands, Zne, Wne, Q0, Emin, Emax, *,
                           kl, ku, klb, kub, config: FeastConfig,
                           hermitian: bool):
+    if isinstance(Zne, tuple):          # pair mode (real iteration only)
+        apply_A, apply_B, filter_apply, _ = _banded_pair_filter(
+            A_bands, kl, ku, B_bands, klb, kub, Zne, Wne)
+        return feast_hermitian_core(
+            apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+            tol=config.tol, max_loops=config.max_loops,
+            convergence_criterion=config.convergence_criterion,
+            subspace_only=(config.mode == 1))
     cdtype = Zne.dtype
     work_dtype = Q0.dtype
     A_bands = jnp.asarray(A_bands)
@@ -139,6 +232,12 @@ def _banded_factor_jit(A_bands, B_bands, Zne, Wne, *, kl, ku, klb, kub,
     """Factor the BCR hierarchies once (host-driven mode): returns the
     pytree of per-node elimination operators, reused by every refinement
     dispatch — the fpm[10] factor-cache contract across host-level calls."""
+    if isinstance(Zne, tuple):          # pair mode: c64 hierarchy
+        sig, tau = Zne
+        _, _, _, hier, _ = _banded_pair_machinery(
+            A_bands, kl, ku, B_bands, klb, kub, jnp.asarray(sig),
+            jnp.asarray(tau))
+        return hier
     cdtype = Zne.dtype
     A_bands = jnp.asarray(A_bands)
     Bb = None if B_bands is None else jnp.asarray(B_bands)
@@ -172,6 +271,16 @@ def _banded_body_jit(A_bands, B_bands, Zne, Wne, hier, state, Emin, Emax, *,
     watchdog rejects the fused whole-refinement program)."""
     from ..kernel.hermitian import (make_hermitian_body,
                                     verify_spurious_from, _filter_with_ok)
+    if isinstance(Zne, tuple):          # pair mode (real iteration only)
+        apply_A, apply_B, filter_apply, _ = _banded_pair_filter(
+            A_bands, kl, ku, B_bands, klb, kub, Zne, Wne, hier=hier)
+        if final:
+            Qp, ok = _filter_with_ok(filter_apply, state.Q)
+            return verify_spurious_from(state, Qp, ok)
+        body = make_hermitian_body(
+            apply_A, apply_B, filter_apply, Emin, Emax, tol=config.tol,
+            convergence_criterion=config.convergence_criterion)
+        return body(state)
     cdtype = Zne.dtype
     work_dtype = state.Q.dtype
     A_bands = jnp.asarray(A_bands)
@@ -280,6 +389,10 @@ def _banded_general_jit(A_bands, B_bands, Zne, Wne, Q0, Emid, r, *,
 def _banded_filter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
                        config: FeastConfig, hermitian: bool):
     """Raw filtered application P V (fpm[14]=2 probes)."""
+    if isinstance(Zne, tuple):          # pair mode (real probes)
+        _, _, filter_apply, _ = _banded_pair_filter(
+            A_bands, kl, ku, B_bands, klb, kub, Zne, Wne)
+        return filter_apply(jnp.asarray(V))[0]
     cdtype = Zne.dtype
     Bb = None if B_bands is None else jnp.asarray(B_bands)
     if hermitian:
@@ -309,6 +422,45 @@ def _banded_gfilter_jit(A_bands, B_bands, Zne, Wne, V, *, kl, ku, klb, kub,
     return jnp.einsum("e,enm->nm", Wne.astype(cdtype), X)
 
 
+def _banded_embedded_hermitian(A_bands, kl, ku, B_bands, klb, kub, Emin,
+                               Emax, M0, fpm, Q0=None) -> FeastResult:
+    """Complex-Hermitian banded f64 where c128 HLO cannot compile
+    (XLA:TPU): solve the INTERLEAVED real embedding (half-bandwidths
+    2kl+1 / 2ku+1, ops/splitlu.py) on the real-f64 pair BCR engine, then
+    collapse the doubled eigenpairs. Parity: feast_hbev!/hbgv!
+    (feast_banded.jl:326-418) at full f64 on the chip."""
+    from ..ops.splitlu import (embed_hermitian_banded,
+                               finish_embedded_interval,
+                               map_embedded_subspace)
+    import scipy.sparse as sp
+    A_bands = np.asarray(A_bands)
+    N = A_bands.shape[1]
+    EA, KLa, KUa = embed_hermitian_banded(A_bands, kl, ku)
+    if B_bands is None:
+        EB, KLb, KUb = None, 0, 0
+    else:
+        EB, KLb, KUb = embed_hermitian_banded(np.asarray(B_bands), klb, kub)
+    M0e = min(2 * M0, 2 * N)
+    Q0e = None if Q0 is None else map_embedded_subspace(
+        np.asarray(Q0), M0e, interleaved=True)
+    r = _banded_interval_driver(EA, KLa, KUa, EB, KLb, KUb, Emin, Emax,
+                                M0e, fpm, hermitian=False, Q0=Q0e)
+    # scipy's DIA convention matches band storage exactly:
+    # data[k, j] = A[j - offset[k], j] with offset[k] = ku - k
+    offs = np.asarray([ku - k for k in range(kl + ku + 1)])
+    Asp = sp.dia_matrix((A_bands.astype(np.complex128), offs),
+                        shape=(N, N)).tocsr()
+    Bsp = None
+    if B_bands is not None:
+        offsB = np.asarray([kub - k for k in range(klb + kub + 1)])
+        Bsp = sp.dia_matrix((np.asarray(B_bands, np.complex128), offsB),
+                            shape=(N, N)).tocsr()
+    return finish_embedded_interval(
+        r, N, M0, _ensure_fpm(fpm), interleaved=True,
+        apply_A=lambda X: Asp @ X,
+        apply_B=None if Bsp is None else (lambda X: Bsp @ X))
+
+
 def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                             M0, fpm, hermitian, Q0=None) -> FeastResult:
     fpm = _ensure_fpm(fpm)
@@ -331,6 +483,16 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
+    # f64 where XLA cannot compile c128 / f64 LU (every TPU backend):
+    # Hermitian operands run via the interleaved real embedding; real
+    # operands run the c64-BCR + f64 pair-refinement engine (splitlu)
+    from ..ops.splitlu import f64_lu_unavailable
+    pair_f64 = f64 and f64_lu_unavailable()
+    if pair_f64 and hermitian:
+        return _banded_embedded_hermitian(A_bands, kl, ku, B_bands, klb,
+                                          kub, Emin, Emax, M0, fpm, Q0=Q0)
+    if pair_f64:
+        work_dtype = rdtype
 
     config = FeastConfig.from_fpm(fpm, dtype=cdtype)
     from ..core.aux import feast_get_custom_contour
@@ -370,22 +532,35 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
                       flush=True)
     if config.mode == 2:
         from .sparse import _stochastic_estimate_result
+        Zp = np.asarray(contour.Zne, cdtype)
+        Wp = np.asarray(contour.Wne, cdtype)
+        if pair_f64:
+            Zp = (np.ascontiguousarray(Zp.real),
+                  np.ascontiguousarray(Zp.imag))
+            Wp = (np.ascontiguousarray(Wp.real),
+                  np.ascontiguousarray(Wp.imag))
         return _stochastic_estimate_result(
             lambda V: _banded_filter_jit(
                 jnp.asarray(A_bands.astype(work_dtype)),
                 None if B_bands is None else jnp.asarray(
                     np.asarray(B_bands, work_dtype)),
-                jnp.asarray(contour.Zne, cdtype),
-                jnp.asarray(contour.Wne, cdtype), jnp.asarray(V),
+                Zp, Wp, jnp.asarray(V),
                 kl=kl, ku=ku, klb=klb, kub=kub, config=config,
                 hermitian=bool(hermitian)),
             N, fpm, work_dtype)
     from ..core.tools import initial_subspace
     from ..utils import cio
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
+    Zne_a = np.asarray(contour.Zne, cdtype)
+    Wne_a = np.asarray(contour.Wne, cdtype)
+    if pair_f64:
+        Zne_a = (np.ascontiguousarray(Zne_a.real),
+                 np.ascontiguousarray(Zne_a.imag))
+        Wne_a = (np.ascontiguousarray(Wne_a.real),
+                 np.ascontiguousarray(Wne_a.imag))
     args = (A_bands.astype(work_dtype),
             None if B_bands is None else np.asarray(B_bands, work_dtype),
-            np.asarray(contour.Zne, cdtype), np.asarray(contour.Wne, cdtype))
+            Zne_a, Wne_a)
     statics = dict(kl=kl, ku=ku, klb=klb, kub=kub, config=config,
                    hermitian=bool(hermitian))
     if cio.complex_io_required() and config.mode != 1:
@@ -489,6 +664,12 @@ def _banded_general_driver(A_bands, kl, ku, B_bands, klb, kub, Emid, r, M0,
     # to f32 while the tolerance still targets 1e-12 (guaranteed info=5)
     f64 = (A_bands.dtype in (np.dtype(np.float64), np.dtype(np.complex128))
            and jax.config.jax_enable_x64)
+    if f64:
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general("feast_gb*/sb*_complex (banded general/"
+                               "complex-symmetric contour engine)")
+            f64 = False
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     config = FeastConfig.from_fpm(fpm, dtype=cdtype, full_contour=True)

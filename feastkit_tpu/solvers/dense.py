@@ -142,7 +142,34 @@ def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
 
 def _make_ops(A, B, Zne, Wne, *, standard, hermitian, store_factorization,
               lu_piv=None):
-    """(apply_A, apply_B, filter_apply) for the given operands."""
+    """(apply_A, apply_B, filter_apply) for the given operands.
+
+    Pair mode (f64 on TPU, where c128 HLO cannot compile — see
+    ops/splitlu.py): ``Zne``/``Wne`` arrive as PLAIN TUPLES of real f64
+    arrays ``(sig, tau)`` / ``(Wr, Wi)`` instead of complex arrays; the
+    shifted solves run as batched c64 LU + f64 pair-carried iterative
+    refinement and the whole program stays c128-free. Only the
+    real-symmetric iteration takes this branch (complex-Hermitian f64
+    operands are real-embedded by the driver first)."""
+    if isinstance(Zne, tuple):
+        assert not hermitian, "pair mode serves the real iteration only"
+        from ..ops.splitlu import make_pair_solve_all_dense
+        from ..core.tools import matmul_accurate
+        sig, tau = Zne
+        Wr, Wi = Wne
+        solve_all, _ = make_pair_solve_all_dense(
+            A, B, sig, tau, standard, lu_piv=lu_piv)
+        apply_A = lambda X: matmul_accurate(A, X)
+        apply_B = (lambda X: X) if standard else \
+            (lambda X: matmul_accurate(B, X))
+
+        def filter_apply(Q):
+            Xr, Xi, ok = solve_all(apply_B(Q))
+            # Re(sum_e 2 W_e X_e) = sum_e 2 (Wr_e Xr_e - Wi_e Xi_e)
+            return (jnp.einsum("e,enm->nm", 2.0 * Wr, Xr)
+                    - jnp.einsum("e,enm->nm", 2.0 * Wi, Xi)), ok
+
+        return apply_A, apply_B, filter_apply
     cdtype = Zne.dtype
     solve_all, solve_all_adj = _make_solve_all(
         A, B, Zne, standard, store_factorization, lu_piv)
@@ -197,11 +224,16 @@ def _dense_estimate_jit(A, B, Zne, Wne, V, *, config, standard, hermitian):
     _, _, filter_apply = _make_ops(
         A, B, Zne, Wne, standard=standard, hermitian=hermitian,
         store_factorization=config.store_factorization)
-    return filter_apply(V)
+    out = filter_apply(V)
+    return out[0] if isinstance(out, tuple) else out
 
 
 @cjit(static_argnames=("standard",))
 def _dense_factor_jit(A, B, Zne, *, standard: bool):
+    if isinstance(Zne, tuple):           # pair mode: c64 factors (splitlu)
+        from ..ops.splitlu import _pair_factor_dense
+        sig, tau = Zne
+        return _pair_factor_dense(A, B, sig, tau, standard)
     shifted = _shifted_pencils(A, B, Zne, standard)
     return jax.vmap(jsl.lu_factor)(shifted)
 
@@ -228,8 +260,11 @@ def _dense_finalize_jit(A, B, lu, piv, Zne, Wne, state, *, config,
         lu_piv=(lu, piv) if config.store_factorization else None)
     if mode == "subspace":
         from ..core.tools import orthonormalize
-        U, _, _ = orthonormalize(filter_apply(state.Q))
-        return state._replace(Q=U, loop=jnp.int32(1))
+        from ..kernel.hermitian import _filter_with_ok
+        Qp, ok = _filter_with_ok(filter_apply, state.Q)
+        U, _, _ = orthonormalize(Qp)
+        return state._replace(Q=U, loop=jnp.int32(1),
+                              inner_ok=jnp.asarray(state.inner_ok) & ok)
     return verify_spurious(state, filter_apply)
 
 
@@ -274,6 +309,44 @@ def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
                                       config=config, standard=standard,
                                       hermitian=hermitian),
         max_loops=config.max_loops)
+
+
+def _host_complex(X):
+    """Materialize an operand as host numpy (complex ComplexPair forms
+    reassemble; f64 parts transfer fine even on complex-I/O-limited links)."""
+    if isinstance(X, cio.ComplexPair):
+        return np.asarray(X.re) + 1j * np.asarray(X.im)
+    if isinstance(X, jax.Array):
+        return np.asarray(fetch(X))
+    return np.asarray(X)
+
+
+def _dense_embedded_hermitian(A, B, Emin, Emax, M0, fpm, *, contour,
+                              Q0) -> FeastResult:
+    """Complex-Hermitian f64 where c128 HLO cannot compile (XLA:TPU):
+    solve the real-symmetric block embedding ``[[Ar, -Ai], [Ai, Ar]]``
+    (same spectrum, doubled multiplicity) on the c128-free real-f64 pair
+    engine, then collapse the doubled eigenpairs to complex ones
+    (ops/splitlu.py). Parity target: feast_heev!/hegv! at full f64 on the
+    chip (reference: feast_dense.jl:78-351 via LAPACK zgetrf)."""
+    from ..ops.splitlu import (embed_hermitian_dense,
+                               finish_embedded_interval,
+                               map_embedded_subspace)
+    Ah = _host_complex(A).astype(np.complex128)
+    N = Ah.shape[0]
+    standard = B is None
+    EA = embed_hermitian_dense(Ah)
+    Bh = None if standard else _host_complex(B).astype(np.complex128)
+    EB = None if standard else embed_hermitian_dense(Bh)
+    M0e = min(2 * M0, 2 * N)
+    Q0e = None if Q0 is None else map_embedded_subspace(
+        _host_complex(Q0), M0e, interleaved=False)
+    r = dense_hermitian_feast(EA, EB, Emin, Emax, M0e, fpm,
+                              contour=contour, Q0=Q0e, hermitian=False)
+    return finish_embedded_interval(
+        r, N, M0, _ensure_fpm(fpm), interleaved=False,
+        apply_A=lambda X: Ah @ X,
+        apply_B=None if standard else (lambda X: Bh @ X))
 
 
 def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
@@ -329,8 +402,19 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         contour = feast_contour(Emin, Emax, fpm)
     cdtype_np = np.dtype(str(jnp.dtype(cdtype)))
     rdtype_np = np.float32 if cdtype_np == np.complex64 else np.float64
+    # f64 on a platform whose XLA cannot compile c128 / f64 LU (every TPU
+    # backend): complex-Hermitian operands run via the real block embedding;
+    # real-symmetric operands run the c128-free pair engine (ops/splitlu.py)
+    from ..ops.splitlu import f64_lu_unavailable
+    pair_f64 = cdtype_np == np.complex128 and f64_lu_unavailable()
+    if pair_f64 and hermitian:
+        return _dense_embedded_hermitian(A, B, Emin, Emax, M0, fpm,
+                                         contour=contour, Q0=Q0)
     Zne = np.asarray(contour.Zne, dtype=cdtype_np)
     Wne = np.asarray(contour.Wne, dtype=cdtype_np)
+    if pair_f64:
+        Zne = (np.ascontiguousarray(Zne.real), np.ascontiguousarray(Zne.imag))
+        Wne = (np.ascontiguousarray(Wne.real), np.ascontiguousarray(Wne.imag))
     from ..core.tools import initial_subspace
     Q0 = initial_subspace(fpm, Q0, N, M0, work_dtype)
 

@@ -29,6 +29,18 @@ __all__ = ["feast_gegv", "feast_geev", "feast_gegv_complex_sym",
            "dense_general_feast"]
 
 
+def _gate_general_cdtype(cdtype, what: str):
+    """Platform-feasibility gate (ops/splitlu.demote_f64_general): c128
+    work precision cannot compile on XLA:TPU — demote with a warning (or
+    raise under FEAST_STRICT_F64=1) instead of crashing the compiler."""
+    if np.dtype(cdtype) == np.dtype(np.complex128):
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general(what)
+            return np.dtype(np.complex64)
+    return np.dtype(cdtype)
+
+
 def _cdtype_of(*arrays):
     dt = jnp.result_type(*[a.dtype for a in arrays])
     return jnp.complex64 if dt in (jnp.float32, jnp.complex64) else jnp.complex128
@@ -181,6 +193,8 @@ def dense_general_feast(A, B, Emid, r, M0, fpm=None, *, contour=None, Q0=None,
     cdtype = np.dtype(np.complex64) \
         if jnp.result_type(*dt_in) in (jnp.float32, jnp.complex64) \
         else np.dtype(np.complex128)
+    cdtype = _gate_general_cdtype(cdtype, "feast_general (dense general/"
+                                  "complex-symmetric contour engine)")
     A = cio.op_astype(A, cdtype)
     if not standard:
         B = cio.op_astype(B, cdtype)
@@ -350,7 +364,9 @@ def feast_pep_direct(coeffs, Emid, r, M0, fpm=None,
     coeffs = [np.asarray(c) for c in coeffs]
     d = len(coeffs) - 1
     N = coeffs[0].shape[0]
-    cdtype = np.dtype(str(jnp.dtype(_cdtype_of(*coeffs))))
+    cdtype = _gate_general_cdtype(
+        np.dtype(str(jnp.dtype(_cdtype_of(*coeffs)))),
+        "feast_pep_direct (polynomial contour engine)")
     coeffs = tuple(c.astype(cdtype) for c in coeffs)
     if eig_method is None:
         eig_method = "qr" if cio.complex_io_required() else "callback"

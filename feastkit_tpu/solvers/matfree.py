@@ -240,6 +240,18 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
         hermitian = A_op.hermitian or is_complex
     from .sparse import _is_double
     f64 = _is_double(A_op.dtype) and jax.config.jax_enable_x64
+    if f64 and not (solver in ("cheb", ":cheb", "contour_poly",
+                               ":contour_poly") and not hermitian):
+        # c128 cannot compile on XLA:TPU (ops/splitlu.py). The real-f64
+        # CheFSI path is c128-free and stays; complex work (Hermitian
+        # operators, Krylov contour engines) demotes with a warning —
+        # operator callables cannot be re-wrapped into the real embedding
+        # the storage drivers use (the callable's traced dtype is the
+        # user's contract).
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general("feast_matvec (matrix-free contour engine)")
+            f64 = False
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
     work_dtype = cdtype if hermitian else rdtype

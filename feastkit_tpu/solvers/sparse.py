@@ -1746,15 +1746,20 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     if hermitian is None:
         hermitian = is_complex
     f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
-    if hermitian and f64 and cio.complex_io_required():
-        # the XLA:TPU x64 rewriter cannot compile programs carrying
-        # complex128 tensors (platform limit, see utils/cio.py) — fail
-        # with the remediation instead of a deep XLA RET_CHECK
-        raise (ChebInfeasible if route else RuntimeError)(
-            "solver='cheb' on a complex Hermitian operator in float64 "
-            "cannot compile on this TPU attachment (XLA x64 rewriter has "
-            "no complex128 support); run with jax_enable_x64 disabled "
-            "(complex64 work precision) or on the CPU backend")
+    if hermitian and f64:
+        from ..ops.splitlu import f64_lu_unavailable
+        if cio.complex_io_required() or f64_lu_unavailable():
+            # the XLA:TPU x64 pass cannot compile complex128 HLO (platform
+            # limit, see ops/splitlu.py) — fail with the remediation
+            # instead of a deep XLA RET_CHECK. (The public drivers never
+            # reach here: sparse_feast_interval real-embeds complex-
+            # Hermitian f64 onto this engine's real path first.)
+            raise (ChebInfeasible if route else RuntimeError)(
+                "solver='cheb' on a complex Hermitian operator in float64 "
+                "cannot compile on this TPU backend (XLA has no complex128 "
+                "support); use feast_hcsrev/feast (auto real-embedding), "
+                "disable jax_enable_x64 (complex64 work precision), or run "
+                "on the CPU backend")
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -2429,6 +2434,45 @@ def _quick_narrow_band(A, B, max_half_bw=16, max_n=16384):
     return True
 
 
+def _sparse_embedded_hermitian(A, B, Emin, Emax, M0, fpm, *, solver=None,
+                               solver_tol=None, solver_maxiter=None,
+                               solver_restart=30, Q0=None,
+                               precond=None) -> FeastResult:
+    """Complex-Hermitian sparse f64 on a c128-less platform via the
+    interleaved real embedding (see sparse_feast_interval). ``grid`` /
+    ``precond`` describe the ORIGINAL N-space and do not transfer to the
+    2N embedding; they are dropped (the embedded pencil re-derives its own
+    structured forms). Eigenvectors collapse host-side, so ``device_q`` is
+    not honored on this path."""
+    import scipy.sparse as sp
+    from ..ops.splitlu import (embed_hermitian_sparse,
+                               finish_embedded_interval,
+                               map_embedded_subspace)
+    data, idx, shape = sparse_coo_arrays(A)
+    N = shape[0]
+    Acsr = sp.csr_matrix((data, (idx[:, 0], idx[:, 1])), shape=shape)
+    EA = embed_hermitian_sparse(Acsr)
+    standard = B is None
+    Bcsr = None
+    EB = None
+    if not standard:
+        db, ib, shb = sparse_coo_arrays(B)
+        Bcsr = sp.csr_matrix((db, (ib[:, 0], ib[:, 1])), shape=shb)
+        EB = embed_hermitian_sparse(Bcsr)
+    M0e = min(2 * M0, 2 * N)
+    Q0e = None if Q0 is None else map_embedded_subspace(
+        np.asarray(Q0), M0e, interleaved=True)
+    r = sparse_feast_interval(EA, EB, Emin, Emax, M0e, fpm,
+                              hermitian=False, solver=solver,
+                              solver_tol=solver_tol,
+                              solver_maxiter=solver_maxiter,
+                              solver_restart=solver_restart, Q0=Q0e)
+    return finish_embedded_interval(
+        r, N, M0, fpm, interleaved=True,
+        apply_A=lambda X: Acsr @ X,
+        apply_B=None if standard else (lambda X: Bcsr @ X))
+
+
 def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                           solver=None, solver_tol=None, solver_maxiter=None,
                           solver_restart=30, Q0=None, grid=None,
@@ -2444,6 +2488,26 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     result contract for callers composing further device work (and, through
     a remote attachment, skipping the dominant device->host transfer)."""
     fpm = _ensure_fpm(fpm)
+    # Complex-Hermitian f64 where XLA cannot compile c128 HLO (every TPU
+    # backend): run the INTERLEAVED real embedding (kron(Ar,I2)+kron(Ai,J2),
+    # ops/splitlu.py — DIA structure preserved, offsets d -> {2d-1,2d,2d+1})
+    # through THIS driver's real-f64 engines (contour-poly/cheb/Krylov, all
+    # certified c128-free on chip), then collapse the doubled eigenpairs.
+    # Parity: feast_hcsrev!/hcsrgv! (feast_sparse.jl:759-871) at f64.
+    _in_complex = np.iscomplexobj(_peek_dtype(A)) or (
+        B is not None and np.iscomplexobj(_peek_dtype(B)))
+    _in_f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    if _in_f64 and (hermitian or (hermitian is None and _in_complex)):
+        from ..ops.splitlu import f64_lu_unavailable
+        if f64_lu_unavailable():
+            if not _in_complex:
+                # real data declared Hermitian: same math on the real path
+                hermitian = False
+            else:
+                return _sparse_embedded_hermitian(
+                    A, B, Emin, Emax, M0, fpm, solver=solver,
+                    solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+                    solver_restart=solver_restart, Q0=Q0, precond=precond)
     if solver in ("cheb", ":cheb"):
         # polynomial-filtered FEAST (solve-free): no contour, no inner
         # Krylov — see _sparse_cheb_interval / ops/chebfilter.py
@@ -2806,6 +2870,12 @@ def sparse_feast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
                       else iopts.get("solver_maxiter", 500))
 
     f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    if f64:
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general("feast_gcsr*/scsr*_complex (sparse general/"
+                               "complex-symmetric contour engine)")
+            f64 = False
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     A_data, A_idx, shape = sparse_coo_arrays(A, cdtype)

@@ -265,6 +265,10 @@ def device_operand(X):
     """
     if isinstance(X, jax.Array):
         return X
+    if type(X) is tuple:
+        # plain tuples (e.g. the split-complex (sig, tau) contour arrays of
+        # the f64 pair engines, ops/splitlu.py) upload member-wise
+        return tuple(device_operand(x) for x in X)
     if _is_pair(X):
         # parts already on device stay there — ascontiguousarray on a
         # jax.Array would round-trip the data through the (slow) host link

@@ -153,14 +153,20 @@ def pair_refined_solve(solve_c64, apply_shift, Fr, Fi, *, max_sweeps=12,
 
 
 def _pair_factor_dense(A, B, sig, tau, standard):
-    """Batched c64 LU of the (ne, N, N) shifted pencils from f32 casts."""
+    """Batched c64 LU of the (ne, N, N) shifted pencils from f32 casts.
+    Hermitian pencils with Im z != 0 are accretive, so the MXU-blocked
+    locally-pivoted LU (ops/blocklu.py) applies at sizeable N."""
+    from .blocklu import block_lu_factor, use_block_lu
     A32 = A.astype(jnp.float32)
     base = (jnp.eye(A.shape[0], dtype=jnp.float32) if standard
             else B.astype(jnp.float32))
     re = sig[:, None, None].astype(jnp.float32) * base[None] - A32[None]
     im = jnp.broadcast_to(tau[:, None, None].astype(jnp.float32) * base[None],
                           re.shape)
-    return jax.vmap(jsl.lu_factor)(jax.lax.complex(re, im))
+    shifted = jax.lax.complex(re, im)
+    if use_block_lu(A.shape[0], jnp.complex64):
+        return block_lu_factor(shifted)
+    return jax.vmap(jsl.lu_factor)(shifted)
 
 
 def make_pair_solve_all_dense(A, B, sig, tau, standard, lu_piv=None):
@@ -185,13 +191,17 @@ def make_pair_solve_all_dense(A, B, sig, tau, standard, lu_piv=None):
         return (s * BXr - AXr - t * BXi,
                 s * BXi - AXi + t * BXr)
 
+    from .blocklu import block_lu_solve, use_block_lu
+    blocked = use_block_lu(A.shape[0], jnp.complex64)
+
     def solve_all(Fr):
         Fi = jnp.zeros_like(Fr)
 
         def one(l, p, s, t):
+            inner = ((lambda Z: block_lu_solve(l, p, Z)) if blocked
+                     else (lambda Z: jsl.lu_solve((l, p), Z)))
             return pair_refined_solve(
-                lambda Z: jsl.lu_solve((l, p), Z),
-                lambda Xr, Xi: apply_shift(s, t, Xr, Xi), Fr, Fi)
+                inner, lambda Xr, Xi: apply_shift(s, t, Xr, Xi), Fr, Fi)
 
         Xr, Xi, ok = jax.vmap(one)(lu, piv, sig, tau)
         return Xr, Xi, jnp.all(ok)

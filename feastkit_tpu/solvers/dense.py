@@ -80,12 +80,20 @@ def _refine_iters_for(cdtype) -> int:
     return 2 if jnp.dtype(cdtype) == jnp.complex64 else 1
 
 
-def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
+def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None,
+                    allow_block=True):
     """rhs (N, M0) complex -> X (ne, N, M0) complex, plus the adjoint
     variant. Reuses a single batched LU when store_factorization (fpm[10]=1;
     precomputed factors may be supplied via lu_piv); otherwise factors are
     recomputed per call inside a lax.map (fpm[10]=0 low-memory mode).
-    Solves are iteratively refined (see _refine_iters_for)."""
+    Solves are iteratively refined (see _refine_iters_for).
+
+    ``allow_block``: Hermitian pencils (zB - A with A, B Hermitian and
+    Im z != 0 — accretive, growth-bounded without row exchanges) may take
+    the MXU-blocked LU (ops/blocklu.py, ~10x the builtin's factor
+    throughput at the BASELINE shapes); the general drivers pass False —
+    their pencils carry no definiteness structure, so they keep the
+    builtin's partial pivoting."""
     cdtype = Zne.dtype
     Ac = A.astype(cdtype)
     Bc = None if standard else B.astype(cdtype)
@@ -102,6 +110,30 @@ def _make_solve_all(A, B, Zne, standard, store_factorization, lu_piv=None):
             R = rhs - apply_shift(z, X, adjoint)
             X = X + solve1(R)
         return X
+
+    from ..ops.blocklu import block_lu_factor, block_lu_solve, use_block_lu
+    if store_factorization and allow_block and use_block_lu(A.shape[0],
+                                                            cdtype):
+        if lu_piv is None:
+            shifted = _shifted_pencils(A, B, Zne, standard)
+            lu, piv = block_lu_factor(shifted)
+        else:
+            lu, piv = lu_piv
+        ne = Zne.shape[0]
+
+        def _refined_batch(rhs, adjoint):
+            trans = 2 if adjoint else 0
+            rhs_b = jnp.broadcast_to(rhs[None].astype(cdtype),
+                                     (ne,) + rhs.shape)
+            X = block_lu_solve(lu, piv, rhs_b, trans=trans)
+            for _ in range(n_ref):
+                R = rhs[None].astype(cdtype) - jax.vmap(
+                    lambda z, Xe: apply_shift(z, Xe, adjoint))(Zne, X)
+                X = X + block_lu_solve(lu, piv, R, trans=trans)
+            return X
+
+        return (lambda rhs: _refined_batch(rhs, False),
+                lambda rhs: _refined_batch(rhs, True))
 
     if store_factorization:
         if lu_piv is None:
@@ -234,7 +266,10 @@ def _dense_factor_jit(A, B, Zne, *, standard: bool):
         from ..ops.splitlu import _pair_factor_dense
         sig, tau = Zne
         return _pair_factor_dense(A, B, sig, tau, standard)
+    from ..ops.blocklu import block_lu_factor, use_block_lu
     shifted = _shifted_pencils(A, B, Zne, standard)
+    if use_block_lu(A.shape[0], Zne.dtype):
+        return block_lu_factor(shifted)
     return jax.vmap(jsl.lu_factor)(shifted)
 
 

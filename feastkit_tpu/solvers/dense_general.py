@@ -48,8 +48,10 @@ def _cdtype_of(*arrays):
 
 def _general_ops(A, B, Zne, Wne, *, standard, store_factorization,
                  lu_piv=None):
+    # allow_block=False: general pencils carry no accretive structure, so
+    # the blocked (locally-pivoted) LU's stability argument does not apply
     solve_all, _ = _make_solve_all(A, B, Zne, standard, store_factorization,
-                                   lu_piv)
+                                   lu_piv, allow_block=False)
     apply_A = lambda X: A @ X
     apply_B = (lambda X: X) if standard else (lambda X: B @ X)
 

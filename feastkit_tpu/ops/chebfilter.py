@@ -149,7 +149,11 @@ def auto_cheb_degree(lo, hi, Emin, Emax, *, cap=8000, floor=32):
     # everything else counts as interior
     edge = (t_lo >= 0.99 * np.pi) or (t_hi <= 0.01 * np.pi)
     sharp = 10.0 if edge else 20.0
-    return int(np.clip(np.ceil(sharp * np.pi / span), floor, cap))
+    # experimentation knob for the degree-vs-loop-count tradeoff studies
+    # (scripts/probe_degree.py): scales the auto degree, default 1.0
+    import os
+    scale = float(os.environ.get("FEAST_CHEB_DEGREE_SCALE", "1.0"))
+    return int(np.clip(np.ceil(scale * sharp * np.pi / span), floor, cap))
 
 
 def build_cheb_filter_coeffs(lo, hi, Emin, Emax, degree=None, *, cap=8000):

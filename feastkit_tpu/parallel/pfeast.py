@@ -250,6 +250,19 @@ def pfeast_dense(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
         hermitian = np.iscomplexobj(A) or (
             not standard and np.iscomplexobj(B))
     work_dtype = cdtype if hermitian else rdtype
+    if cdtype == np.dtype(np.complex128):
+        # the mesh drivers' per-node shifted solves are complex programs;
+        # c128 cannot compile on XLA:TPU (ops/splitlu.py). The sharded
+        # polynomial engines (solver="cheb"/"contour_poly" via
+        # pfeast_sparse) carry f64 natively; this per-node direct engine
+        # demotes with a warning (FEAST_STRICT_F64=1 raises).
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general("pfeast_dense (sharded per-node contour "
+                               "engine)")
+            cdtype = np.dtype(np.complex64)
+            rdtype = np.dtype(np.float32)
+            work_dtype = cdtype if hermitian else rdtype
     A = A.astype(work_dtype)
     if not standard:
         B = B.astype(work_dtype)
@@ -419,6 +432,12 @@ def pfeast_general(A, B, Emid, r, M0, fpm=None, *, bilinear=False,
     f64 = A.dtype in (np.dtype(np.float64), np.dtype(np.complex128)) or (
         not standard and B.dtype in (np.dtype(np.float64),
                                      np.dtype(np.complex128)))
+    if f64:
+        from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
+        if f64_lu_unavailable():
+            demote_f64_general("pfeast_dense_general (sharded full-contour "
+                               "engine)")
+            f64 = False
     cdtype = np.complex128 if f64 else np.complex64
     rdtype = np.float64 if f64 else np.float32
     A = A.astype(cdtype)
@@ -916,6 +935,42 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if hermitian is None:
         hermitian = is_complex
     f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    if f64 and hermitian:
+        # complex-Hermitian f64 cannot exist as c128 HLO on XLA:TPU: run
+        # the interleaved real embedding through THIS sharded driver's
+        # real path and collapse (same contract as sparse_feast_interval)
+        from ..ops.splitlu import f64_lu_unavailable
+        if f64_lu_unavailable():
+            if not is_complex:
+                hermitian = False        # real data: same math, real path
+            else:
+                import scipy.sparse as _sp
+                from ..ops.splitlu import (embed_hermitian_sparse,
+                                           finish_embedded_interval,
+                                           map_embedded_subspace)
+                data, idx, shape = sparse_coo_arrays(A)
+                Acsr = _sp.csr_matrix((data, (idx[:, 0], idx[:, 1])),
+                                      shape=shape)
+                EA = embed_hermitian_sparse(Acsr)
+                Bcsr = EB = None
+                if B is not None:
+                    db, ib, shb = sparse_coo_arrays(B)
+                    Bcsr = _sp.csr_matrix((db, (ib[:, 0], ib[:, 1])),
+                                          shape=shb)
+                    EB = embed_hermitian_sparse(Bcsr)
+                M0e = min(2 * M0, 2 * shape[0])
+                Q0e = None if Q0 is None else map_embedded_subspace(
+                    np.asarray(Q0), M0e, interleaved=True)
+                r = pfeast_sparse(EA, EB, Emin, Emax, M0e, fpm,
+                                  hermitian=False, contour=contour,
+                                  Q0=Q0e, mesh=mesh, solver=solver,
+                                  solver_tol=solver_tol,
+                                  solver_maxiter=solver_maxiter,
+                                  solver_restart=solver_restart)
+                return finish_embedded_interval(
+                    r, shape[0], M0, fpm, interleaved=True,
+                    apply_A=lambda X: Acsr @ X,
+                    apply_B=None if Bcsr is None else (lambda X: Bcsr @ X))
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype

@@ -1842,6 +1842,17 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         qc_lo = None
         qinfo_lo = None
         lo, hi = gershgorin_interval(A_data, A_idx, N)
+    # Ladder degree rule (measured: scripts/probe_degree.py sweep at 65k +
+    # the 1M north-star, BENCH_LOCAL cheb_probe_degree_n65536): a
+    # mixed-precision f64 solve always spends >= 2 rungs (f32 floor, then
+    # DS/f64 to tol), and the indicator's log outside-level scales
+    # ~linearly with degree, so a 1.5x-sharper filter converts two
+    # expensive DS/f64 loops into one at ~constant total matvec count
+    # (1M: 27.7 -> 25.2 s warm, 65k: 1.3 -> 1.1 s). Indicator only — the
+    # rational realization's contraction is fixed by the quadrature, its
+    # degree is a realization-accuracy knob, not a sharpness knob.
+    ladder_scale = (1.5 if (f64 and _mixed_enabled(config, np.complex128)
+                            and config.tol <= 1e-6) else 1.0)
     if contour is not None:
         # rational contour filter, polynomial-realized: exact quadrature
         # semantics (fpm[2]/[16]/[18]/custom node sets) through the same
@@ -1872,7 +1883,7 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             try:
                 ind = build_cheb_filter_coeffs(
                     lo, hi, float(Emin), float(Emax),
-                    degree=user_cap or None)
+                    degree=user_cap or None, degree_scale=ladder_scale)
                 # Quality gate (auto route only): a cap-bound indicator on
                 # a deep interior sliver can pass the plateau check while
                 # barely decaying outside (outside@1w ~ 1) — subspace
@@ -1888,9 +1899,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
                 raise ChebInfeasible(
                     f"neither polynomial filter resolves this "
                     f"configuration ({rat_err})")
+            # cost model compares UNSCALED indicator work: the ladder
+            # sharpening trades loops for degree at ~constant total
+            # matvecs (measured, scripts/probe_degree.py), so it must not
+            # bias the rational-vs-indicator choice
             if rat is not None and (ind is None
                                     or 3 * rat[1]["degree"]
-                                    <= 5 * ind[1]["degree"]):
+                                    <= 5 * ind[1]["degree"] / ladder_scale):
                 coeffs, cinfo = rat
             else:
                 coeffs, cinfo = ind
@@ -1902,7 +1917,8 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
         try:
             coeffs, cinfo = build_cheb_filter_coeffs(
                 lo, hi, float(Emin), float(Emax),
-                degree=getattr(config, "cheb_degree", 0) or None)
+                degree=getattr(config, "cheb_degree", 0) or None,
+                degree_scale=ladder_scale)
         except ValueError as _e:
             if route:
                 raise ChebInfeasible(str(_e)) from _e
@@ -2409,6 +2425,14 @@ def _contour_poly_default():
     return _os.environ.get("FEAST_CONTOUR_POLY", "1") not in ("0", "")
 
 
+def _densify(X):
+    """Any sparse/dense operand -> dense numpy (small-N direct fallback)."""
+    data, idx, shape = sparse_coo_arrays(X)
+    D = np.zeros(shape, data.dtype)
+    np.add.at(D, (idx[:, 0], idx[:, 1]), data)
+    return D
+
+
 def _quick_narrow_band(A, B, max_half_bw=16, max_n=16384):
     """Cheap host probe mirroring _narrow_band's gate so the auto-router
     leaves narrow-banded small pencils to the exact BCR direct delegation
@@ -2548,6 +2572,31 @@ def sparse_feast_interval(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
                 A, B, Emin, Emax, M0, fpm, hermitian=hermitian, Q0=Q0,
                 device_q=device_q, contour=contour_r, route=True)
         except ChebInfeasible as e:
+            # Tiny pencils that fall off the polynomial route are usually
+            # there because the configuration is Krylov-HOSTILE too (e.g.
+            # an ultra-narrow interval puts quadrature nodes ~1e-7 from
+            # the spectrum: cond(zB - A) ~ 1e8 stalls GMRES outright,
+            # while a direct factorization shrugs). Densify and take the
+            # dense direct engine — exact per-node factorizations, the
+            # closest match to the reference's UMFPACK-backed default
+            # (feast_sparse.jl:294,334-348). Memory: (ne, N, N) complex
+            # pencils at the 2048 cap = ~270 MB.
+            try:
+                _shape_n = sparse_coo_arrays(A)[2][0]
+            except Exception:                            # noqa: BLE001
+                _shape_n = 1 << 30
+            import os as _os
+            if _shape_n <= int(_os.environ.get("FEAST_SPARSE_DENSE_N",
+                                               "2048")):
+                if int(fpm[1]) >= 1:
+                    print(f"feast sparse: contour-polynomial route "
+                          f"unavailable ({e}); N={_shape_n} small — "
+                          f"densifying onto the dense direct engine",
+                          flush=True)
+                from .dense import dense_hermitian_feast
+                return dense_hermitian_feast(
+                    _densify(A), None if B is None else _densify(B),
+                    Emin, Emax, M0, fpm, Q0=Q0, hermitian=hermitian)
             if int(fpm[1]) >= 1:
                 print(f"feast sparse: contour-polynomial route "
                       f"unavailable ({e}); using the Krylov contour "

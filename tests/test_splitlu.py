@@ -267,6 +267,39 @@ class TestPairDrivers:
         assert abs(r.M - 16) <= 5
 
 
+class TestShardedPair:
+    def test_pfeast_sparse_hermitian_embedded(self, force_pair):
+        """Sharded complex-Hermitian f64: interleaved embedding through the
+        mesh driver's real path, collapsed on return. Loose tolerance /
+        small mesh keeps the compile bill test-sized; the collapse
+        recomputes residuals against the TRUE complex operator and
+        upgrades info when they meet the tolerance."""
+        from feastkit_tpu.parallel.pfeast import pfeast_sparse, contour_mesh
+        m = 48
+        rng = np.random.default_rng(19)
+        d0 = 4.0 + rng.random(m)
+        d1 = rng.standard_normal(m - 1) + 1j * rng.standard_normal(m - 1)
+        H = sp.diags([d0, d1, d1.conj()], [0, 1, -1], format="csr")
+        ev = np.linalg.eigvalsh(H.toarray())
+        lo, hi = ev[20] - 1e-9, ev[26] + 1e-9
+        exp = ev[(ev > lo) & (ev < hi)]
+        fpm = fk.feastinit()
+        fpm[3] = 7
+        fpm[4] = 6
+        r = pfeast_sparse(H, None, lo, hi, 2 * len(exp) + 2, fpm,
+                          mesh=contour_mesh(2), hermitian=True)
+        assert r.info == fk.FeastError.SUCCESS and r.M == len(exp)
+        assert np.allclose(np.sort(r.lam), np.sort(exp), atol=1e-6)
+
+    def test_pfeast_dense_f64_demotes(self, force_pair):
+        from feastkit_tpu.parallel.pfeast import pfeast_dense, contour_mesh
+        H = _rand_hermitian(48, seed=20)
+        with pytest.warns(RuntimeWarning, match="complex64"):
+            r = pfeast_dense(H, None, -5.0, 5.0, 12, mesh=contour_mesh(4),
+                             hermitian=True)
+        assert r.M >= 0
+
+
 class TestGates:
     def test_general_demotes_with_warning(self, force_pair):
         rng = np.random.default_rng(16)

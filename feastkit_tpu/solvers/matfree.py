@@ -240,18 +240,26 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
         hermitian = A_op.hermitian or is_complex
     from .sparse import _is_double
     f64 = _is_double(A_op.dtype) and jax.config.jax_enable_x64
+    pair_f64 = False
     if f64 and not (solver in ("cheb", ":cheb", "contour_poly",
                                ":contour_poly") and not hermitian):
         # c128 cannot compile on XLA:TPU (ops/splitlu.py). The real-f64
-        # CheFSI path is c128-free and stays; complex work (Hermitian
-        # operators, Krylov contour engines) demotes with a warning —
-        # operator callables cannot be re-wrapped into the real embedding
-        # the storage drivers use (the callable's traced dtype is the
-        # user's contract).
+        # CheFSI path is c128-free and stays. REAL operators on the
+        # Krylov contour engine take the pair-carried realization below
+        # (c64 GMRES inner + f64 (re, im) refinement — the TPU-native
+        # analog of the reference's MatrixFreeShiftedOperator
+        # real-callback split, feast_sparse.jl:36-91). Complex-Hermitian
+        # operators and user-supplied solve_shifted callables demote with
+        # a warning — a callable's traced dtype is the user's contract
+        # and cannot be re-wrapped into the real embedding.
         from ..ops.splitlu import f64_lu_unavailable, demote_f64_general
         if f64_lu_unavailable():
-            demote_f64_general("feast_matvec (matrix-free contour engine)")
-            f64 = False
+            if not hermitian and not is_complex and solve_shifted is None:
+                pair_f64 = True
+            else:
+                demote_f64_general(
+                    "feast_matvec (matrix-free contour engine)")
+                f64 = False
     rdtype = jnp.float64 if f64 else jnp.float32
     cdtype = jnp.complex128 if f64 else jnp.complex64
     work_dtype = cdtype if hermitian else rdtype
@@ -330,6 +338,113 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
                 subspace_only=(config.mode == 1))
 
         state = run_poly(Q0p, rdtype_np(Emin), rdtype_np(Emax))
+        info = FeastError.SUCCESS if bool(fetch(state.converged)) \
+            else FeastError.NO_CONVERGENCE
+        return _trim(FeastResult, fetch(state.lam), fetch(state.Q),
+                     fetch(state.res), fetch(state.inside),
+                     int(info), float(fetch(state.epsout)),
+                     int(fetch(state.loop)) - 1,
+                     inner_ok=bool(fetch(state.inner_ok)))
+
+    if pair_f64:
+        # c128-free f64 contour engine for REAL operators: per node, a c64
+        # GMRES/BiCGStab inner solve wrapped in f64 (re, im) pair-carried
+        # iterative refinement (ops/splitlu.pair_refined_solve) — each
+        # sweep contracts by the inner solve's relative accuracy (~1e-7),
+        # so 2-3 sweeps reach f64 backward error with the user's REAL
+        # callables applied twice per sweep. Reference parity: the
+        # real-callback complex-solve split of MatrixFreeShiftedOperator
+        # (feast_sparse.jl:36-91) at full double precision.
+        from ..ops.splitlu import pair_refined_solve
+        from ..core.tools import initial_subspace
+        method = str(solver).lstrip(":")
+        if method not in ("gmres", "bicgstab"):
+            raise ValueError(f"Unknown iterative solver {solver!r}")
+        sig = np.ascontiguousarray(np.real(Zne))
+        tau = np.ascontiguousarray(np.imag(Zne))
+        W2r = np.ascontiguousarray(2.0 * np.real(Wne))
+        W2i = np.ascontiguousarray(2.0 * np.imag(Wne))
+        # per-sweep target for the c64 inner solve. Measured on the
+        # tridiagonal fixture: restart-30 c64 GMRES STALLS at ~1e-5 while
+        # restart-64 reaches the c64 Arnoldi floor (~5e-7) reliably — the
+        # pair path widens the restart memory and targets 1e-6; two to
+        # three refinement sweeps then reach f64 backward error
+        inner_tol = 1e-6
+        pair_restart = max(int(solver_restart), 64)
+        # attainable-accuracy floor, same convention as the f32 sqrt(eps)
+        # tolerance floor: the refinement's per-sweep contraction is the
+        # c64 inner solve's achieved accuracy, and at the contour nodes
+        # closest to the real axis restarted c64 GMRES attains ~1e-6
+        # rather than its target — measured fixture floor 2.3e-8; 1e-7
+        # keeps an order of margin. Tighter requests report honestly
+        # (info=5 + the stalled-inner warning).
+        pair_tol = max(float(config.tol), 1e-7)
+
+        def _pair_solve_all(Fr):
+            Fi = jnp.zeros_like(Fr)
+
+            def one(st):
+                s, t = st
+                z64 = jax.lax.complex(s.astype(jnp.float32),
+                                      t.astype(jnp.float32))
+
+                def op(X):
+                    BX = X if standard else B_op(X)
+                    return z64 * BX - A_op(X)
+
+                def solve_c64(Z):
+                    if method == "gmres":
+                        X, _ = gmres_block(op, Z, tol=inner_tol,
+                                           restart=pair_restart,
+                                           maxiter=solver_maxiter)
+                    else:
+                        X, _ = bicgstab_block(op, Z, tol=inner_tol,
+                                              maxiter=solver_maxiter)
+                    return X
+
+                def apply_shift(Xr, Xi):
+                    BXr = Xr if standard else B_op(Xr)
+                    BXi = Xi if standard else B_op(Xi)
+                    return (s * BXr - A_op(Xr) - t * BXi,
+                            s * BXi - A_op(Xi) + t * BXr)
+
+                return pair_refined_solve(solve_c64, apply_shift, Fr, Fi)
+
+            Xr, Xi, ok = jax.lax.map(one, (sig_j, tau_j))
+            return Xr, Xi, jnp.all(ok)
+
+        sig_j = jnp.asarray(sig)
+        tau_j = jnp.asarray(tau)
+
+        if config.mode == 2:
+            from .sparse import _stochastic_estimate_result
+
+            @cjit
+            def filt_pair(V):
+                Xr, Xi, _ = _pair_solve_all(apply_B(V))
+                return (jnp.einsum("e,enm->nm", jnp.asarray(W2r), Xr)
+                        - jnp.einsum("e,enm->nm", jnp.asarray(W2i), Xi))
+
+            return _stochastic_estimate_result(
+                lambda V: filt_pair(jnp.asarray(V, jnp.float64)),
+                N, fpm, np.float64)
+
+        Q0p = initial_subspace(fpm, Q0, N, M0, np.float64)
+
+        @cjit
+        def run_pair(Q0, Emin, Emax):
+            def filter_apply(Q):
+                Xr, Xi, ok = _pair_solve_all(apply_B(Q))
+                return (jnp.einsum("e,enm->nm", jnp.asarray(W2r), Xr)
+                        - jnp.einsum("e,enm->nm", jnp.asarray(W2i), Xi)), ok
+
+            return feast_hermitian_core(
+                apply_A, apply_B, filter_apply, Q0, Emin, Emax,
+                tol=pair_tol, max_loops=config.max_loops,
+                convergence_criterion=config.convergence_criterion,
+                subspace_only=(config.mode == 1))
+
+        state = run_pair(Q0p, np.float64(Emin), np.float64(Emax))
         info = FeastError.SUCCESS if bool(fetch(state.converged)) \
             else FeastError.NO_CONVERGENCE
         return _trim(FeastResult, fetch(state.lam), fetch(state.Q),

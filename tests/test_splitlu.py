@@ -267,6 +267,33 @@ class TestPairDrivers:
         assert abs(r.M - 16) <= 5
 
 
+class TestMatfreePair:
+    def test_matfree_f64_pair_contour(self, force_pair):
+        """Real-operator matrix-free f64 contour engine: c64 GMRES inner
+        + pair-carried f64 refinement (the reference's real-callback
+        complex-solve split at full double; accuracy floored at the c64
+        inner solver's attainable ~1e-7)."""
+        import jax.numpy as jnp
+        from feastkit_tpu.solvers.matfree import feast_matvec, LinearOperator
+        n = 160
+
+        def A_mv(X):
+            Y = 2.0 * X
+            Y = Y.at[:-1].add(-X[1:])
+            Y = Y.at[1:].add(-X[:-1])
+            return Y
+
+        A_op = LinearOperator(A_mv, (n, n), jnp.float64, symmetric=True)
+        A = laplacian_1d(n)
+        ev = laplacian_eigs(n)
+        exp = ev[(ev > 0.5) & (ev < 0.7)]
+        r = feast_matvec(A_op, None, (0.5, 0.7), 2 * len(exp) + 2)
+        assert r.info == fk.FeastError.SUCCESS and r.M == len(exp)
+        assert float(r.epsout) < 1e-7
+        x, l = np.asarray(r.q[:, 0]), r.lam[0]
+        assert np.linalg.norm(A @ x - l * x) / max(abs(l), 1) < 1e-7
+
+
 class TestShardedPair:
     def test_pfeast_sparse_hermitian_embedded(self, force_pair):
         """Sharded complex-Hermitian f64: interleaved embedding through the

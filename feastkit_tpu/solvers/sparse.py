@@ -1848,11 +1848,17 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
     # DS/f64 to tol), and the indicator's log outside-level scales
     # ~linearly with degree, so a 1.5x-sharper filter converts two
     # expensive DS/f64 loops into one at ~constant total matvec count
-    # (1M: 27.7 -> 25.2 s warm, 65k: 1.3 -> 1.1 s). Indicator only — the
+    # (1M: 27.7 -> 23.3 s warm, 65k: 1.3 -> 1.1 s). Indicator only — the
     # rational realization's contraction is fixed by the quadrature, its
-    # degree is a realization-accuracy knob, not a sharpness knob.
+    # degree is a realization-accuracy knob, not a sharpness knob. NOT for
+    # the sparse-SPD-B composite: there every recurrence step carries a
+    # degree-m_B B-inverse Clenshaw, so 1.5x the outer degree inflates the
+    # whole solve 1.5x while removing at most one loop — measured as a
+    # 32.3 -> 44.4 s regression on the 65k consistent-mass rung (reverted;
+    # the diagonal-B congruence keeps standard per-step cost and scales).
     ladder_scale = (1.5 if (f64 and _mixed_enabled(config, np.complex128)
-                            and config.tol <= 1e-6) else 1.0)
+                            and config.tol <= 1e-6 and b_kind != "spd")
+                    else 1.0)
     if contour is not None:
         # rational contour filter, polynomial-realized: exact quadrature
         # semantics (fpm[2]/[16]/[18]/custom node sets) through the same

@@ -30,7 +30,6 @@ Parity: LAPACK getrf/getrs per contour node with a factor cache
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np

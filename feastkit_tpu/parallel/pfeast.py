@@ -900,8 +900,32 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     the reference's full-strength per-rank solves (feast_mpi.jl:288-466)."""
     from ..core.parameters import ifeast_solver_options
     from ..solvers.sparse import (_is_double, _peek_dtype, _plan_mg,
+                                  _sparse_embedded_hermitian,
                                   _structured_forms, sparse_coo_arrays)
     fpm = _ensure_fpm(fpm)
+    # complex-Hermitian f64 cannot exist as c128 HLO on XLA:TPU: run the
+    # interleaved real embedding through THIS sharded driver's real path
+    # (any solver, incl. cheb/contour_poly) and collapse — the SAME shared
+    # implementation as sparse_feast_interval; this gate must sit BEFORE
+    # the polynomial-solver early return so solver="cheb" embeds too
+    _in_complex = np.iscomplexobj(_peek_dtype(A)) or (
+        B is not None and np.iscomplexobj(_peek_dtype(B)))
+    _in_f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
+    if _in_f64 and (hermitian or (hermitian is None and _in_complex)):
+        from ..ops.splitlu import f64_lu_unavailable
+        if f64_lu_unavailable():
+            if not _in_complex:
+                hermitian = False        # real data: same math, real path
+            else:
+                import functools as _ft
+                return _sparse_embedded_hermitian(
+                    A, B, Emin, Emax, M0, fpm, solver=solver,
+                    solver_tol=solver_tol, solver_maxiter=solver_maxiter,
+                    solver_restart=solver_restart, Q0=Q0,
+                    driver=_ft.partial(pfeast_sparse, mesh=mesh,
+                                       n_devices=n_devices,
+                                       contour=contour, grid=grid,
+                                       precond=precond))
     if solver in ("cheb", ":cheb", "contour_poly", ":contour_poly"):
         # The polynomial filters have no contour nodes to block-partition;
         # their parallel axes are the RHS columns and the row (N)
@@ -935,42 +959,6 @@ def pfeast_sparse(A, B, Emin, Emax, M0, fpm=None, *, hermitian=None,
     if hermitian is None:
         hermitian = is_complex
     f64 = _is_double(_peek_dtype(A).dtype) and jax.config.jax_enable_x64
-    if f64 and hermitian:
-        # complex-Hermitian f64 cannot exist as c128 HLO on XLA:TPU: run
-        # the interleaved real embedding through THIS sharded driver's
-        # real path and collapse (same contract as sparse_feast_interval)
-        from ..ops.splitlu import f64_lu_unavailable
-        if f64_lu_unavailable():
-            if not is_complex:
-                hermitian = False        # real data: same math, real path
-            else:
-                import scipy.sparse as _sp
-                from ..ops.splitlu import (embed_hermitian_sparse,
-                                           finish_embedded_interval,
-                                           map_embedded_subspace)
-                data, idx, shape = sparse_coo_arrays(A)
-                Acsr = _sp.csr_matrix((data, (idx[:, 0], idx[:, 1])),
-                                      shape=shape)
-                EA = embed_hermitian_sparse(Acsr)
-                Bcsr = EB = None
-                if B is not None:
-                    db, ib, shb = sparse_coo_arrays(B)
-                    Bcsr = _sp.csr_matrix((db, (ib[:, 0], ib[:, 1])),
-                                          shape=shb)
-                    EB = embed_hermitian_sparse(Bcsr)
-                M0e = min(2 * M0, 2 * shape[0])
-                Q0e = None if Q0 is None else map_embedded_subspace(
-                    np.asarray(Q0), M0e, interleaved=True)
-                r = pfeast_sparse(EA, EB, Emin, Emax, M0e, fpm,
-                                  hermitian=False, contour=contour,
-                                  Q0=Q0e, mesh=mesh, solver=solver,
-                                  solver_tol=solver_tol,
-                                  solver_maxiter=solver_maxiter,
-                                  solver_restart=solver_restart)
-                return finish_embedded_interval(
-                    r, shape[0], M0, fpm, interleaved=True,
-                    apply_A=lambda X: Acsr @ X,
-                    apply_B=None if Bcsr is None else (lambda X: Bcsr @ X))
     rdtype = np.float64 if f64 else np.float32
     cdtype = np.complex128 if f64 else np.complex64
     work_dtype = cdtype if hermitian else rdtype

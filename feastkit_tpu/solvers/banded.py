@@ -489,8 +489,14 @@ def _banded_interval_driver(A_bands, kl, ku, B_bands, klb, kub, Emin, Emax,
     from ..ops.splitlu import f64_lu_unavailable
     pair_f64 = f64 and f64_lu_unavailable()
     if pair_f64 and hermitian:
-        return _banded_embedded_hermitian(A_bands, kl, ku, B_bands, klb,
-                                          kub, Emin, Emax, M0, fpm, Q0=Q0)
+        if not is_c:
+            # real bands declared hermitian: same math on the real pair
+            # engine — no need to double the problem via the embedding
+            hermitian = False
+        else:
+            return _banded_embedded_hermitian(A_bands, kl, ku, B_bands,
+                                              klb, kub, Emin, Emax, M0,
+                                              fpm, Q0=Q0)
     if pair_f64:
         work_dtype = rdtype
 

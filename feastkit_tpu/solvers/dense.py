@@ -347,13 +347,10 @@ def _run_host_loop(A, B, Zne, Wne, Q0, Emin, Emax, *, config, standard,
 
 
 def _host_complex(X):
-    """Materialize an operand as host numpy (complex ComplexPair forms
-    reassemble; f64 parts transfer fine even on complex-I/O-limited links)."""
-    if isinstance(X, cio.ComplexPair):
-        return np.asarray(X.re) + 1j * np.asarray(X.im)
-    if isinstance(X, jax.Array):
-        return np.asarray(fetch(X))
-    return np.asarray(X)
+    """Materialize an operand as host numpy: exactly cio.fetch (ComplexPair
+    forms reassemble from their f64 parts, which transfer fine even on
+    complex-I/O-limited links)."""
+    return np.asarray(fetch(X))
 
 
 def _dense_embedded_hermitian(A, B, Emin, Emax, M0, fpm, *, contour,
@@ -417,6 +414,8 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
         raise ValueError(f"Emin={Emin} must be < Emax={Emax}")
 
     dt_in = [cio.op_dtype(A)] + ([] if standard else [cio.op_dtype(B)])
+    in_complex = bool(jnp.issubdtype(jnp.result_type(*dt_in),
+                                     jnp.complexfloating))
     if jnp.result_type(*dt_in) in (jnp.float32, jnp.complex64):
         rdtype, cdtype = jnp.float32, jnp.complex64
     else:
@@ -443,8 +442,26 @@ def dense_hermitian_feast(A, B, Emin, Emax, M0, fpm=None, *, contour=None,
     from ..ops.splitlu import f64_lu_unavailable
     pair_f64 = cdtype_np == np.complex128 and f64_lu_unavailable()
     if pair_f64 and hermitian:
-        return _dense_embedded_hermitian(A, B, Emin, Emax, M0, fpm,
-                                         contour=contour, Q0=Q0)
+        if not in_complex:
+            # real data declared hermitian: same math on the real pair
+            # engine — no need to double the problem via the embedding
+            hermitian = False
+            work_dtype = np.dtype(str(jnp.dtype(rdtype)))
+
+            def _to_real(X):
+                if isinstance(X, cio.ComplexPair):
+                    return X.re.astype(work_dtype)
+                if isinstance(X, jax.Array):
+                    return jnp.real(X).astype(work_dtype)
+                return np.ascontiguousarray(np.asarray(X).real,
+                                            dtype=work_dtype)
+
+            A = _to_real(A)
+            if not standard:
+                B = _to_real(B)
+        else:
+            return _dense_embedded_hermitian(A, B, Emin, Emax, M0, fpm,
+                                             contour=contour, Q0=Q0)
     Zne = np.asarray(contour.Zne, dtype=cdtype_np)
     Wne = np.asarray(contour.Wne, dtype=cdtype_np)
     if pair_f64:

@@ -385,12 +385,23 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
 
             def one(st):
                 s, t = st
-                z64 = jax.lax.complex(s.astype(jnp.float32),
-                                      t.astype(jnp.float32))
+
+                def apply_shift(Xr, Xi):
+                    BXr = Xr if standard else B_op(Xr)
+                    BXi = Xi if standard else B_op(Xi)
+                    return (s * BXr - A_op(Xr) - t * BXi,
+                            s * BXi - A_op(Xi) + t * BXr)
 
                 def op(X):
-                    BX = X if standard else B_op(X)
-                    return z64 * BX - A_op(X)
+                    # the user's operator is FLOAT64 data — applying it to
+                    # a c64 block would promote to c128 (the HLO class
+                    # this path exists to avoid). Apply to the real and
+                    # imaginary parts separately (the pair identity) and
+                    # reassemble in c64 for the Krylov internals.
+                    Rr, Ri = apply_shift(jnp.real(X).astype(jnp.float64),
+                                         jnp.imag(X).astype(jnp.float64))
+                    return jax.lax.complex(Rr.astype(jnp.float32),
+                                           Ri.astype(jnp.float32))
 
                 def solve_c64(Z):
                     if method == "gmres":
@@ -401,12 +412,6 @@ def feast_matvec(A_op, B_op, interval, M0, fpm=None, *, solver="gmres",
                         X, _ = bicgstab_block(op, Z, tol=inner_tol,
                                               maxiter=solver_maxiter)
                     return X
-
-                def apply_shift(Xr, Xi):
-                    BXr = Xr if standard else B_op(Xr)
-                    BXi = Xi if standard else B_op(Xi)
-                    return (s * BXr - A_op(Xr) - t * BXi,
-                            s * BXi - A_op(Xi) + t * BXr)
 
                 return pair_refined_solve(solve_c64, apply_shift, Fr, Fi)
 

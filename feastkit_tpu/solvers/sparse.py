@@ -1908,10 +1908,13 @@ def _sparse_cheb_interval(A, B, Emin, Emax, M0, fpm, *, hermitian,
             # cost model compares UNSCALED indicator work: the ladder
             # sharpening trades loops for degree at ~constant total
             # matvecs (measured, scripts/probe_degree.py), so it must not
-            # bias the rational-vs-indicator choice
+            # bias the rational-vs-indicator choice. A user-pinned degree
+            # (user_cap) is never scaled, so divide only when the scaling
+            # actually applied.
+            ind_div = 1.0 if user_cap else ladder_scale
             if rat is not None and (ind is None
                                     or 3 * rat[1]["degree"]
-                                    <= 5 * ind[1]["degree"] / ladder_scale):
+                                    <= 5 * ind[1]["degree"] / ind_div):
                 coeffs, cinfo = rat
             else:
                 coeffs, cinfo = ind
@@ -2467,13 +2470,18 @@ def _quick_narrow_band(A, B, max_half_bw=16, max_n=16384):
 def _sparse_embedded_hermitian(A, B, Emin, Emax, M0, fpm, *, solver=None,
                                solver_tol=None, solver_maxiter=None,
                                solver_restart=30, Q0=None,
-                               precond=None) -> FeastResult:
+                               precond=None, driver=None) -> FeastResult:
     """Complex-Hermitian sparse f64 on a c128-less platform via the
     interleaved real embedding (see sparse_feast_interval). ``grid`` /
     ``precond`` describe the ORIGINAL N-space and do not transfer to the
     2N embedding; they are dropped (the embedded pencil re-derives its own
     structured forms). Eigenvectors collapse host-side, so ``device_q`` is
-    not honored on this path."""
+    not honored on this path.
+
+    ``driver``: the real-path interval driver to run the embedded pencil
+    through — defaults to :func:`sparse_feast_interval`; the sharded
+    pfeast_sparse passes itself (with the mesh bound) so serial and
+    sharded embeddings share this one implementation."""
     import scipy.sparse as sp
     from ..ops.splitlu import (embed_hermitian_sparse,
                                finish_embedded_interval,
@@ -2492,11 +2500,12 @@ def _sparse_embedded_hermitian(A, B, Emin, Emax, M0, fpm, *, solver=None,
     M0e = min(2 * M0, 2 * N)
     Q0e = None if Q0 is None else map_embedded_subspace(
         np.asarray(Q0), M0e, interleaved=True)
-    r = sparse_feast_interval(EA, EB, Emin, Emax, M0e, fpm,
-                              hermitian=False, solver=solver,
-                              solver_tol=solver_tol,
-                              solver_maxiter=solver_maxiter,
-                              solver_restart=solver_restart, Q0=Q0e)
+    run = driver if driver is not None else sparse_feast_interval
+    r = run(EA, EB, Emin, Emax, M0e, fpm,
+            hermitian=False, solver=solver,
+            solver_tol=solver_tol,
+            solver_maxiter=solver_maxiter,
+            solver_restart=solver_restart, Q0=Q0e)
     return finish_embedded_interval(
         r, N, M0, fpm, interleaved=True,
         apply_A=lambda X: Acsr @ X,

@@ -802,6 +802,24 @@ def main():
         existing = json.loads(path.read_text())
     except Exception:                                    # noqa: BLE001
         existing = []
+    # Drop stale *_failed markers once the corresponding leg succeeds in
+    # THIS run (a transient probe/tunnel failure would otherwise pin its
+    # error entry in the store forever, contradicting the fresh numbers).
+    produced = {e.get("metric", "") for e in results}
+    fail_of = {
+        "sparse_bench_failed": "sparse_scsrev_2Dlap_n65536",
+        "banded_bench_failed": "banded_sbev_n2048",
+        "banded_large_bench_failed": "banded_sbev_n65536",
+        "quickstart_bench_failed": "quickstart_n100",
+        "general_bench_failed": "general_circ_n1024",
+        "pep_bench_failed": "pep_quadratic_n512",
+        "narrowband_bench_f32_failed": "narrowband_scsrev_n8192_kd2_f32",
+        "narrowband_bench_f64_failed": "narrowband_scsrev_n8192_kd2_f64",
+    }
+    stale = {f for f, ok_prefix in fail_of.items()
+             if f not in produced
+             and any(m.startswith(ok_prefix) for m in produced)}
+    existing = [e for e in existing if e.get("metric") not in stale]
     by_metric = {e.get("metric"): i for i, e in enumerate(existing)}
     for e in results:
         i = by_metric.get(e.get("metric"))
